@@ -1,0 +1,165 @@
+"""Zonal statistics, binning aggregations, point->raster gridding, IDW.
+
+Reference semantics:
+  - zonal stats set mean/min/max/range/stddev/total (+count)
+    (StatsTools/src/plugins/ExtractStatistics.java:303-443 — two passes there,
+    ONE partial-aggregated groupBy here)
+  - points->raster collision policies min/max/sum/first/last/mean/range
+    (ConversionTools/src/plugins/VectorPointsToRaster.java:315-473)
+  - hex binning counts (Scripts/HexBinning.groovy:202-215)
+  - point density over neighborhoods (RasterCreation/src/plugins/PointDensity.java)
+  - IDW interpolation sum(z/d^w)/sum(1/d^w) within radius
+    (RasterCreation/src/plugins/InterpolationIDW.java:547-561)
+
+All are map-side-combinable groupBys on cell keys — the shuffle moves only
+partial aggregates, never raw pages.  'first'/'last' are pinned to min/max
+key order (min_by/max_by) — deterministic, unlike arrival-order first().
+
+Float determinism policy: SUM/AVG/STDDEV over doubles depend on reduction
+order, so cross-engine checks would be knife-edge.  The value column is
+milli-scaled to exact integers (`val = val_milli / 1000.0`); all moments are
+aggregated as exact BIGINTs, and every float statistic is DERIVED from those
+integer moments by a fixed expression — bit-identical on any engine, any
+partitioning, any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import exprs
+from ..functions.cells import explode_k_ring, with_hex
+
+# derived-statistic SQL expressions over exact integer moments (shared
+# verbatim with the DuckDB oracles — see queries_spatial.py)
+MEAN_EXPR = "CAST(sum_milli AS DOUBLE) / n / 1000e0"
+STD_EXPR = (
+    "CASE WHEN n > 1 THEN "
+    "sqrt((CAST(sumsq_milli AS DOUBLE) - CAST(sum_milli AS DOUBLE) * sum_milli / n) / (n - 1)) / 1000e0 "
+    "END"
+)
+
+
+def _milli(df: DataFrame, value: str = "val") -> DataFrame:
+    return df.withColumn("val_milli", F.expr(f"CAST(round({value} * 1000e0) AS BIGINT)"))
+
+
+def zonal_stats(df: DataFrame, zone: str = "tile_id", value: str = "val") -> DataFrame:
+    v = F.col(value)
+    base = _milli(df, value).groupBy(zone).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val_milli").alias("sum_milli"),
+        F.sum(F.col("val_milli") * F.col("val_milli")).alias("sumsq_milli"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        (F.max(v) - F.min(v)).alias("vrange"),
+    )
+    return base.select(
+        zone, "n", "sum_milli",
+        F.expr(MEAN_EXPR).alias("mean"),
+        "vmin", "vmax", "vrange",
+        F.expr(STD_EXPR).alias("vstd"),
+    ).orderBy(zone)
+
+
+def points_to_raster(df: DataFrame, cell: str = "tile_id", value: str = "val",
+                     key: str = "doc_id") -> DataFrame:
+    """All seven collision policies at once, one combinable aggregate each."""
+    v, k = F.col(value), F.col(key)
+    base = _milli(df, value).groupBy(cell).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.sum("val_milli").alias("sum_milli"),
+        (F.max(v) - F.min(v)).alias("vrange"),
+        F.min_by(v, k).alias("vfirst"),
+        F.max_by(v, k).alias("vlast"),
+    )
+    return base.select(
+        cell, "n", "vmin", "vmax", "sum_milli",
+        F.expr(MEAN_EXPR).alias("vmean"),
+        "vrange", "vfirst", "vlast",
+    ).orderBy(cell)
+
+
+def hexbin_counts(df: DataFrame) -> DataFrame:
+    return (
+        with_hex(df)
+        .groupBy("hex_q", "hex_r")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("hex_q", "hex_r")
+    )
+
+
+def cell_rollup(df: DataFrame) -> DataFrame:
+    """Hierarchical counts at res 9/8/7 — one groupBy at the finest level,
+    parents aggregated from children (no second scan of the input)."""
+    c9 = df.groupBy("cell7", "cell8", "cell9").agg(F.count(F.lit(1)).alias("n"))
+    l9 = c9.select(F.lit(9).alias("res"), F.col("cell9").alias("cell"), "n")
+    c8 = c9.groupBy("cell7", "cell8").agg(F.sum("n").alias("n"))
+    l8 = c8.select(F.lit(8).alias("res"), F.col("cell8").alias("cell"), "n")
+    l7 = c8.groupBy("cell7").agg(F.sum("n").alias("n")).select(
+        F.lit(7).alias("res"), F.col("cell7").alias("cell"), "n"
+    )
+    return l9.unionByName(l8).unionByName(l7).orderBy("res", "cell")
+
+
+def point_density(df: DataFrame, radius: int = 1) -> DataFrame:
+    """Count per cell smoothed over the k-ring neighborhood (PointDensity
+    semantics: events within a radius of each output cell), normalized by
+    neighborhood area.  Aggregate-then-smooth: the ring join runs on the
+    per-cell COUNTS (tiny), never on raw points."""
+    counts = df.groupBy("tile_x", "tile_y", "tile_id").agg(F.count(F.lit(1)).alias("n"))
+    ring = explode_k_ring(counts, radius)
+    return (
+        ring.groupBy("nbr_tile_id")
+        .agg(F.sum("n").alias("n_nbr"), F.count(F.lit(1)).alias("n_cells"))
+        .select(
+            F.col("nbr_tile_id").alias("tile_id"),
+            F.col("n_nbr"),
+            # exact ints -> one fixed float expression: deterministic
+            (F.col("n_nbr").cast("double")
+             / (F.col("n_cells") * float(exprs.TILE_SIZE) ** 2)).alias("density"),
+        )
+        .orderBy("tile_id")
+    )
+
+
+def idw_at_cell_centers(df: DataFrame) -> DataFrame:
+    """IDW (power=2) at each occupied tile's center from points in the 3x3
+    ring: sum(z * w)/sum(w) with w = 1/d2, d2 > 0.
+
+    The reference searches a kd-tree per output cell
+    (InterpolationIDW.java:547-561); here candidates come from the same
+    k-ring equi-join as kNN, weights are plain column math.  The weighted
+    sums are order-dependent in the last ulp, so the estimate is rounded to
+    4 decimals for cross-engine comparison.
+    """
+    pts = df.select(
+        F.col("tile_id").alias("p_tile"), F.col("lon").alias("p_lon"),
+        F.col("lat").alias("p_lat"), F.col("val").alias("p_val"),
+    )
+    centers = (
+        df.select("tile_x", "tile_y", "tile_id").distinct()
+        .withColumn("cx", (F.col("tile_x") + 0.5) * exprs.TILE_SIZE)
+        .withColumn("cy", (F.col("tile_y") + 0.5) * exprs.TILE_SIZE)
+    )
+    cand = explode_k_ring(centers, 1).join(
+        pts, F.col("nbr_tile_id") == F.col("p_tile"), "inner"
+    )
+    d2 = (
+        (F.col("cx") - F.col("p_lon")) * (F.col("cx") - F.col("p_lon"))
+        + (F.col("cy") - F.col("p_lat")) * (F.col("cy") - F.col("p_lat"))
+    )
+    return (
+        cand.withColumn("d2", d2)
+        .where(F.col("d2") > 0)
+        .withColumn("w", F.lit(1.0) / F.col("d2"))
+        .groupBy("tile_id")
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("p_val")) / F.sum("w"), 4).cast("double").alias("idw"),
+            F.count(F.lit(1)).alias("n_nbr"),
+        )
+        .orderBy("tile_id")
+    )

@@ -1,0 +1,224 @@
+"""Spatial query registry entries (north-star surface) + DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import queries as Q
+from .functions import exprs
+from .functions.cells import with_cells
+from .operators import knn as knn_ops
+from .operators import zonal
+from .operators import spatial_join, zonal
+
+_PTS = f"WITH {Q.pts_cte()}"
+_PTS_EDGES = f"WITH {Q.pts_cte()}, {Q.edges_cte()}, {Q.PIP_PAIRS_CTE}"
+
+
+# -- tile / cell assignment --------------------------------------------------
+@Q.register(
+    "tile_assign",
+    f"{_PTS} SELECT doc_id, tile_id FROM pts ORDER BY doc_id",
+)
+def q_tile_assign(spark, sf):
+    return Q._points(spark, sf).select("doc_id", "tile_id").orderBy("doc_id")
+
+
+@Q.register(
+    "tile_counts",
+    f"{_PTS} SELECT tile_id, COUNT(*) AS n FROM pts GROUP BY 1 ORDER BY 1",
+)
+def q_tile_counts(spark, sf):
+    return (
+        Q._points(spark, sf).groupBy("tile_id").agg(F.count(F.lit(1)).alias("n")).orderBy("tile_id")
+    )
+
+
+_HEXQ = exprs.hex_q_expr("lon", "lat")
+_HEXR = exprs.hex_r_expr("lon", "lat")
+
+
+@Q.register(
+    "hexbin",
+    f"{_PTS} SELECT {_HEXQ} AS hex_q, {_HEXR} AS hex_r, COUNT(*) AS n "
+    "FROM pts GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_hexbin(spark, sf):
+    return zonal.hexbin_counts(Q._points(spark, sf))
+
+
+_CELL_CTE = (
+    f"cells AS (SELECT doc_id, {exprs.cell_expr('lon', 'lat', 7)} AS cell7, "
+    f"{exprs.cell_expr('lon', 'lat', 8)} AS cell8, "
+    f"{exprs.cell_expr('lon', 'lat', 9)} AS cell9 FROM pts)"
+)
+
+
+@Q.register(
+    "cell_rollup",
+    f"{_PTS}, {_CELL_CTE}, c9 AS (SELECT cell7, cell8, cell9, COUNT(*) AS n FROM cells GROUP BY 1,2,3), "
+    "c8 AS (SELECT cell7, cell8, CAST(SUM(n) AS BIGINT) AS n FROM c9 GROUP BY 1,2), "
+    "c7 AS (SELECT cell7, CAST(SUM(n) AS BIGINT) AS n FROM c8 GROUP BY 1) "
+    "SELECT * FROM (SELECT 9 AS res, cell9 AS cell, n FROM c9 UNION ALL "
+    "SELECT 8, cell8, n FROM c8 UNION ALL SELECT 7, cell7, n FROM c7) ORDER BY res, cell",
+)
+def q_cell_rollup(spark, sf):
+    return zonal.cell_rollup(with_cells(Q._points(spark, sf)))
+
+
+# -- point-in-polygon join (flagship) ----------------------------------------
+@Q.register(
+    "pip_pairs",
+    f"{_PTS_EDGES} SELECT doc_id, poly_id FROM pip ORDER BY doc_id, poly_id",
+)
+def q_pip_pairs(spark, sf):
+    return (
+        spatial_join.pip_join(Q._points(spark, sf), spark, keep=("doc_id",))
+        .select("doc_id", "poly_id")
+        .orderBy("doc_id", "poly_id")
+    )
+
+
+@Q.register(
+    "pip_counts",
+    f"{_PTS_EDGES} SELECT poly_id, COUNT(*) AS n_pages FROM pip GROUP BY 1 ORDER BY 1",
+)
+def q_pip_counts(spark, sf):
+    return spatial_join.pip_counts(Q._points(spark, sf), spark)
+
+
+@Q.register(
+    "pip_semi",
+    f"{_PTS_EDGES} SELECT doc_id FROM pts WHERE doc_id IN (SELECT doc_id FROM pip) ORDER BY doc_id",
+)
+def q_pip_semi(spark, sf):
+    return (
+        spatial_join.pip_semi(Q._points(spark, sf), spark, "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@Q.register(
+    "pip_anti",
+    f"{_PTS_EDGES} SELECT doc_id FROM pts WHERE doc_id NOT IN (SELECT doc_id FROM pip) ORDER BY doc_id",
+)
+def q_pip_anti(spark, sf):
+    return (
+        spatial_join.pip_semi(Q._points(spark, sf), spark, "doc_id", negate=True)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# -- zonal statistics / gridding ---------------------------------------------
+@Q.register(
+    "zonal_stats",
+    f"""{_PTS}, m AS (SELECT tile_id, val, CAST(ROUND(val * 1000e0) AS BIGINT) AS val_milli FROM pts),
+g AS (
+  SELECT tile_id, COUNT(*) AS n, CAST(SUM(val_milli) AS BIGINT) AS sum_milli,
+         CAST(SUM(val_milli * val_milli) AS BIGINT) AS sumsq_milli,
+         MIN(val) AS vmin, MAX(val) AS vmax, MAX(val) - MIN(val) AS vrange
+  FROM m GROUP BY 1
+)
+SELECT tile_id, n, sum_milli, {zonal.MEAN_EXPR} AS mean, vmin, vmax, vrange,
+       {zonal.STD_EXPR} AS vstd
+FROM g ORDER BY tile_id""",
+)
+def q_zonal_stats(spark, sf):
+    return zonal.zonal_stats(Q._points(spark, sf))
+
+
+@Q.register(
+    "points_to_raster",
+    f"""{_PTS}, m AS (SELECT doc_id, tile_id, val, CAST(ROUND(val * 1000e0) AS BIGINT) AS val_milli FROM pts),
+g AS (
+  SELECT tile_id, COUNT(*) AS n, MIN(val) AS vmin, MAX(val) AS vmax,
+         CAST(SUM(val_milli) AS BIGINT) AS sum_milli, MAX(val) - MIN(val) AS vrange,
+         MIN_BY(val, doc_id) AS vfirst, MAX_BY(val, doc_id) AS vlast
+  FROM m GROUP BY 1
+)
+SELECT tile_id, n, vmin, vmax, sum_milli, {zonal.MEAN_EXPR} AS vmean, vrange, vfirst, vlast
+FROM g ORDER BY tile_id""",
+)
+def q_points_to_raster(spark, sf):
+    return zonal.points_to_raster(Q._points(spark, sf))
+
+
+@Q.register(
+    "point_density",
+    f"""{_PTS}, counts AS (
+  SELECT tile_x, tile_y, COUNT(*) AS n FROM pts GROUP BY 1, 2
+), offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)),
+ring AS (
+  SELECT (c.tile_y + o.dy) * {exprs.TILE_COLS} + (c.tile_x + o.dx) AS tile_id, c.n
+  FROM counts c JOIN offs o ON c.tile_x + o.dx >= 0 AND c.tile_x + o.dx < {exprs.TILE_COLS}
+   AND c.tile_y + o.dy >= 0 AND c.tile_y + o.dy < {exprs.TILE_ROWS}
+)
+SELECT tile_id, CAST(SUM(n) AS BIGINT) AS n_nbr,
+       CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / (COUNT(*) * {exprs.D(float(exprs.TILE_SIZE) ** 2)}) AS density
+FROM ring GROUP BY 1 ORDER BY 1""",
+)
+def q_point_density(spark, sf):
+    return zonal.point_density(Q._points(spark, sf))
+
+
+@Q.register(
+    "idw",
+    f"""{_PTS}, centers AS (
+  SELECT DISTINCT tile_x, tile_y, tile_id,
+         (tile_x + 0.5e0) * {exprs.D(exprs.TILE_SIZE)} AS cx, (tile_y + 0.5e0) * {exprs.D(exprs.TILE_SIZE)} AS cy
+  FROM pts
+), offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)),
+cand AS (
+  SELECT c.tile_id, c.cx, c.cy, p.val AS p_val,
+    (c.cx - p.lon) * (c.cx - p.lon) + (c.cy - p.lat) * (c.cy - p.lat) AS d2
+  FROM centers c JOIN offs o ON c.tile_x + o.dx >= 0 AND c.tile_x + o.dx < {exprs.TILE_COLS}
+   AND c.tile_y + o.dy >= 0 AND c.tile_y + o.dy < {exprs.TILE_ROWS}
+  JOIN pts p ON p.tile_id = (c.tile_y + o.dy) * {exprs.TILE_COLS} + (c.tile_x + o.dx)
+)
+SELECT tile_id, ROUND(SUM((1e0 / d2) * p_val) / SUM(1e0 / d2), 4) AS idw, COUNT(*) AS n_nbr
+FROM cand WHERE d2 > 0 GROUP BY 1 ORDER BY 1""",
+)
+def q_idw(spark, sf):
+    return zonal.idw_at_cell_centers(Q._points(spark, sf))
+
+
+# -- kNN ----------------------------------------------------------------------
+_KNN_K = 5
+
+
+@Q.register(
+    "knn",
+    f"""{_PTS}, q AS (SELECT doc_id AS q_id, lon, lat FROM pts WHERE doc_id % 97 = 0),
+d AS (
+  SELECT q.q_id, p.doc_id AS p_id,
+    (q.lon - p.lon) * (q.lon - p.lon) + (q.lat - p.lat) * (q.lat - p.lat) AS dist2
+  FROM q JOIN pts p ON q.q_id != p.doc_id
+),
+r AS (SELECT q_id, p_id, dist2,
+      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2, p_id) AS rnk FROM d)
+SELECT q_id, p_id, dist2, rnk FROM r WHERE rnk <= {_KNN_K} ORDER BY q_id, rnk""",
+)
+def q_knn(spark, sf):
+    pts = Q._points(spark, sf)
+    qdf = pts.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("q_id"), "lon", "lat", "tile_x", "tile_y"
+    )
+    pdf = pts.select(F.col("doc_id").alias("p_id"), "lon", "lat", "tile_id")
+    out = knn_ops.knn_join(qdf, pdf, k=_KNN_K)
+    return out.select("q_id", "p_id", "dist2", "rnk").orderBy("q_id", "rnk")
+
+
+@Q.register(
+    "nn_analysis",
+    f"""{_PTS}, d AS (
+  SELECT a.doc_id AS q_id,
+    MIN((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) AS d2
+  FROM pts a JOIN pts b ON a.doc_id != b.doc_id
+  WHERE a.doc_id % 173 = 0 GROUP BY 1
+)
+SELECT q_id, SQRT(d2) AS nn_dist FROM d ORDER BY q_id""",
+)
+def q_nn_analysis(spark, sf):
+    return knn_ops.nn_distances(Q._points(spark, sf)).orderBy("q_id")
