@@ -1,0 +1,194 @@
+"""Statistics / table operators (StatsTools + attribute-table tools).
+
+Reference semantics re-expressed as single declarative aggregations:
+  - Reclass value ranges -> classes (GISTools/src/plugins/Reclass.java)
+  - Histogram (StatsTools/src/plugins/Histogram.java)
+  - CrossTabulation (StatsTools/src/plugins/CrossTabulation.java:228-268)
+  - ImageAverage/Total/StdDev/NumberOfGridCells (whole-table aggregates)
+  - ImageCorrelation / ImageRegression (StatsTools ImageRegression.java:237-264
+    OLS from sum moments)
+  - ZScores (StatsTools/src/plugins/ZScores.java)
+  - CumulativeDistributionFunction (StatsTools/.../CumulativeDistributionFunction.java)
+  - KappaIndex classification agreement (StatsTools/src/plugins/KappaIndex.java)
+  - ListUniqueValues (Scripts/ListUniqueValues.groovy)
+  - JoinTables broadcast equi-join (Scripts/JoinTables.groovy:162-223)
+  - Quantile binning (Scripts/Quantile.js) via ntile
+  - Medoid (Scripts/Medoid.groovy)
+
+Float determinism policy as in zonal.py: aggregate exact integers (cents /
+milli scaling), derive float statistics from the integer moments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cents(col: str, scale: int = 100) -> F.Column:
+    """Exact integer view of a fixed-decimal money/measure column."""
+    return F.expr(f"CAST(round({col} * {scale}e0) AS BIGINT)")
+
+
+def reclass(df: DataFrame, col: str, bounds: list[float], labels: list[str],
+            out: str = "class") -> DataFrame:
+    """Map value ranges -> class labels (Reclass.java); bounds are the upper
+    edges of each class except the last catch-all."""
+    c = F.col(col)
+    e = None
+    for b, lab in zip(bounds, labels[:-1]):
+        e = F.when(c < b, lab) if e is None else e.when(c < b, lab)
+    e = e.otherwise(labels[-1])
+    return df.withColumn(out, e)
+
+
+def histogram(df: DataFrame, col: str, bin_width: float) -> DataFrame:
+    b = F.expr(f"CAST(floor({col} / {bin_width!r}e0) AS BIGINT)").alias("bin")
+    return df.groupBy(b).agg(F.count(F.lit(1)).alias("n")).orderBy("bin")
+
+
+def crosstab(df: DataFrame, a: str, b: str) -> DataFrame:
+    return df.groupBy(a, b).agg(F.count(F.lit(1)).alias("n")).orderBy(a, b)
+
+
+def table_stats(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
+    """Whole-table scalar aggregates from exact integer moments."""
+    d = df.select(cents(col, scale).alias("c"))
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq_c"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+    )
+    return g.select(
+        "n",
+        (F.col("sum_c").cast("double") / F.col("n") / scale).alias("mean"),
+        (F.col("min_c").cast("double") / scale).alias("vmin"),
+        (F.col("max_c").cast("double") / scale).alias("vmax"),
+        F.expr(
+            f"sqrt((CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * sum_c / n) / (n - 1)) / {scale}e0"
+        ).alias("vstd"),
+    )
+
+
+def regression(df: DataFrame, x: str, y: str) -> DataFrame:
+    """OLS y = a + b*x + Pearson r from sum moments (ImageRegression.java
+    :237-264 uses the same five sums).  Ratios of large sums: relative error
+    is ~1e-14, so round(6) is stable."""
+    g = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(F.col(x) * F.col(y)).alias("sxy"),
+        F.sum(F.col(x) * F.col(x)).alias("sxx"),
+        F.sum(F.col(y) * F.col(y)).alias("syy"),
+    )
+    return g.select(
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).cast("double").alias("slope"),
+        F.round(
+            (F.col("sy") - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.col("sx"))
+            / F.col("n"),
+            6,
+        ).cast("double").alias("intercept"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).cast("double").alias("r"),
+    )
+
+
+def zscores(df: DataFrame, key: str, col: str, scale: int = 100) -> DataFrame:
+    """Per-row standard score from exact integer moments (ZScores.java)."""
+    d = df.select(F.col(key), cents(col, scale).alias("c"))
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq_c"),
+    )
+    joined = d.crossJoin(F.broadcast(m))
+    z = F.expr(
+        "(c - CAST(sum_c AS DOUBLE) / n) / "
+        "sqrt((CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * sum_c / n) / (n - 1))"
+    )
+    return joined.select(F.col(key), F.round(z, 6).cast("double").alias("z")).orderBy(key)
+
+
+def cdf(df: DataFrame, col: str, bin_width: float) -> DataFrame:
+    """Histogram-based empirical CDF (CumulativeDistributionFunction.java):
+    cumulative count via window over ordered bins, exact-integer cumsum."""
+    h = histogram(df, col, bin_width)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    total = h.agg(F.sum("n")).collect()[0][0]
+    return h.select(
+        "bin", "n",
+        F.sum("n").over(w).alias("cum_n"),
+        (F.sum("n").over(w).cast("double") / float(total)).alias("cdf"),
+    ).orderBy("bin")
+
+
+def kappa(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Cohen's kappa from the integer contingency table (KappaIndex.java)."""
+    ct = df.groupBy(a, b).agg(F.count(F.lit(1)).alias("n"))
+    tot = ct.agg(F.sum("n").alias("t")).collect()[0][0]
+    po = ct.where(F.col(a) == F.col(b)).agg(F.sum("n")).collect()[0][0] or 0
+    ra = ct.groupBy(a).agg(F.sum("n").alias("na"))
+    rb = ct.groupBy(b).agg(F.sum("n").alias("nb"))
+    pe_df = ra.join(rb, ra[a] == rb[b]).agg(
+        F.sum(F.col("na") * F.col("nb")).alias("pe_num")
+    )
+    pe_num = pe_df.collect()[0][0] or 0
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(tot), int(po), int(pe_num))], "n long, po_num long, pe_num long"
+    ).select(
+        "n", "po_num", "pe_num",
+        F.expr(
+            "round((CAST(po_num AS DOUBLE) / n - CAST(pe_num AS DOUBLE) / n / n) / "
+            "(1e0 - CAST(pe_num AS DOUBLE) / n / n), 6)"
+        ).cast("double").alias("kappa"),
+    )
+
+
+def unique_values(df: DataFrame, col: str) -> DataFrame:
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).orderBy(col)
+
+
+def join_tables(left: DataFrame, right: DataFrame, key, how: str = "left",
+                broadcast: bool = True) -> DataFrame:
+    """JoinTables.groovy:162-223: hash join built on the foreign (right)
+    table, probed per left record, left-outer (unmatched -> null).  Broadcast
+    the build side when it is dimension-sized; set broadcast=False for
+    large-large joins (sort-merge/shuffle-hash under AQE)."""
+    return left.join(F.broadcast(right) if broadcast else right, key, how)
+
+
+def quantile_bins(df: DataFrame, key: str, col: str, q: int = 4) -> DataFrame:
+    w = Window.orderBy(F.col(col), F.col(key))
+    return df.select(
+        F.col(key), F.ntile(q).over(w).cast("long").alias("quartile")
+    ).orderBy(key)
+
+
+def medoid(df: DataFrame, key: str, x: str = "lon", y: str = "lat") -> DataFrame:
+    """Scripts/Medoid.groovy: the input point nearest the layer centroid.
+    The centroid is rounded to 6 decimals to pin cross-engine determinism."""
+    m = df.agg(
+        F.round(F.avg(x), 6).cast("double").alias("cx"),
+        F.round(F.avg(y), 6).cast("double").alias("cy"),
+    )
+    j = df.crossJoin(F.broadcast(m))
+    d2 = (F.col(x) - F.col("cx")) * (F.col(x) - F.col("cx")) + (
+        F.col(y) - F.col("cy")
+    ) * (F.col(y) - F.col("cy"))
+    w = Window.orderBy(d2, F.col(key))
+    return j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(key)
