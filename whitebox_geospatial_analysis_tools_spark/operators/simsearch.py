@@ -1,0 +1,139 @@
+"""Similarity search over embedding vectors (array<float> column).
+
+Brute-force cosine top-k as the exactness baseline, plus the scale path:
+random-hyperplane LSH bucketing (sign sketch) so candidate generation is an
+equi-join on bucket id instead of an all-pairs cross join.
+
+Cross-engine float exactness: the dot product is emitted as ONE fixed
+left-associative expression chain (t1 + t2 + ... + t64) generated from the
+same template for Spark (element_at) and DuckDB (list_extract), with every
+float32 element cast to DOUBLE first — both engines then execute the exact
+same IEEE-754 op sequence.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import exprs as X
+
+DIM = 64
+N_PLANES = 8
+
+
+def dot_expr(a: str, b: str, accessor: str, dim: int = DIM) -> str:
+    """Fixed-order dot product; accessor: 'element_at({v}, {i})' (Spark) or
+    'list_extract({v}, {i})' (DuckDB)."""
+    terms = [
+        f"CAST({accessor.format(v=a, i=i)} AS DOUBLE) * CAST({accessor.format(v=b, i=i)} AS DOUBLE)"
+        for i in range(1, dim + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+SPARK_AT = "element_at({v}, {i})"
+DUCK_AT = "list_extract({v}, {i})"
+
+
+def cosine_expr(a: str, b: str, accessor: str, dim: int = DIM) -> str:
+    return (
+        f"({dot_expr(a, b, accessor, dim)} / sqrt({dot_expr(a, a, accessor, dim)}) "
+        f"/ sqrt({dot_expr(b, b, accessor, dim)}))"
+    )
+
+
+def cosine_topk(emb: DataFrame, k: int = 3, query_pred: str = "vec_id < 20") -> DataFrame:
+    """Brute-force cosine top-k: queries x corpus, ranked by rounded cosine.
+
+    Ranking uses round(cos, 6) + id tie-break so the order is stable against
+    last-ulp engine differences.  At scale the corpus side stays partitioned
+    and the (small) query side broadcasts — shuffle-free map-side join."""
+    q = emb.where(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    cos = F.expr(f"round({cosine_expr('qv', 'cv', SPARK_AT)}, 6)")
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).select(
+        "q_id", "c_id", cos.alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cos", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= threshold), brute force
+    (exactness oracle for the LSH path)."""
+    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("av"))
+    b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("bv"))
+    cos = F.expr(f"round({cosine_expr('av', 'bv', SPARK_AT)}, 6)")
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .orderBy("d1", "d2")
+    )
+
+
+@lru_cache(maxsize=1)
+def hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from the shared LCG chain."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            u = ((p * DIM + d) * X.A + X.C) % X.M
+            row.append(u / X.M - 0.5)
+        planes.append(row)
+    return planes
+
+
+def plane_dot_expr(vec: str, plane: list[float], accessor: str) -> str:
+    terms = [
+        f"CAST({accessor.format(v=vec, i=i + 1)} AS DOUBLE) * {w!r}e0"
+        for i, w in enumerate(plane)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_bucket_expr(vec: str, accessor: str) -> str:
+    """Sign-sketch bucket id: bit p = (v . plane_p) > 0."""
+    bits = [
+        f"(CASE WHEN {plane_dot_expr(vec, pl, accessor)} > 0e0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(hyperplanes())
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, bucket) sign-sketch assignment — the IVF/LSH scale path:
+    near-duplicate candidates come from an equi-join on bucket."""
+    return emb.select(
+        "vec_id", F.expr(lsh_bucket_expr("embedding", SPARK_AT)).alias("bucket")
+    ).orderBy("vec_id")
+
+
+def lsh_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Bucketed near-dup: exact cosine verification over same-bucket pairs.
+    (Recall < 1 vs brute force by construction; the recall trade-off is the
+    standard LSH contract — measured in tests, not hidden.)"""
+    b = lsh_buckets(emb)
+    e = emb.join(b, "vec_id")
+    a = e.select(F.col("bucket"), F.col("vec_id").alias("d1"), F.col("embedding").alias("av"))
+    c = e.select(F.col("bucket"), F.col("vec_id").alias("d2"), F.col("embedding").alias("bv"))
+    cos = F.expr(f"round({cosine_expr('av', 'bv', SPARK_AT)}, 6)")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .distinct()
+        .orderBy("d1", "d2")
+    )

@@ -1,0 +1,244 @@
+"""Text-analysis + deduplication operators for the web-page payload.
+
+These are the training-data-pipeline operators the north-star engine adds on
+top of the reference's surface (documents table = extracted page text).  All
+logic is JVM-side Column expressions — string kernels stay in Tungsten, no
+Python in the hot path.
+
+Determinism notes:
+  - token counts via length arithmetic (identical in Spark/DuckDB);
+  - all hashes via md5 (identical hex in both engines), compared as strings;
+  - simhash uses an explicit integer token hash (ascii/length arithmetic) so
+    the oracle can reproduce it without engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# token count without splitting: blank-delimited words
+N_TOKENS = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+# weak-but-deterministic integer token hash, expressible in ANSI SQL:
+# h(tok) in [0, 2^31)
+TOKEN_HASH = (
+    "((length(tok) * 2654435761 + ascii(substr(tok, 1, 1)) * 97 "
+    "+ ascii(substr(tok, length(tok), 1)) * 31) % 2147483648)"
+)
+
+SIMHASH_BITS = 16
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.expr(N_TOKENS).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length/avg-token-length/stopword-ratio quality features (the classic
+    web-text quality heuristics), all exact-integer derived."""
+    d = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.expr(N_TOKENS).alias("n_tokens"),
+        F.expr(
+            "(length(text) - length(replace(text, ' the ', ''))) / 5"
+        ).alias("n_the"),
+    )
+    return d.select(
+        "doc_id", "n_chars", "n_tokens",
+        # avg token length: chars excluding the n_tokens-1 separators
+        F.expr("CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens").alias("avg_tok_len"),
+        F.expr("CAST(n_the AS DOUBLE) / n_tokens").alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+_LANG_MARKERS = {
+    "en": [" the ", " and "],
+    "de": [" der ", " und "],
+    "fr": [" le ", " la "],
+    "es": [" el ", " los "],
+}
+
+
+def _marker_count(marker: str) -> str:
+    return f"(length(text) - length(replace(text, '{marker}', ''))) / {len(marker)}"
+
+
+def lang_scores_sql() -> dict[str, str]:
+    return {
+        lang: " + ".join(f"({_marker_count(m)})" for m in ms)
+        for lang, ms in _LANG_MARKERS.items()
+    }
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID (n-gram heuristic): argmax of per-language
+    marker counts with a fixed tie order en > de > fr > es > und."""
+    scores = lang_scores_sql()
+    d = docs.select(
+        "doc_id", *[F.expr(s).alias(f"s_{lang}") for lang, s in scores.items()]
+    )
+    order = list(scores)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in order) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in order
+    ) + " END"
+    return d.select("doc_id", F.expr(pred).alias("pred_lang")).orderBy("doc_id")
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: representative (min doc_id) + group size."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("rep_doc"), F.count(F.lit(1)).alias("n"))
+        .orderBy("text_md5")
+    )
+
+
+SHINGLE_EXPR = (
+    "transform(sequence(0, size(w) - 3), "
+    "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2), ' ', element_at(w, i + 3)))"
+)
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) word-trigram shingles; docs shorter than 3 tokens drop."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.expr("size(w) >= 3"))
+        .select("doc_id", F.explode(F.expr(SHINGLE_EXPR)).alias("shingle"))
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Winnowing-style document fingerprint: the k smallest distinct shingle
+    hashes per document (min-k sketch)."""
+    sh = _shingles(docs).select("doc_id", F.md5("shingle").alias("h")).distinct()
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        sh.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "rnk", F.col("h").alias("fp"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def minhash_signatures(docs: DataFrame, bands: int = 4) -> DataFrame:
+    """MinHash signature, one hash per band: min over shingles of
+    md5(band || ':' || shingle).  String-min of hex digests is identical
+    across engines; b distinct salts give b independent permutations."""
+    sh = _shingles(docs)
+    rows = []
+    for b in range(bands):
+        rows.append(
+            sh.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle"))).alias("h"),
+            )
+        )
+    allb = rows[0]
+    for r in rows[1:]:
+        allb = allb.unionByName(r)
+    return (
+        allb.groupBy("doc_id", "band").agg(F.min("h").alias("minh"))
+        .orderBy("doc_id", "band")
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, bands: int = 4, max_bucket: int = 50) -> DataFrame:
+    """LSH: docs sharing any band's minhash value are candidate duplicates.
+    Buckets larger than max_bucket are dropped (hot-bucket guard — the skew
+    story of minhash at web scale; the cap is part of the semantics here)."""
+    sig = minhash_signatures(docs, bands)
+    ok = (
+        sig.groupBy("band", "minh").agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= max_bucket)
+        .select("band", "minh")
+    )
+    s = sig.join(ok, ["band", "minh"], "left_semi")
+    a = s.select("band", "minh", F.col("doc_id").alias("d1"))
+    b = s.select("band", "minh", F.col("doc_id").alias("d2"))
+    return (
+        a.join(b, ["band", "minh"]).where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2").distinct().orderBy("d1", "d2")
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard over distinct word-trigram shingle sets for given pairs
+    (d1, d2): |A ∩ B| / |A ∪ B| from exact integer set sizes."""
+    sh = _shingles(docs).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingle").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2r"), F.col("shingle").alias("sh2"))
+    inter = (
+        pairs.join(s1, "d1")
+        .join(s2, (F.col("d2") == F.col("d2r")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["d1", "d2"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+    )
+    return out.select(
+        "d1", "d2", "n_inter",
+        F.expr("CAST(n_inter AS DOUBLE) / (sz1 + sz2 - n_inter)").alias("jaccard"),
+    ).orderBy("d1", "d2")
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over tokens: per bit j, sign of sum over tokens of
+    (2*bit_j(h(tok)) - 1); fingerprint recomposed as an integer."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = toks.withColumn("h", F.expr(TOKEN_HASH))
+    aggs = [
+        F.sum(F.expr(f"2 * ((h div {1 << j}) % 2) - 1")).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    g = h.groupBy("doc_id").agg(*aggs)
+    recompose = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return g.select("doc_id", F.expr(f"({recompose})").alias("simhash")).orderBy("doc_id")
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-duplicate pairs by simhash hamming distance <= 2.
+
+    Scale path: 16 bits split into 3 bands (6/5/5).  Any pair within hamming
+    2 agrees EXACTLY on at least one band (pigeonhole), so a band-bucket
+    equi-join yields a complete candidate set — never an all-pairs cross
+    join.  Candidates are then verified with bit_count(xor)."""
+    s = simhash(docs, bits)
+    banded = s.select(
+        "doc_id", "simhash",
+        F.expr("simhash % 64").alias("b0"),          # bits 0-5
+        F.expr("(simhash div 64) % 32").alias("b1"),  # bits 6-10
+        F.expr("(simhash div 2048) % 32").alias("b2"),  # bits 11-15
+    )
+    cands = None
+    for b in ("b0", "b1", "b2"):
+        a = banded.select(F.col(b).alias("k"), F.col("doc_id").alias("d1"),
+                          F.col("simhash").alias("h1"))
+        c = banded.select(F.col(b).alias("k"), F.col("doc_id").alias("d2"),
+                          F.col("simhash").alias("h2"))
+        p = a.join(c, "k").where(F.col("d1") < F.col("d2")).select("d1", "d2", "h1", "h2")
+        cands = p if cands is None else cands.unionByName(p)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.expr("bit_count(h1 ^ h2)").cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )

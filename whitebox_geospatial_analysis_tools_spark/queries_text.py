@@ -1,1 +1,237 @@
-"""Placeholder — filled in below."""
+"""Text-analysis / dedup / similarity-search query registry + DuckDB oracles.
+
+The training-data-pipeline surface over `documents` and `embeddings`.
+Shingle/token logic is mirrored in ANSI SQL; hashes are md5 hex strings
+(identical in both engines); embedding math uses fixed-order generated
+expression chains (operators/simsearch.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import queries as Q
+from .operators import simsearch, textops
+
+_DOCS = "SELECT doc_id, text FROM documents"
+
+# DuckDB mirror of textops._shingles (word trigrams)
+_SHINGLE_CTE = """
+wrd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM wrd WHERE len(w) >= 3),
+sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx)
+"""
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+@Q.register(
+    "token_count",
+    f"SELECT doc_id, {textops.N_TOKENS} AS n_tokens, length(text) AS n_chars "
+    "FROM documents ORDER BY doc_id",
+)
+def q_token_count(spark, sf):
+    return textops.token_counts(_docs(spark, sf))
+
+
+@Q.register(
+    "quality_score",
+    f"""WITH d AS (
+  SELECT doc_id, length(text) AS n_chars, {textops.N_TOKENS} AS n_tokens,
+         (length(text) - length(replace(text, ' the ', ''))) / 5 AS n_the
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_tok_len,
+       CAST(n_the AS DOUBLE) / n_tokens AS stopword_ratio
+FROM d ORDER BY doc_id""",
+)
+def q_quality(spark, sf):
+    return textops.quality_scores(_docs(spark, sf))
+
+
+def _langid_sql() -> str:
+    scores = textops.lang_scores_sql()
+    order = list(scores)
+    cols = ", ".join(f"({s}) AS s_{lang}" for lang, s in scores.items())
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in order) + ")"
+    pred = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in order)
+        + " END"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {cols} FROM documents) "
+        f"SELECT doc_id, {pred} AS pred_lang FROM d ORDER BY doc_id"
+    )
+
+
+@Q.register("lang_id", _langid_sql())
+def q_lang_id(spark, sf):
+    return textops.lang_id(_docs(spark, sf))
+
+
+@Q.register(
+    "dedup_exact",
+    "SELECT md5(text) AS text_md5, MIN(doc_id) AS rep_doc, COUNT(*) AS n "
+    "FROM documents GROUP BY 1 ORDER BY 1",
+)
+def q_dedup_exact(spark, sf):
+    return textops.dedup_exact(_docs(spark, sf))
+
+
+@Q.register(
+    "doc_fingerprint",
+    f"""WITH {_SHINGLE_CTE},
+h AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM sh),
+r AS (SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rnk FROM h)
+SELECT doc_id, rnk, h AS fp FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+)
+def q_fingerprint(spark, sf):
+    return textops.fingerprint(_docs(spark, sf))
+
+
+@Q.register(
+    "minhash_sig",
+    f"""WITH {_SHINGLE_CTE},
+b AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(band)),
+hh AS (SELECT doc_id, band, md5(band || ':' || shingle) AS h FROM sh, b)
+SELECT doc_id, band, MIN(h) AS minh FROM hh GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q_minhash_sig(spark, sf):
+    return textops.minhash_signatures(_docs(spark, sf))
+
+
+@Q.register(
+    "lsh_pairs",
+    f"""WITH {_SHINGLE_CTE},
+b AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(band)),
+hh AS (SELECT doc_id, band, md5(band || ':' || shingle) AS h FROM sh, b),
+sig AS (SELECT doc_id, band, MIN(h) AS minh FROM hh GROUP BY 1, 2),
+ok AS (SELECT band, minh FROM sig GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+s AS (SELECT sig.* FROM sig JOIN ok USING (band, minh))
+SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+FROM s a JOIN s c ON a.band = c.band AND a.minh = c.minh AND a.doc_id < c.doc_id
+ORDER BY 1, 2""",
+)
+def q_lsh_pairs(spark, sf):
+    return textops.lsh_candidate_pairs(_docs(spark, sf))
+
+
+_PAIRS_SQL = (
+    "pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a "
+    "JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 10 = 0)"
+)
+
+
+@Q.register(
+    "ngram_jaccard",
+    f"""WITH {_SHINGLE_CTE},
+{_PAIRS_SQL},
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY 1),
+inter AS (
+  SELECT p.d1, p.d2, COUNT(*) AS n_inter
+  FROM pairs p JOIN ds x ON x.doc_id = p.d1 JOIN ds y ON y.doc_id = p.d2 AND y.shingle = x.shingle
+  GROUP BY 1, 2)
+SELECT p.d1, p.d2, COALESCE(i.n_inter, 0) AS n_inter,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (s1.sz + s2.sz - COALESCE(i.n_inter, 0)) AS jaccard
+FROM pairs p LEFT JOIN inter i ON p.d1 = i.d1 AND p.d2 = i.d2
+JOIN sizes s1 ON s1.doc_id = p.d1 JOIN sizes s2 ON s2.doc_id = p.d2
+ORDER BY 1, 2""",
+)
+def q_ngram_jaccard(spark, sf):
+    docs = _docs(spark, sf)
+    pairs = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("d1"), (F.col("doc_id") + 1).alias("d2"))
+        .join(docs.select(F.col("doc_id").alias("d2")), "d2", "left_semi")
+    )
+    return textops.ngram_jaccard(docs, pairs)
+
+
+def _simhash_sql() -> str:
+    bits = textops.SIMHASH_BITS
+    sums = ", ".join(
+        f"SUM(2 * ((h // {1 << j}) % 2) - 1) AS s{j}" for j in range(bits)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, {textops.TOKEN_HASH} AS h FROM tok WHERE length(tok) > 0),
+g AS (SELECT doc_id, {sums} FROM h GROUP BY 1)
+SELECT doc_id, ({recompose}) AS simhash FROM g ORDER BY doc_id"""
+
+
+@Q.register("simhash", _simhash_sql())
+def q_simhash(spark, sf):
+    return textops.simhash(_docs(spark, sf))
+
+
+def _simhash_pairs_sql() -> str:
+    return f"""WITH s AS ({_simhash_sql().replace(' ORDER BY doc_id', '')})
+SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY 1, 2"""
+
+
+@Q.register("simhash_near_dup", _simhash_pairs_sql())
+def q_simhash_pairs(spark, sf):
+    return textops.simhash_near_pairs(_docs(spark, sf))
+
+
+# -- embeddings ---------------------------------------------------------------
+@Q.register(
+    "cosine_topk",
+    f"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+p AS (SELECT q_id, c_id, round({simsearch.cosine_expr('qv', 'cv', simsearch.DUCK_AT)}, 6) AS cos
+      FROM q JOIN c ON q_id != c_id),
+r AS (SELECT q_id, c_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM p)
+SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""",
+)
+def q_cosine_topk(spark, sf):
+    return simsearch.cosine_topk(_emb(spark, sf))
+
+
+@Q.register(
+    "embed_near_dup",
+    f"""WITH a AS (SELECT vec_id AS d1, embedding AS av FROM embeddings),
+b AS (SELECT vec_id AS d2, embedding AS bv FROM embeddings),
+p AS (SELECT d1, d2, round({simsearch.cosine_expr('av', 'bv', simsearch.DUCK_AT)}, 6) AS cos
+      FROM a JOIN b ON d1 < d2)
+SELECT d1, d2, cos FROM p WHERE cos >= 0.35e0 ORDER BY 1, 2""",
+)
+def q_embed_near_dup(spark, sf):
+    return simsearch.embedding_near_dup(_emb(spark, sf))
+
+
+@Q.register(
+    "embed_lsh_buckets",
+    f"SELECT vec_id, {simsearch.lsh_bucket_expr('embedding', simsearch.DUCK_AT)} AS bucket "
+    "FROM embeddings ORDER BY vec_id",
+)
+def q_embed_lsh_buckets(spark, sf):
+    return simsearch.lsh_buckets(_emb(spark, sf))
+
+
+@Q.register(
+    "embed_lsh_near_dup",
+    f"""WITH bk AS (SELECT vec_id, {simsearch.lsh_bucket_expr('embedding', simsearch.DUCK_AT)} AS bucket
+                   FROM embeddings),
+e AS (SELECT b.bucket, b.vec_id, embedding FROM embeddings x JOIN bk b ON x.vec_id = b.vec_id),
+p AS (SELECT a.vec_id AS d1, c.vec_id AS d2,
+             round({simsearch.cosine_expr('a.embedding', 'c.embedding', simsearch.DUCK_AT)}, 6) AS cos
+      FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT DISTINCT d1, d2, cos FROM p WHERE cos >= 0.35e0 ORDER BY 1, 2""",
+)
+def q_embed_lsh_near_dup(spark, sf):
+    return simsearch.lsh_near_dup(_emb(spark, sf))
