@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line ``{"metric", "value", "unit", "queries", "sf", ...}``.
+
+``--scaling`` mode: the north-rule evidence run — the SAME flagship job
+(synthetic pages -> geocode -> cell assign -> broadcast PIP join -> counts)
+at two parallelism levels (local[8] and local[32] standing in for N and 4N
+executors), reporting throughput at both plus scaling efficiency
+(thr_32 / (4 x thr_8)).  Results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: north-star spatial pipeline + one representative per family
+HEADLINE = [
+    "pip_counts",        # flagship: broadcast cell-index PIP join + agg
+    "tile_assign",       # per-page tile + hierarchical cell assignment
+    "hexbin",            # hex tile aggregation
+    "zonal_stats",       # ExtractStatistics agg set
+    "points_to_raster",  # 7 collision policies
+    "idw",               # interpolation (k-ring candidate join + weighted agg)
+    "knn",               # k-ring kNN join + window top-k
+    "pricing_summary",   # relational agg (TPC-H q1 shape)
+    "revenue_by_nation", # multi-join + agg
+    "lsh_pairs",         # minhash-LSH near-dup candidate pairs
+    "simhash_near_dup",  # simhash hamming near-dup self-join
+    "cosine_topk",       # brute-force ANN baseline
+]
+
+
+def _force(df) -> int:
+    """Materialize fully without driver collect (noop sink), return row count
+    via a cheap second action on the cached plan? No — count() alone is one
+    full pass and is what the oracle path measures; use it."""
+    return df.count()
+
+
+def run_headline() -> dict:
+    from whitebox_geospatial_analysis_tools_spark.session import get_spark
+    from whitebox_geospatial_analysis_tools_spark import queries as Q
+
+    spark = get_spark(app="wgs-bench", master=f"local[{CPUS}]")
+    qs = Q.all_queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        _force(fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    pages_sec = round(n_docs / max(times["pip_counts"], 1e-9), 1)
+    spark.stop()
+    return {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "cpus": int(CPUS),
+        "pip_pages_per_sec": pages_sec,
+    }
+
+
+def _flagship_throughput(master: str, n_pages: int) -> float:
+    """Pages/sec of the synthetic flagship pipeline at a given parallelism."""
+    from whitebox_geospatial_analysis_tools_spark.session import get_spark
+    from whitebox_geospatial_analysis_tools_spark.plans.pipeline import flagship_synthetic
+
+    spark = get_spark(app=f"wgs-scale-{master}", master=master)
+    try:
+        flagship_synthetic(spark, 100_000).count()  # warm up JVM + Arrow path
+        t0 = time.time()
+        flagship_synthetic(spark, n_pages).count()
+        dt = time.time() - t0
+    finally:
+        spark.stop()
+    return n_pages / dt
+
+
+def run_scaling(n_pages: int = 4_000_000) -> dict:
+    thr8 = _flagship_throughput("local[8]", n_pages)
+    thr32 = _flagship_throughput("local[32]", n_pages)
+    eff = thr32 / (4.0 * thr8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_pages": n_pages,
+        "throughput_local8_pages_sec": round(thr8, 1),
+        "throughput_local32_pages_sec": round(thr32, 1),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline()))
