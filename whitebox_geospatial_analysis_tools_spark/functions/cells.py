@@ -17,13 +17,27 @@ from . import exprs
 
 
 def with_geocode(df: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Deterministic geocode key -> (lon, lat) with built-in hot-cell skew."""
+    """Deterministic geocode key -> (lon, lat) with built-in hot-cell skew.
+
+    The LCG chain is factored through real intermediate columns (_u1/_u2/_u3)
+    rather than inlined macro text: textual inlining duplicates the whole
+    subtree into every consumer, ballooning the single generated Java method
+    past janino's 64KB limit — Spark then silently drops to interpreted mode
+    for the ENTIRE stage (observed: no WholeStageCodegen span, ~4x slower and
+    GC-bound).  As separate non-cheap aliases referenced multiple times,
+    CollapseProject keeps them; codegen computes each once per row.  The
+    DuckDB oracle keeps the equivalent fully-inlined formula (exprs.py) —
+    identical math, all-integer intermediates, so results stay bit-identical.
+    """
+    df = df.withColumn("_u1", F.expr(exprs.u1(key)))
+    df = df.withColumn("_u2", F.expr(exprs.u2_from("_u1")))
+    df = df.withColumn("_u3", F.expr(exprs.u3_from("_u2")))
     return df.withColumns(
         {
-            "lon": F.expr(exprs.lon_expr(key)),
-            "lat": F.expr(exprs.lat_expr(key)),
+            "lon": F.expr(exprs.lon_from("_u1", "_u3")),
+            "lat": F.expr(exprs.lat_from("_u2", "_u3")),
         }
-    )
+    ).drop("_u1", "_u2", "_u3")
 
 
 def with_url_geocode(df: DataFrame, url: str = "url") -> DataFrame:
@@ -31,13 +45,8 @@ def with_url_geocode(df: DataFrame, url: str = "url") -> DataFrame:
 
     xxhash64 is a JVM built-in; downstream math identical to the doc_id path.
     """
-    key = f"(abs(xxhash64({url})) % {exprs.M})"
-    return df.withColumns(
-        {
-            "lon": F.expr(exprs.lon_expr(key)),
-            "lat": F.expr(exprs.lat_expr(key)),
-        }
-    )
+    df = df.withColumn("_gkey", F.expr(f"abs(xxhash64({url})) % {exprs.M}"))
+    return with_geocode(df, key="_gkey").drop("_gkey")
 
 
 def with_tile(df: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:

@@ -75,6 +75,32 @@ def lat_expr(key: str) -> str:
     )
 
 
+# column-factored variants (Spark side): same formulas over precomputed
+# _u1/_u2/_u3 attribute columns, so codegen evaluates each chain link once.
+def u2_from(u1col: str) -> str:
+    return f"((({u1col} + {C}) * {A}) % {M})"
+
+
+def u3_from(u2col: str) -> str:
+    return f"((({u2col} + {C}) * {A}) % {M})"
+
+
+def lon_from(u1col: str, u3col: str) -> str:
+    return (
+        f"(CASE WHEN {u3col} % 10 < 8 "
+        f"THEN ({u3col} % 5) * 72e0 + 30e0 + ({u1col} % 1048576) / 1048576e0 * 1.5e0 "
+        f"ELSE {u1col} / {M}e0 * 360e0 END)"
+    )
+
+
+def lat_from(u2col: str, u3col: str) -> str:
+    return (
+        f"(CASE WHEN {u3col} % 10 < 8 "
+        f"THEN 40e0 + ({u2col} % 1048576) / 1048576e0 * 1.5e0 "
+        f"ELSE {u2col} / {M}e0 * 180e0 END)"
+    )
+
+
 def value_expr(key: str) -> str:
     """Deterministic double value column in [0, 1000) with 3 exact decimals."""
     return f"(({u3(key)} % 1000000) / 1000e0)"

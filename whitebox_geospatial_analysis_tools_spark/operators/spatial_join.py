@@ -28,8 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import exprs
-from ..functions.geometry import covering_cells, make_pip_refine_udf
+from ..functions.geometry import classified_cells, covering_cells, make_pip_refine_udf
 from ..sources.polygons import make_polygon_layer, polygons_df
+
+# refinement-index resolution: res-9 cells (2/3 deg).  Small enough that most
+# matched points land in interior cells (pure-JVM containment), big enough
+# that the classified index stays a few-MB broadcast at 100 polygons.
+_REFINE_RES = 9
 
 
 def polygon_cell_index(spark: SparkSession, size: float = exprs.TILE_SIZE,
@@ -44,24 +49,76 @@ def polygon_cell_index(spark: SparkSession, size: float = exprs.TILE_SIZE,
     )
 
 
+def classified_cell_index(spark: SparkSession, res: int = _REFINE_RES) -> DataFrame:
+    """(cell_id, poly_id, interior, edges) broadcast index at res-`res` cells.
+
+    interior=true rows resolve containment outright; boundary rows carry the
+    polygon's full edge list as an array<struct<x1,y1,x2,y2>> so the exact
+    even-odd ray-cast runs as a Catalyst ``aggregate()`` lambda — whole-stage
+    codegen, no Python, no shuffle.  Interior rows carry an empty array.
+    """
+    key = (id(spark._jsparkSession), res)
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    size = {7: 6.0, 8: 2.0, 9: 2.0 / 3.0}[res]
+    cols = int(round(360.0 / size))
+    layer = make_polygon_layer()
+    edges_of: dict[int, list] = {}
+    for p, x1, y1, x2, y2 in zip(layer.edge_poly, layer.x1, layer.y1, layer.x2, layer.y2):
+        edges_of.setdefault(int(p), []).append(
+            (float(x1), float(y1), float(x2), float(y2))
+        )
+    rows = [
+        (c, p, i, [] if i else edges_of[p])
+        for c, p, i in classified_cells(size, cols, layer)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cell_id long, poly_id long, interior boolean, "
+        "edges array<struct<x1: double, y1: double, x2: double, y2: double>>",
+    ).persist()
+    df.count()  # materialize once: repeated queries re-broadcast from the
+    # cached JVM relation instead of re-serializing 43k rows from Python
+    _INDEX_CACHE[key] = df
+    return df
+
+
+_INDEX_CACHE: dict = {}
+
+
+# even-odd crossing count as a Catalyst higher-order function — the exact
+# float expression of VectorPolygonsToRaster.java:400-445, identical to the
+# numpy kernel (geometry._crossings) and the DuckDB oracle SQL.
+_PARITY = (
+    "((aggregate(edges, 0, (acc, e) -> acc + (CASE WHEN ((e.y1 > lat) != (e.y2 > lat))"
+    " AND (lon < (e.x2 - e.x1) * (lat - e.y1) / (e.y2 - e.y1) + e.x1)"
+    " THEN 1 ELSE 0 END)) % 2) = 1)"
+)
+
+
 def pip_join(points: DataFrame, spark: SparkSession, *,
              keep: tuple[str, ...] = (), how: str = "inner") -> DataFrame:
-    """Exact point-in-polygon join: points(lon,lat,tile_id) x polygon layer.
+    """Exact point-in-polygon join: points(lon,lat) x polygon layer.
+
+    Physical shape (the 100 TB design): ONE broadcast equi-join on the res-9
+    cell id against the classified (interior/boundary) polygon index, then a
+    single codegen filter ``interior OR odd(crossings)`` where the crossing
+    count is a Catalyst array-aggregate over the broadcast edge list.  The
+    big side is touched once, never shuffled, and never crosses into Python
+    (the vectorized numpy ray-cast kernel remains in functions/geometry.py
+    as the oracle for tests).  Skewed hot cells cost nothing here: the build
+    side is replicated, so no key-based repartitioning of points occurs.
 
     Returns one row per (point, containing polygon).  ``how='left'`` keeps
     unmatched points with null poly_id (spatial left join); 'inner' default.
     """
-    idx = polygon_cell_index(spark)
-    cand = points.join(
-        F.broadcast(idx), points["tile_id"] == idx["cell_id"], "inner"
-    ).where(
-        (F.col("lon") >= F.col("xmin")) & (F.col("lon") <= F.col("xmax"))
-        & (F.col("lat") >= F.col("ymin")) & (F.col("lat") <= F.col("ymax"))
-    )
-    pip = make_pip_refine_udf()
-    hits = cand.where(pip(F.col("lon"), F.col("lat"), F.col("poly_id")))
-    out_cols = list(keep) + ["lon", "lat", "tile_id", "poly_id"]
-    hits = hits.select(*[F.col(c) for c in dict.fromkeys(out_cols)])
+    idx = classified_cell_index(spark)
+    cell9 = F.expr(exprs.cell_expr("lon", "lat", _REFINE_RES))
+    pts = points.withColumn("_c9", cell9)
+    cand = pts.join(F.broadcast(idx), pts["_c9"] == idx["cell_id"], "inner")
+    out_cols = [F.col(c) for c in dict.fromkeys(list(keep) + ["lon", "lat", "tile_id", "poly_id"])]
+    hits = cand.where(F.col("interior") | F.expr(_PARITY)).select(*out_cols)
     if how == "inner":
         return hits
     if how == "left":

@@ -16,6 +16,13 @@ def get_spark(app: str = "wgs-engine", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromConstraints pushes isnotnull() predicates below the
+        # geocode projections, re-inlining the whole derived-column expression
+        # tree into one Filter; the generated method then exceeds janino's
+        # 64KB limit and the ENTIRE stage silently runs interpreted (~15x
+        # slower, observed).  Our derived columns are never null by
+        # construction, so the inferred filters are pure downside.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
