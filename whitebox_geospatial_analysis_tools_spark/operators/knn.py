@@ -29,51 +29,84 @@ from ..functions.cells import explode_k_ring
 
 def knn_join(queries: DataFrame, points: DataFrame, k: int = 5, *,
              q_key: str = "q_id", p_key: str = "p_id",
-             radius: int = 1, max_rounds: int = 8,
+             radius: int = 1,
              cell_size: float = exprs.TILE_SIZE) -> DataFrame:
-    """k nearest points for each query row.
+    """k nearest points for each query row — exact, fixed THREE-pass plan.
 
     queries: (q_key, lon, lat, tile_x, tile_y); points: (p_key, lon, lat, tile_id).
     Returns (q_key, p_key, dist2, rnk) with rnk in 1..k.
+
+    Pass 1: ring-`radius` candidate join + window top-k gives each query a
+            CANDIDATE kth distance dk (an upper bound on the true one).
+            Queries with dk strictly inside the ring's guarantee are final.
+    Pass 2: the rest re-join with a PER-QUERY ring radius ceil(dk/s)+1 —
+            every point within dk is then captured, so top-k is exact.
+    Pass 3: queries with fewer than k ring candidates (deserted regions —
+            rare by construction at web scale) brute-force against the full
+            point layer; they are broadcast, so the big side still never
+            shuffles.
+
+    Adaptive-per-key candidate generation replaces the previous
+    escalation LOOP (each round cost a full lineage recompute + driver
+    action; job-launch overhead dominated wall time at sandbox scale and
+    would dominate stragglers at cluster scale).
     """
     pts = points.select(
         F.col(p_key), F.col("tile_id").alias("p_tile"),
         F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat"),
     )
-    remaining = queries.select(q_key, "lon", "lat", "tile_x", "tile_y")
-    results = None
-    r = radius
-    for _ in range(max_rounds):
-        cand = explode_k_ring(remaining, r).join(
-            pts, F.col("nbr_tile_id") == F.col("p_tile"), "inner"
+    q = queries.select(q_key, "lon", "lat", "tile_x", "tile_y")
+    d2 = (
+        (F.col("lon") - F.col("p_lon")) * (F.col("lon") - F.col("p_lon"))
+        + (F.col("lat") - F.col("p_lat")) * (F.col("lat") - F.col("p_lat"))
+    )
+    w = Window.partitionBy(q_key).orderBy("dist2", p_key)
+
+    def topk(cand: DataFrame) -> DataFrame:
+        return (
+            cand.where(F.col(q_key) != F.col(p_key))
+            .withColumn("dist2", d2)
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k)
         )
-        cand = cand.where(F.col(q_key) != F.col(p_key)).withColumn(
-            "dist2",
-            (F.col("lon") - F.col("p_lon")) * (F.col("lon") - F.col("p_lon"))
-            + (F.col("lat") - F.col("p_lat")) * (F.col("lat") - F.col("p_lat")),
+
+    t1 = topk(
+        explode_k_ring(q, radius).join(pts, F.col("nbr_tile_id") == F.col("p_tile"), "inner")
+    ).select(q_key, p_key, "dist2", "rnk").persist()
+    bound = float(radius * cell_size) ** 2
+    stats = t1.groupBy(q_key).agg(
+        F.max("dist2").alias("kth_d2"), F.count(F.lit(1)).alias("n_found")
+    )
+    # strict < : a point at distance exactly R*s could sit just outside the ring
+    solved_keys = stats.where((F.col("n_found") >= k) & (F.col("kth_d2") < bound))
+    solved = t1.join(F.broadcast(solved_keys.select(q_key)), q_key, "left_semi")
+
+    # pass 2: under-bound queries re-ring with radius ceil(sqrt(kth_d2))/s + 1
+    widen = stats.where((F.col("n_found") >= k) & (F.col("kth_d2") >= bound)).select(
+        q_key, (F.ceil(F.sqrt("kth_d2") / F.lit(cell_size)) + 1).cast("int").alias("_r")
+    )
+    q_widen = q.join(F.broadcast(widen), q_key, "inner")
+    cand2 = (
+        q_widen.withColumn("_dy", F.explode(F.sequence(-F.col("_r"), F.col("_r"))))
+        .withColumn("_dx", F.explode(F.sequence(-F.col("_r"), F.col("_r"))))
+        .withColumn("_nx", F.col("tile_x") + F.col("_dx"))
+        .withColumn("_ny", F.col("tile_y") + F.col("_dy"))
+        .where(
+            (F.col("_nx") >= 0) & (F.col("_nx") < exprs.TILE_COLS)
+            & (F.col("_ny") >= 0) & (F.col("_ny") < exprs.TILE_ROWS)
         )
-        w = Window.partitionBy(q_key).orderBy("dist2", p_key)
-        topk = cand.withColumn(
-            "rnk", F.row_number().over(w).cast("long")  # match ANSI ROW_NUMBER type
-        ).where(F.col("rnk") <= k)
-        # soundness: kth distance must be covered by the ring
-        bound = float(r * cell_size) ** 2
-        agg = topk.groupBy(q_key).agg(
-            F.max("dist2").alias("kth_d2"), F.count(F.lit(1)).alias("n_found")
-        )
-        # strict < : a point at distance exactly R*s could sit just outside the ring
-        ok_keys = agg.where((F.col("n_found") >= k) & (F.col("kth_d2") < bound)).select(q_key)
-        solved = topk.join(F.broadcast(ok_keys), q_key, "left_semi").select(
-            q_key, p_key, "dist2", "rnk"
-        )
-        results = solved if results is None else results.unionByName(solved)
-        remaining = remaining.join(ok_keys, q_key, "left_anti")
-        if not remaining.take(1):
-            break
-        r *= 2
-    else:
-        raise RuntimeError("knn_join did not converge; raise max_rounds")
-    return results
+        .withColumn("nbr_tile_id", F.col("_ny") * exprs.TILE_COLS + F.col("_nx"))
+        .join(pts, F.col("nbr_tile_id") == F.col("p_tile"), "inner")
+    )
+    widened = topk(cand2).select(q_key, p_key, "dist2", "rnk")
+
+    # pass 3: deserted-region queries brute-force — anti-join so that queries
+    # with ZERO ring candidates (absent from stats entirely) are included
+    starved = q.join(stats.where(F.col("n_found") >= k).select(q_key),
+                     q_key, "left_anti")
+    brute = topk(starved.crossJoin(pts)).select(q_key, p_key, "dist2", "rnk")
+
+    return solved.unionByName(widened).unionByName(brute)
 
 
 def nn_distances(points: DataFrame, key: str = "doc_id", modulus: int = 173) -> DataFrame:
