@@ -1,0 +1,304 @@
+"""Distributed raster engine: tile tables + Catalyst array kernels.
+
+Reference data model (SURVEY.md §1.1): a WhiteBox raster is a dense
+row-major grid with an explicit noDataValue (default -32768, WhiteboxAPI/
+src/whitebox/geospatialfiles/WhiteboxRasterBase.java:849-852), processed
+row-at-a-time through a block cache (WhiteboxRaster.java:483-553).
+
+Spark mapping: an Iceberg/Parquet-shaped TILE table
+  (raster_id, band, tile_row, tile_col, row0, col0, h, w,
+   values array<double>, nodata)
+— one row per tile, cells row-major inside ``values``.  Whole-raster ops are
+array expressions (``transform`` / ``zip_with`` / ``aggregate``) in
+whole-stage codegen; per-tile partials make global stats a ~#tiles-row
+aggregation; focal kernels run as numpy stencils over halo-padded tiles
+assembled by an 8-neighbor tile-key join (the distributed analogue of the
+reference's sliding block cache + edge handling, WhiteboxRaster.java:536-553).
+
+At 100 TB the tile table is partitioned by (tile_row bucket); every op here
+is either a narrow map over tiles or an equi-join on tile keys — no
+all-to-all shuffles, no Python except the stencil kernels (Arrow-batched).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exprs import A, C, D, M
+
+NODATA = -32768.0
+TILE = 64
+
+# deterministic synthetic DEM-ish band: plane + LCG noise + nodata holes.
+# All cell values are DYADIC (multiples of 2^-10, < 2^8): every sum of any
+# subset is exact in IEEE double REGARDLESS of summation order, so engine
+# and DuckDB oracle agree bit-for-bit on sums/means/moments with no
+# rounding policy needed (shared fragment; see queries_raster.py).
+def cell_value_sql(row: str, col: str, band: int, cols: int) -> str:
+    key = f"(({row}) * {cols} + ({col}) + {band * 1_000_003})"
+    u = f"((({key}) * {A} + {C}) % {M})"
+    return (
+        f"(CASE WHEN {u} % 97 = 0 THEN {D(NODATA)} "
+        f"ELSE 0.25e0 * ({row}) + 0.125e0 * ({col}) + ({u} % 100000) / 1024e0 END)"
+    )
+
+
+def synth_raster(spark: SparkSession, rows: int, cols: int, band: int = 0,
+                 tile: int = TILE, raster_id: str = "dem") -> DataFrame:
+    """Tile table for the deterministic synthetic raster — pure Catalyst.
+
+    Values are built per tile with ``transform(sequence(...))``; generation
+    is a narrow map over ``spark.range(n_tiles)`` (CreatePlane /
+    NewRasterFromBase semantics, RasterCreation/src/plugins/CreatePlane.java).
+    """
+    tr = (rows + tile - 1) // tile
+    tc = (cols + tile - 1) // tile
+    df = spark.range(tr * tc).select(
+        (F.col("id") % tc).alias("tile_col"),
+        (F.col("id") / tc).cast("long").alias("tile_row"),
+    )
+    df = (
+        df.withColumn("row0", F.col("tile_row") * tile)
+        .withColumn("col0", F.col("tile_col") * tile)
+        .withColumn("h", F.least(F.lit(tile), F.lit(rows) - F.col("row0")).cast("int"))
+        .withColumn("w", F.least(F.lit(tile), F.lit(cols) - F.col("col0")).cast("int"))
+    )
+    val = cell_value_sql(
+        "(row0 + CAST(floor(i / w) AS BIGINT))", "(col0 + i % w)", band, cols
+    )
+    return df.select(
+        F.lit(raster_id).alias("raster_id"),
+        F.lit(band).alias("band"),
+        "tile_row", "tile_col", "row0", "col0", "h", "w",
+        F.expr(f"transform(sequence(0, h * w - 1), i -> {val})").alias("values"),
+        F.lit(NODATA).alias("nodata"),
+    )
+
+
+def explode_cells(tiles: DataFrame, value_col: str = "value") -> DataFrame:
+    """(row, col, value) relational view of a tile table (RasterToVectorPoints
+    shape, ConversionTools/src/plugins/RasterToVectorPoints.java)."""
+    return tiles.select(
+        "row0", "col0", "w", F.posexplode("values").alias("i", value_col)
+    ).select(
+        (F.col("row0") + (F.col("i") / F.col("w")).cast("long")).alias("row"),
+        (F.col("col0") + F.col("i") % F.col("w")).alias("col"),
+        value_col,
+    )
+
+
+def map_algebra(tiles: DataFrame, expr: str) -> DataFrame:
+    """Unary raster algebra: `expr` over cell variable ``v`` with nodata
+    passthrough — the whole MathTools family (SURVEY.md §2.8) and
+    RasterCalculator composition collapse into ONE transform() lambda."""
+    return tiles.withColumn(
+        "values",
+        F.expr(
+            f"transform(values, v -> CASE WHEN v = {D(NODATA)} THEN {D(NODATA)} "
+            f"ELSE ({expr}) END)"
+        ),
+    )
+
+
+def zip_algebra(a: DataFrame, b: DataFrame, expr: str) -> DataFrame:
+    """Binary raster algebra on two aligned tile tables (positional
+    raster-raster join, e.g. MathTools/src/plugins/Add.java:307): equi-join
+    on tile keys + zip_with.  `expr` sees cell variables ``x`` and ``y``."""
+    bb = b.select(
+        F.col("tile_row").alias("_tr"), F.col("tile_col").alias("_tc"),
+        F.col("values").alias("_bvalues"),
+    )
+    joined = a.join(
+        bb, (a["tile_row"] == bb["_tr"]) & (a["tile_col"] == bb["_tc"]), "inner"
+    )
+    return joined.withColumn(
+        "values",
+        F.expr(
+            f"zip_with(values, _bvalues, (x, y) -> "
+            f"CASE WHEN x = {D(NODATA)} OR y = {D(NODATA)} THEN {D(NODATA)} "
+            f"ELSE ({expr}) END)"
+        ),
+    ).drop("_tr", "_tc", "_bvalues")
+
+
+def raster_stats(tiles: DataFrame) -> DataFrame:
+    """Whole-raster scalar aggregates (ImageAverage/ImageTotal/
+    ImageStandardDeviation/NumberOfGridCells, StatsTools) via per-tile
+    array partials -> one narrow row per tile -> global combine.  The .wstat
+    sidecar analogue (WhiteboxRasterBase.java:115-126)."""
+    nd = D(NODATA)
+    per_tile = tiles.select(
+        F.expr(f"aggregate(values, 0L, (a, v) -> a + IF(v = {nd}, 0L, 1L))").alias("n"),
+        F.expr(f"aggregate(values, 0e0, (a, v) -> a + IF(v = {nd}, 0e0, v))").alias("s"),
+        F.expr(f"aggregate(values, 0e0, (a, v) -> a + IF(v = {nd}, 0e0, v * v))").alias("s2"),
+        F.expr(f"array_min(filter(values, v -> v != {nd}))").alias("mn"),
+        F.expr(f"array_max(filter(values, v -> v != {nd}))").alias("mx"),
+    )
+    g = per_tile.agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("s2").alias("s2"),
+        F.min("mn").alias("min_val"), F.max("mx").alias("max_val"),
+    )
+    return g.select(
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).cast("double").alias("mean_val"),
+        "min_val", "max_val",
+        F.round(
+            F.sqrt((F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)), 6
+        ).cast("double").alias("stddev_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# focal (neighborhood) kernels: halo exchange + numpy stencil
+# ---------------------------------------------------------------------------
+_OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _halo_contributions(tiles: DataFrame) -> DataFrame:
+    """Each tile contributes itself to its own group and its 8 neighbors'
+    groups — the Spark analogue of the reference's block cache reading
+    across block borders (WhiteboxRaster.java:483-553)."""
+    offs = F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc")) for dr, dc in _OFFS
+    ])
+    return (
+        tiles.withColumn("_o", F.explode(offs))
+        .withColumn("dst_row", F.col("tile_row") + F.col("_o.dr"))
+        .withColumn("dst_col", F.col("tile_col") + F.col("_o.dc"))
+        .drop("_o")
+    )
+
+
+def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
+    """3x3 focal statistics over the raster grid.
+
+    stat in {'mean','min','max','range','stddev','total'} — the Filter*
+    family (ImageProcessingTools/src/plugins/FilterMean.java:164-235 etc.);
+    'slope' and 'hillshade' — the 3x3 finite-difference terrain derivatives
+    (TerrainAnalysisTools/src/plugins/Slope.java:256-258, Hillshade.java).
+
+    Nodata cells stay nodata; neighborhood stats use the AVAILABLE non-nodata
+    neighbors (edge cells use their smaller window), matching the reference's
+    per-tool `z != noData` guards.  Terrain derivatives need the full 3x3
+    (else nodata).  Output cells round to 6 decimals: the float policy for
+    engine-vs-oracle summation-order differences.
+    """
+    schema = "tile_row long, tile_col long, row0 long, col0 long, h int, w int, values array<double>"
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        trow, tcol = int(key[0]), int(key[1])
+        center = pdf[(pdf.tile_row == trow) & (pdf.tile_col == tcol)]
+        if center.empty:  # halo spill-over past the grid edge: no output tile
+            return pd.DataFrame(
+                {
+                    "tile_row": pd.Series([], dtype="int64"),
+                    "tile_col": pd.Series([], dtype="int64"),
+                    "row0": pd.Series([], dtype="int64"),
+                    "col0": pd.Series([], dtype="int64"),
+                    "h": pd.Series([], dtype="int32"),
+                    "w": pd.Series([], dtype="int32"),
+                    "values": pd.Series([], dtype=object),
+                }
+            )
+        c = center.iloc[0]
+        h, w = int(c.h), int(c.w)
+        pad = np.full((h + 2, w + 2), np.nan)
+        for r in pdf.itertuples():
+            vals = np.asarray(r.values, dtype=np.float64).reshape(int(r.h), int(r.w))
+            vals = np.where(vals == NODATA, np.nan, vals)
+            dr, dc = int(r.tile_row) - trow, int(r.tile_col) - tcol
+            if dr == 0 and dc == 0:
+                pad[1:h + 1, 1:w + 1] = vals
+            elif dr == -1 and dc == 0:
+                pad[0, 1:w + 1] = vals[-1, :w]
+            elif dr == 1 and dc == 0:
+                pad[h + 1, 1:w + 1] = vals[0, :w]
+            elif dr == 0 and dc == -1:
+                pad[1:h + 1, 0] = vals[:h, -1]
+            elif dr == 0 and dc == 1:
+                pad[1:h + 1, w + 1] = vals[:h, 0]
+            elif dr == -1 and dc == -1:
+                pad[0, 0] = vals[-1, -1]
+            elif dr == -1 and dc == 1:
+                pad[0, w + 1] = vals[-1, 0]
+            elif dr == 1 and dc == -1:
+                pad[h + 1, 0] = vals[0, -1]
+            elif dr == 1 and dc == 1:
+                pad[h + 1, w + 1] = vals[0, 0]
+        stack = np.stack([
+            pad[1 + dr:1 + dr + h, 1 + dc:1 + dc + w] for dr, dc in _OFFS
+        ])  # (9, h, w)
+        centerv = pad[1:h + 1, 1:w + 1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if stat in ("mean", "total", "min", "max", "range", "stddev"):
+                if stat == "mean":
+                    out = np.nanmean(stack, axis=0)
+                elif stat == "total":
+                    out = np.nansum(np.where(np.isnan(stack), 0.0, stack), axis=0)
+                    out = np.where(np.isnan(stack).all(axis=0), np.nan, out)
+                elif stat == "min":
+                    out = np.nanmin(stack, axis=0)
+                elif stat == "max":
+                    out = np.nanmax(stack, axis=0)
+                elif stat == "range":
+                    out = np.nanmax(stack, axis=0) - np.nanmin(stack, axis=0)
+                else:
+                    # explicit moment formula (not np.nanstd): with dyadic
+                    # cell values the sums are exact, so this matches the
+                    # oracle's SQL formula bit-for-bit
+                    cnt = (~np.isnan(stack)).sum(axis=0).astype(np.float64)
+                    s = np.nansum(np.where(np.isnan(stack), 0.0, stack), axis=0)
+                    s2 = np.nansum(np.where(np.isnan(stack), 0.0, stack * stack), axis=0)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        out = np.sqrt((s2 - s * s / cnt) / (cnt - 1.0))
+                    out = np.where(cnt < 2, np.nan, out)
+            else:
+                # Slope.java:256-258 finite differences (8 neighbors, full window)
+                nw, nn, ne, wv, _, ev, sw, ss, se = stack
+                fx = (ne - nw + 2.0 * (ev - wv) + se - sw) / (8.0 * cell_size)
+                fy = (sw - nw + 2.0 * (ss - nn) + se - ne) / (8.0 * cell_size)
+                if stat == "slope":
+                    out = np.degrees(np.arctan(np.sqrt(fx * fx + fy * fy)))
+                elif stat == "hillshade":
+                    az, alt = np.radians(315.0), np.radians(30.0)
+                    slope_r = np.arctan(np.sqrt(fx * fx + fy * fy))
+                    aspect_r = np.arctan2(-fx, fy)
+                    out = (np.sin(alt) * np.cos(slope_r)
+                           + np.cos(alt) * np.sin(slope_r) * np.cos(az - aspect_r))
+                else:
+                    raise ValueError(stat)
+                # transcendental outputs round to 6 decimals (libm ulp policy);
+                # moment/order stats above are exact on dyadic inputs - no rounding
+                out = np.round(out, 6)
+                out = np.where(np.isnan(stack).any(axis=0), np.nan, out)
+        out = np.where(np.isnan(centerv), np.nan, out)
+        out = np.where(np.isnan(out), NODATA, out)
+        return pd.DataFrame(
+            {
+                "tile_row": [trow], "tile_col": [tcol],
+                "row0": [int(c.row0)], "col0": [int(c.col0)],
+                "h": [h], "w": [w], "values": [out.ravel().tolist()],
+            }
+        )
+
+    contrib = _halo_contributions(tiles)
+    return contrib.groupBy("dst_row", "dst_col").applyInPandas(kernel, schema)
+
+
+def downsample(tiles: DataFrame, k: int) -> DataFrame:
+    """Aggregate (RasterCreation/src/plugins/Aggregate.java:220-240): mean
+    over k x k blocks -> coarser grid, as a cell-level groupBy (blocks never
+    span partitions after the tile shuffle; Catalyst partial-aggregates)."""
+    cells = explode_cells(tiles)
+    return (
+        cells.where(F.col("value") != NODATA)
+        .groupBy(
+            (F.col("row") / k).cast("long").alias("brow"),
+            (F.col("col") / k).cast("long").alias("bcol"),
+        )
+        .agg(F.round(F.avg("value"), 6).cast("double").alias("mean_val"),
+             F.count(F.lit(1)).alias("n"))
+    )

@@ -1,1 +1,273 @@
-"""Placeholder — filled in below."""
+"""Raster query registry entries + DuckDB oracles.
+
+The synthetic raster is deterministic and DYADIC-valued (operators/raster.py
+cell_value_sql), so sums/means/moments are exact in both engines and results
+compare bit-for-bit; only transcendental outputs (slope/hillshade) round to
+6 decimals.  Oracles compute over the exploded (row, col, value) relational
+view built from the same shared formula via DuckDB ``range()``.
+
+Raster ops covered (SURVEY.md §2):
+  stats/histogram        — ImageAverage/Total/StdDev, Histogram (§2.4)
+  map/zip algebra        — MathTools family + RasterCalculator fusion (§2.8)
+  focal mean/min/max/
+  range/stddev/total     — Filter* sliding windows (§2.5)
+  slope / hillshade      — 3x3 terrain derivatives (§2.5)
+  downsample             — Aggregate (§2.4)
+  reclass                — Reclass (§2.2)
+  minmax contrast        — ContrastStretch family (§2.13)
+  two-band index         — NDVI-shape band arithmetic (§2.13)
+  raster -> points       — RasterToVectorPoints (§2.10)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import queries as Q
+from .operators import raster as R
+from .operators.raster import NODATA, cell_value_sql
+
+ROWS, COLS = 240, 360
+_ND = R.NODATA
+
+_VAL = cell_value_sql("r.r", "c.c", 0, COLS)
+_VAL1 = cell_value_sql("r.r", "c.c", 1, COLS)
+
+_RAS = (
+    f"ras AS (SELECT r.r AS row, c.c AS col, {_VAL} AS value "
+    f"FROM range(0, {ROWS}) r(r), range(0, {COLS}) c(c))"
+)
+_RAS2 = (
+    f"ras2 AS (SELECT r.r AS row, c.c AS col, {_VAL1} AS value "
+    f"FROM range(0, {ROWS}) r(r), range(0, {COLS}) c(c))"
+)
+_NDF = f"value != {R.NODATA!r}e0"
+
+
+def _dem(spark, band: int = 0):
+    return R.synth_raster(spark, ROWS, COLS, band=band)
+
+
+# -- whole-raster stats (§2.4) ------------------------------------------------
+@Q.register(
+    "raster_stats",
+    f"WITH {_RAS} SELECT COUNT(*) AS n, "
+    "CAST(ROUND(SUM(value) / COUNT(*), 6) AS DOUBLE) AS mean_val, "
+    "MIN(value) AS min_val, MAX(value) AS max_val, "
+    "CAST(ROUND(SQRT((SUM(value * value) - SUM(value) * SUM(value) / COUNT(*)) "
+    "/ (COUNT(*) - 1)), 6) AS DOUBLE) AS stddev_val "
+    f"FROM ras WHERE {_NDF}",
+)
+def q_raster_stats(spark, sf):
+    return R.raster_stats(_dem(spark))
+
+
+@Q.register(
+    "raster_histogram",
+    f"WITH {_RAS} SELECT CAST(FLOOR(value / 20e0) AS BIGINT) AS bin, COUNT(*) AS n "
+    f"FROM ras WHERE {_NDF} GROUP BY 1 ORDER BY 1",
+)
+def q_raster_histogram(spark, sf):
+    cells = R.explode_cells(_dem(spark))
+    return (
+        cells.where(F.col("value") != _ND)
+        .groupBy(F.expr("CAST(FLOOR(value / 20e0) AS BIGINT)").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+# -- raster algebra (§2.8): fused unary expression ---------------------------
+@Q.register(
+    "raster_algebra",
+    f"WITH {_RAS} SELECT row, col, "
+    f"CASE WHEN value = {R.NODATA!r}e0 THEN {R.NODATA!r}e0 "
+    "ELSE value * 2e0 + 100e0 END AS value "
+    "FROM ras ORDER BY row, col",
+)
+def q_raster_algebra(spark, sf):
+    out = R.map_algebra(_dem(spark), "v * 2e0 + 100e0")
+    return R.explode_cells(out).orderBy("row", "col")
+
+
+@Q.register(
+    "raster_zip_add",
+    f"WITH {_RAS}, {_RAS2} SELECT a.row, a.col, "
+    f"CASE WHEN a.value = {R.NODATA!r}e0 OR b.value = {R.NODATA!r}e0 "
+    f"THEN {R.NODATA!r}e0 ELSE a.value + b.value END AS value "
+    "FROM ras a JOIN ras2 b USING (row, col) ORDER BY a.row, a.col",
+)
+def q_raster_zip_add(spark, sf):
+    out = R.zip_algebra(_dem(spark, 0), _dem(spark, 1), "x + y")
+    return R.explode_cells(out).orderBy("row", "col")
+
+
+# -- focal windows (§2.5) -----------------------------------------------------
+_NBR = (
+    "nbr AS (SELECT a.row AS row, a.col AS col, a.value AS av, b.value AS bv "
+    "FROM ras a JOIN ras b ON b.row BETWEEN a.row - 1 AND a.row + 1 "
+    "AND b.col BETWEEN a.col - 1 AND a.col + 1 "
+    f"WHERE a.value != {R.NODATA!r}e0)"
+)
+
+
+@Q.register(
+    "focal_mean",
+    f"WITH {_RAS}, {_NBR} SELECT row, col, "
+    f"SUM(CASE WHEN bv = {R.NODATA!r}e0 THEN 0e0 ELSE bv END) "
+    f"/ COUNT(*) FILTER (bv != {R.NODATA!r}e0) AS value "
+    f"FROM nbr GROUP BY 1, 2 HAVING COUNT(*) FILTER (bv != {R.NODATA!r}e0) > 0 "
+    "ORDER BY row, col",
+)
+def q_focal_mean(spark, sf):
+    out = R.focal(_dem(spark), "mean")
+    return (
+        R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
+    )
+
+
+@Q.register(
+    "focal_stats",
+    f"WITH {_RAS}, {_NBR}, live AS (SELECT row, col, bv FROM nbr WHERE bv != {R.NODATA!r}e0) "
+    "SELECT row, col, MIN(bv) AS min_v, MAX(bv) AS max_v, "
+    "MAX(bv) - MIN(bv) AS range_v, SUM(bv) AS total_v, "
+    "CASE WHEN COUNT(*) < 2 THEN NULL ELSE "
+    "SQRT((SUM(bv * bv) - SUM(bv) * SUM(bv) / COUNT(*)) / (COUNT(*) - 1)) END AS std_v "
+    "FROM live GROUP BY 1, 2 ORDER BY row, col",
+)
+def q_focal_stats(spark, sf):
+    dem = _dem(spark)
+    parts = {s: R.explode_cells(R.focal(dem, s), f"{s}_v") for s in
+             ("min", "max", "range", "total", "stddev")}
+    out = parts["min"]
+    for s in ("max", "range", "total"):
+        out = out.join(parts[s], ["row", "col"])
+    std = parts["stddev"].withColumnRenamed("stddev_v", "std_v")
+    out = out.join(std, ["row", "col"])
+    out = out.where(F.col("min_v") != _ND).withColumn(
+        "std_v", F.when(F.col("std_v") == _ND, None).otherwise(F.col("std_v"))
+    )
+    return out.orderBy("row", "col")
+
+
+_SLOPE_SQL = (
+    "DEGREES(ATAN(SQRT("
+    "POW((ne + 2e0 * ev + se - nw - 2e0 * wv - sw) / 8e0, 2) + "
+    "POW((sw + 2e0 * ss + se - nw - 2e0 * nn - ne) / 8e0, 2))))"
+)
+_W9 = (
+    "w9 AS (SELECT a.row AS row, a.col AS col, a.value AS cv, "
+    "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col - 1 THEN b.value END) AS nw, "
+    "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col     THEN b.value END) AS nn, "
+    "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col + 1 THEN b.value END) AS ne, "
+    "MAX(CASE WHEN b.row = a.row     AND b.col = a.col - 1 THEN b.value END) AS wv, "
+    "MAX(CASE WHEN b.row = a.row     AND b.col = a.col + 1 THEN b.value END) AS ev, "
+    "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col - 1 THEN b.value END) AS sw, "
+    "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col     THEN b.value END) AS ss, "
+    "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col + 1 THEN b.value END) AS se "
+    "FROM ras a JOIN ras b ON b.row BETWEEN a.row - 1 AND a.row + 1 "
+    "AND b.col BETWEEN a.col - 1 AND a.col + 1 "
+    "GROUP BY 1, 2, 3)"
+)
+
+
+@Q.register(
+    "slope",
+    f"WITH {_RAS}, {_W9} SELECT row, col, "
+    f"CAST(ROUND({_SLOPE_SQL}, 6) AS DOUBLE) AS value FROM w9 "
+    f"WHERE cv != {R.NODATA!r}e0 AND {R.NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
+    "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
+    "AND ev IS NOT NULL AND sw IS NOT NULL AND ss IS NOT NULL AND se IS NOT NULL "
+    "ORDER BY row, col",
+)
+def q_slope(spark, sf):
+    out = R.focal(_dem(spark), "slope")
+    return (
+        R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
+    )
+
+
+# -- downsample (§2.4 Aggregate) ---------------------------------------------
+@Q.register(
+    "raster_downsample",
+    f"WITH {_RAS} SELECT CAST(FLOOR(row / 4e0) AS BIGINT) AS brow, "
+    "CAST(FLOOR(col / 4e0) AS BIGINT) AS bcol, "
+    "CAST(ROUND(AVG(value), 6) AS DOUBLE) AS mean_val, COUNT(*) AS n "
+    f"FROM ras WHERE {_NDF} GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_raster_downsample(spark, sf):
+    return R.downsample(_dem(spark), 4).orderBy("brow", "bcol")
+
+
+# -- reclass (§2.2) -----------------------------------------------------------
+@Q.register(
+    "raster_reclass",
+    f"WITH {_RAS} SELECT CASE WHEN value < 50e0 THEN 1 WHEN value < 100e0 THEN 2 "
+    "WHEN value < 150e0 THEN 3 ELSE 4 END AS cls, COUNT(*) AS n "
+    f"FROM ras WHERE {_NDF} GROUP BY 1 ORDER BY 1",
+)
+def q_raster_reclass(spark, sf):
+    out = R.map_algebra(
+        _dem(spark),
+        "CASE WHEN v < 50e0 THEN 1e0 WHEN v < 100e0 THEN 2e0 "
+        "WHEN v < 150e0 THEN 3e0 ELSE 4e0 END",
+    )
+    return (
+        R.explode_cells(out).where(F.col("value") != _ND)
+        .groupBy(F.col("value").cast("int").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n")).orderBy("cls")
+    )
+
+
+# -- min-max contrast stretch (§2.13) ----------------------------------------
+@Q.register(
+    "contrast_stretch",
+    f"WITH {_RAS}, mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ras WHERE {_NDF}) "
+    "SELECT row, col, (value - lo) / (hi - lo) * 255e0 AS value "
+    f"FROM ras, mm WHERE {_NDF} ORDER BY row, col",
+)
+def q_contrast_stretch(spark, sf):
+    dem = _dem(spark)
+    cells = R.explode_cells(dem).where(F.col("value") != _ND)
+    mm = cells.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    return (
+        cells.crossJoin(F.broadcast(mm))
+        .select(
+            "row", "col",
+            ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255e0).alias("value"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+# -- two-band normalized difference (§2.13 NDVI shape) ------------------------
+@Q.register(
+    "band_index",
+    f"WITH {_RAS}, {_RAS2} SELECT a.row, a.col, "
+    "(a.value - b.value) / (a.value + b.value) AS value "
+    "FROM ras a JOIN ras2 b USING (row, col) "
+    f"WHERE a.value != {R.NODATA!r}e0 AND b.value != {R.NODATA!r}e0 "
+    "AND a.value + b.value != 0e0 ORDER BY a.row, a.col",
+)
+def q_band_index(spark, sf):
+    out = R.zip_algebra(
+        _dem(spark, 0), _dem(spark, 1),
+        f"CASE WHEN x + y = 0e0 THEN {R.NODATA!r}e0 ELSE (x - y) / (x + y) END",
+    )
+    return (
+        R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
+    )
+
+
+# -- raster -> vector points (§2.10) ------------------------------------------
+@Q.register(
+    "raster_to_points",
+    f"WITH {_RAS} SELECT row, col, value FROM ras WHERE {_NDF} AND value > 150e0 "
+    "ORDER BY row, col",
+)
+def q_raster_to_points(spark, sf):
+    cells = R.explode_cells(_dem(spark))
+    return (
+        cells.where((F.col("value") != _ND) & (F.col("value") > 150e0))
+        .orderBy("row", "col")
+    )
