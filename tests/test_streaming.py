@@ -1,0 +1,31 @@
+"""Streaming ingestion == batch results on the same input (exactly-once)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whitebox_geospatial_analysis_tools_spark.sources.pages import synth_pages
+from whitebox_geospatial_analysis_tools_spark.streaming import ingest
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    # several source files so the stream takes multiple micro-batches
+    synth_pages(spark, 5000).repartition(5).write.parquet(src)
+
+    stream = ingest.windowed_tile_counts(
+        ingest.geocode_stream(ingest.read_pages_stream(spark, src, max_files_per_trigger=2))
+    )
+    assert stream.isStreaming
+    ingest.run_available_now(stream, ckpt, "tile_counts_stream")
+    got = spark.table("tile_counts_stream")
+
+    batch = (
+        ingest.geocode_stream(spark.read.parquet(src))
+        .groupBy(F.window("warc_ts", "1 hour").alias("win"), F.col("tile_id"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("win.start").alias("win_start"), "tile_id", "n_pages")
+    )
+    g = {(r.win_start, r.tile_id): r.n_pages for r in got.collect()}
+    b = {(r.win_start, r.tile_id): r.n_pages for r in batch.collect()}
+    assert g == b and sum(g.values()) == 5000

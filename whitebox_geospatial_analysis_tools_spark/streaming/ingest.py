@@ -1,0 +1,67 @@
+"""Structured Streaming ingestion of the pages table.
+
+The reference is a batch desktop tool (SURVEY.md §2.15 — no streaming
+operators exist), so this surface is defined by the north star instead:
+pages arrive continuously, are geocoded and cell-assigned with the SAME
+Catalyst column expressions as the batch path (streaming-safe: narrow maps),
+and feed watermarked windowed aggregations keyed by tile/cell.
+
+At production scale the source is `readStream.format("iceberg")` (or Kafka)
+and the sink `writeStream.toTable(...)` with checkpointing; here the tested
+path uses a parquet directory source with Trigger.AvailableNow — identical
+plan, bounded run, exactly-once per checkpoint dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def read_pages_stream(spark: SparkSession, src_dir: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream of pages rows (the Iceberg/Kafka stand-in)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def geocode_stream(pages: DataFrame) -> DataFrame:
+    """Streaming geocode + tile/cell assignment — identical expressions to
+    the batch path (functions/cells.py), so batch and stream results match
+    row-for-row on the same input."""
+    return cells.with_cells(cells.with_tile(cells.with_url_geocode(pages)))
+
+
+def windowed_tile_counts(points: DataFrame, *, window: str = "1 hour",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Per-(event-time window, tile) page counts with late-data handling."""
+    return (
+        points.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("tile_id"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("win.start").alias("win_start"), "tile_id", "n_pages")
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
+                      sink_table: str) -> None:
+    """Drain everything currently in the source into an in-memory sink table
+    (complete mode), then stop — the bounded test/verification path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
