@@ -1,0 +1,217 @@
+"""Vector-layer + spatial-statistics query registry entries.
+
+Covers (SURVEY.md §2): Area/Perimeter/Centroid/Compactness per feature
+(§2.4 patch metrics), Dissolve-by-attribute (§2.7), within-distance spatial
+predicate (§2.2/2.3), Moran's I spatial autocorrelation
+(ImageAutocorrelation, §2.4), k-means assignment step
+(kMeansClassification, §2.13), attribute correlation matrix
+(CorrelationForAttributes, §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import queries as Q
+from .operators import raster as R
+from .operators import vector as V
+from .operators.raster import cell_value_sql
+from .sources.polygons import bbox_sql_values, vertices_sql_values
+
+_PTS = f"WITH {Q.pts_cte()}"
+
+# vertex table with the closing edge: LEAD wraps via COALESCE to vertex 0
+_VTX = (
+    f"vtx AS (SELECT * FROM {vertices_sql_values()} t(poly_id, ring, vi, nv, x, y)), "
+    "seg AS (SELECT poly_id, ring, vi, x, y, "
+    "COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS x2, "
+    "COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS y2 "
+    "FROM vtx WINDOW w AS (PARTITION BY poly_id, ring ORDER BY vi "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"
+)
+
+_RING_AGG = (
+    "rings AS (SELECT poly_id, ring, SUM(x * y2 - x2 * y) / 2e0 AS signed_area, "
+    "SUM(SQRT((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))) AS perim, "
+    "SUM((x + x2) * (x * y2 - x2 * y)) AS cxs, "
+    "SUM((y + y2) * (x * y2 - x2 * y)) AS cys "
+    "FROM seg GROUP BY 1, 2)"
+)
+
+
+@Q.register(
+    "feature_metrics",
+    f"WITH {_VTX}, {_RING_AGG}, "
+    "per AS (SELECT poly_id, "
+    "SUM(CASE WHEN ring = 0 THEN ABS(signed_area) ELSE -ABS(signed_area) END) AS area, "
+    "SUM(perim) AS perimeter, "
+    "MAX(CASE WHEN ring = 0 THEN cxs / (6e0 * signed_area) END) AS cx, "
+    "MAX(CASE WHEN ring = 0 THEN cys / (6e0 * signed_area) END) AS cy "
+    "FROM rings GROUP BY 1) "
+    "SELECT p.poly_id, b.category, CAST(ROUND(area, 6) AS DOUBLE) AS area, "
+    "CAST(ROUND(perimeter, 6) AS DOUBLE) AS perimeter, "
+    "CAST(ROUND(cx, 6) AS DOUBLE) AS cx, CAST(ROUND(cy, 6) AS DOUBLE) AS cy, "
+    "CAST(ROUND(perimeter * perimeter / (4e0 * 3.141592653589793e0 * area), 6) AS DOUBLE) AS compactness "
+    f"FROM per p JOIN {bbox_sql_values()} "
+    "b(poly_id, category, xmin, ymin, xmax, ymax) USING (poly_id) ORDER BY p.poly_id",
+)
+def q_feature_metrics(spark, sf):
+    return V.feature_metrics(spark).orderBy("poly_id")
+
+
+@Q.register(
+    "dissolve_stats",
+    f"WITH {_VTX}, {_RING_AGG}, "
+    "per AS (SELECT poly_id, "
+    "SUM(CASE WHEN ring = 0 THEN ABS(signed_area) ELSE -ABS(signed_area) END) AS area, "
+    "SUM(perim) AS perimeter FROM rings GROUP BY 1) "
+    "SELECT b.category, COUNT(*) AS n_features, "
+    "CAST(ROUND(SUM(ROUND(area, 6)), 6) AS DOUBLE) AS total_area, "
+    "CAST(ROUND(SUM(ROUND(perimeter, 6)), 6) AS DOUBLE) AS total_perimeter "
+    f"FROM per p JOIN {bbox_sql_values()} "
+    "b(poly_id, category, xmin, ymin, xmax, ymax) USING (poly_id) "
+    "GROUP BY 1 ORDER BY 1",
+)
+def q_dissolve_stats(spark, sf):
+    return V.dissolve_stats(spark)
+
+
+@Q.register(
+    "within_distance",
+    f"{_PTS}, {Q.edges_cte()} "
+    f"SELECT doc_id, CAST(ROUND(SQRT(MIN({V.SEG_D2_SQL.replace('lon', 'p.lon').replace('lat', 'p.lat')})), 6) AS DOUBLE) AS boundary_dist "
+    "FROM pts p CROSS JOIN edges "
+    "GROUP BY 1 HAVING MIN("
+    + V.SEG_D2_SQL.replace("lon", "p.lon").replace("lat", "p.lat")
+    + ") <= 4e0 ORDER BY doc_id",
+)
+def q_within_distance(spark, sf):
+    return V.points_within_distance(Q._points(spark, sf), spark, 2.0).orderBy("doc_id")
+
+
+# -- Moran's I on the synthetic raster (rook weights) -------------------------
+_RROWS, _RCOLS = 120, 180
+_RVAL = cell_value_sql("r.r", "c.c", 0, _RCOLS)
+_MRAS = (
+    f"ras AS (SELECT r.r AS row, c.c AS col, {_RVAL} AS value "
+    f"FROM range(0, {_RROWS}) r(r), range(0, {_RCOLS}) c(c)), "
+    f"live AS (SELECT row, col, value FROM ras WHERE value != {R.NODATA!r}e0), "
+    "m AS (SELECT SUM(value) / COUNT(*) AS mu, COUNT(*) AS n FROM live), "
+    "pairs AS (SELECT (a.value - m.mu) * (b.value - m.mu) AS zz "
+    "FROM live a JOIN live b ON (ABS(a.row - b.row) + ABS(a.col - b.col)) = 1, m), "
+    "wsum AS (SELECT COUNT(*) AS w, SUM(zz) AS num FROM pairs), "
+    "dsum AS (SELECT SUM((value - m.mu) * (value - m.mu)) AS den FROM live, m)"
+)
+
+
+@Q.register(
+    "morans_i",
+    f"WITH {_MRAS} SELECT CAST(ROUND(m.n * wsum.num / (wsum.w * dsum.den), 6) AS DOUBLE) AS morans_i, "
+    "wsum.w AS w_pairs FROM m, wsum, dsum",
+)
+def q_morans_i(spark, sf):
+    cells = R.explode_cells(R.synth_raster(spark, _RROWS, _RCOLS)).where(
+        F.col("value") != R.NODATA
+    )
+    m = cells.agg(
+        (F.sum("value") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = cells.select(F.col("row").alias("ar"), F.col("col").alias("ac"), F.col("value").alias("av"))
+    b = cells.select(F.col("row").alias("br"), F.col("col").alias("bc"), F.col("value").alias("bv"))
+    pairs = a.join(
+        b, (F.abs(F.col("ar") - F.col("br")) + F.abs(F.col("ac") - F.col("bc"))) == 1
+    ).crossJoin(F.broadcast(m))
+    wsum = pairs.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum((F.col("av") - F.col("mu")) * (F.col("bv") - F.col("mu"))).alias("num"),
+    )
+    dsum = cells.crossJoin(F.broadcast(m)).agg(
+        F.sum((F.col("value") - F.col("mu")) * (F.col("value") - F.col("mu"))).alias("den"),
+        F.first("n").alias("n"),
+    )
+    return (
+        wsum.crossJoin(dsum)
+        .select(
+            F.round(F.col("n") * F.col("num") / (F.col("w") * F.col("den")), 6)
+            .cast("double").alias("morans_i"),
+            F.col("w").alias("w_pairs"),
+        )
+    )
+
+
+# -- one Lloyd step of k-means over the point layer (§2.13) -------------------
+_SEEDS = [(60.0, 40.0), (200.0, 41.0), (320.0, 42.0), (180.0, 120.0)]
+_SEED_SQL = ", ".join(f"({i}, {x!r}, {y!r})" for i, (x, y) in enumerate(_SEEDS))
+
+
+@Q.register(
+    "kmeans_step",
+    f"{_PTS}, seeds AS (SELECT * FROM (VALUES {_SEED_SQL}) s(sid, sx, sy)), "
+    "assigned AS (SELECT doc_id, lon, lat, sid, "
+    "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "
+    "(lon - sx) * (lon - sx) + (lat - sy) * (lat - sy), sid) AS rn "
+    "FROM pts CROSS JOIN seeds) "
+    "SELECT sid, COUNT(*) AS n, "
+    "CAST(ROUND(SUM(lon) / COUNT(*), 6) AS DOUBLE) AS new_cx, "
+    "CAST(ROUND(SUM(lat) / COUNT(*), 6) AS DOUBLE) AS new_cy "
+    "FROM assigned WHERE rn = 1 GROUP BY 1 ORDER BY 1",
+)
+def q_kmeans_step(spark, sf):
+    from pyspark.sql import Window
+
+    pts = Q._points(spark, sf)
+    seeds = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(_SEEDS)], "sid int, sx double, sy double"
+    )
+    d2 = (F.col("lon") - F.col("sx")) ** 2 + (F.col("lat") - F.col("sy")) ** 2
+    w = Window.partitionBy("doc_id").orderBy(d2.asc(), F.col("sid").asc())
+    assigned = (
+        pts.crossJoin(F.broadcast(seeds))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("sid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("lon") / F.count(F.lit(1)), 6).cast("double").alias("new_cx"),
+            F.round(F.sum("lat") / F.count(F.lit(1)), 6).cast("double").alias("new_cy"),
+        )
+        .orderBy("sid")
+    )
+
+
+# -- attribute correlation matrix (CorrelationForAttributes) ------------------
+def _corr_sql(x: str, y: str) -> str:
+    return (
+        f"ROUND((COUNT(*) * SUM({x} * {y}) - SUM({x}) * SUM({y})) / "
+        f"(SQRT(COUNT(*) * SUM({x} * {x}) - SUM({x}) * SUM({x})) * "
+        f"SQRT(COUNT(*) * SUM({y} * {y}) - SUM({y}) * SUM({y}))), 4)"
+    )
+
+
+@Q.register(
+    "attr_correlation",
+    "SELECT "
+    f"CAST({_corr_sql('l_quantity', 'l_extendedprice')} AS DOUBLE) AS r_qty_price, "
+    f"CAST({_corr_sql('l_quantity', 'l_discount')} AS DOUBLE) AS r_qty_disc, "
+    f"CAST({_corr_sql('l_extendedprice', 'l_discount')} AS DOUBLE) AS r_price_disc "
+    "FROM lineitem",
+)
+def q_attr_correlation(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+
+    def corr(x, y):
+        n = F.count(F.lit(1))
+        num = n * F.sum(F.col(x) * F.col(y)) - F.sum(x) * F.sum(y)
+        den = F.sqrt(n * F.sum(F.col(x) * F.col(x)) - F.sum(x) * F.sum(x)) * F.sqrt(
+            n * F.sum(F.col(y) * F.col(y)) - F.sum(y) * F.sum(y)
+        )
+        return F.round(num / den, 4).cast("double")
+
+    return li.agg(
+        corr("l_quantity", "l_extendedprice").alias("r_qty_price"),
+        corr("l_quantity", "l_discount").alias("r_qty_disc"),
+        corr("l_extendedprice", "l_discount").alias("r_price_disc"),
+    )

@@ -109,10 +109,24 @@ def edges_sql_values() -> str:
     """The full edge table as a DuckDB VALUES list (exact double literals)."""
     layer = make_polygon_layer()
     rows = ", ".join(
-        f"({int(p)},{x1!r},{y1!r},{x2!r},{y2!r})"
+        f"({int(p)},CAST({x1!r} AS DOUBLE),CAST({y1!r} AS DOUBLE),"
+        f"CAST({x2!r} AS DOUBLE),CAST({y2!r} AS DOUBLE))"
         for p, x1, y1, x2, y2 in zip(layer.edge_poly, layer.x1, layer.y1, layer.x2, layer.y2)
     )
     return f"(VALUES {rows})"
+
+
+def vertices_sql_values() -> str:
+    """All ring vertices as DuckDB VALUES: (poly_id, ring, vi, nv, x, y)."""
+    layer = make_polygon_layer()
+    rows = []
+    for i in range(layer.n):
+        pid = int(layer.poly_id[i])
+        for ri, ring in enumerate(layer.rings[i]):
+            nv = len(ring)
+            for vi, (x, y) in enumerate(ring):
+                rows.append(f"({pid},{ri},{vi},{nv},CAST({x!r} AS DOUBLE),CAST({y!r} AS DOUBLE))")
+    return f"(VALUES {', '.join(rows)})"
 
 
 def bbox_sql_values() -> str:
