@@ -8,6 +8,7 @@ from . import queries as Q
 from .functions import exprs
 from .functions.cells import with_cells
 from .operators import knn as knn_ops
+from .operators.raster import NODATA as _RND, cell_value_sql as _cvs
 from .operators import zonal
 from .operators import spatial_join, zonal
 
@@ -222,3 +223,79 @@ SELECT q_id, SQRT(d2) AS nn_dist FROM d ORDER BY q_id""",
 )
 def q_nn_analysis(spark, sf):
     return knn_ops.nn_distances(Q._points(spark, sf)).orderBy("q_id")
+
+
+# -- skew handling (north rule: salted repartition + adaptive subdivision) ----
+@Q.register(
+    "salted_tile_counts",
+    f"{_PTS} SELECT tile_id, COUNT(*) AS n FROM pts GROUP BY 1 ORDER BY 1",
+)
+def q_salted_tile_counts(spark, sf):
+    """Identical result to tile_counts, produced via the two-phase salted
+    aggregation (hot-cell straggler relief) — operators/skew.py."""
+    from .operators import skew
+
+    return skew.salted_counts(Q._points(spark, sf)).orderBy("tile_id")
+
+
+_AD_THRESH = 40
+
+
+@Q.register(
+    "adaptive_cells",
+    f"""{_PTS}, {_CELL_CTE},
+c7 AS (SELECT cell7, COUNT(*) AS n FROM cells GROUP BY 1),
+cold7 AS (SELECT 7 AS res, cell7 AS cell, n FROM c7 WHERE n <= {_AD_THRESH}),
+hot7 AS (SELECT cell7 FROM c7 WHERE n > {_AD_THRESH}),
+l8 AS (SELECT c.* FROM cells c JOIN hot7 USING (cell7)),
+c8 AS (SELECT cell8, COUNT(*) AS n FROM l8 GROUP BY 1),
+cold8 AS (SELECT 8 AS res, cell8 AS cell, n FROM c8 WHERE n <= {_AD_THRESH}),
+hot8 AS (SELECT cell8 FROM c8 WHERE n > {_AD_THRESH}),
+l9 AS (SELECT c.* FROM l8 c JOIN hot8 USING (cell8)),
+c9 AS (SELECT 9 AS res, cell9 AS cell, COUNT(*) AS n FROM l9 GROUP BY 2)
+SELECT * FROM (SELECT * FROM cold7 UNION ALL SELECT * FROM cold8 UNION ALL SELECT * FROM c9)
+ORDER BY res, cell""",
+)
+def q_adaptive_cells(spark, sf):
+    """Mixed-resolution hot-cell subdivision (res 7 -> 8 -> 9)."""
+    from .operators import skew
+
+    return skew.adaptive_cells(Q._points(spark, sf), _AD_THRESH).orderBy("res", "cell")
+
+
+# -- Euclidean allocation (GISTools/src/plugins/EuclideanAllocation.java) -----
+_EA_ROWS, _EA_COLS, _EA_T = 120, 180, 145.0
+
+
+@Q.register(
+    "euclidean_allocation",
+    f"""WITH ras AS (SELECT r.r AS row, c.c AS col,
+  {_cvs("r.r", "c.c", 0, _EA_COLS)} AS value FROM range(0, {_EA_ROWS}) r(r), range(0, {_EA_COLS}) c(c)),
+tgt AS (SELECT row AS trow, col AS tcol FROM ras WHERE value > {_EA_T!r}e0),
+d AS (SELECT a.row, a.col, t.trow, t.tcol,
+  (a.row - t.trow) * (a.row - t.trow) + (a.col - t.tcol) * (a.col - t.tcol) AS d2,
+  ROW_NUMBER() OVER (PARTITION BY a.row, a.col ORDER BY
+    (a.row - t.trow) * (a.row - t.trow) + (a.col - t.tcol) * (a.col - t.tcol),
+    t.trow, t.tcol) AS rn
+  FROM ras a CROSS JOIN tgt t WHERE a.value != {_RND!r}e0)
+SELECT row, col, trow, tcol, d2 FROM d WHERE rn = 1 ORDER BY row, col""",
+)
+def q_euclidean_allocation(spark, sf):
+    from pyspark.sql import Window
+    from .operators import raster as R
+
+    cells = R.explode_cells(R.synth_raster(spark, _EA_ROWS, _EA_COLS))
+    tgt = (
+        cells.where(F.col("value") > _EA_T)
+        .select(F.col("row").alias("trow"), F.col("col").alias("tcol"))
+    )
+    live = cells.where(F.col("value") != R.NODATA)
+    d2 = (F.col("row") - F.col("trow")) ** 2 + (F.col("col") - F.col("tcol")) ** 2
+    w = Window.partitionBy("row", "col").orderBy(d2.asc(), F.col("trow"), F.col("tcol"))
+    return (
+        live.crossJoin(F.broadcast(tgt))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("row", "col", "trow", "tcol", d2.cast("long").alias("d2"))
+        .orderBy("row", "col")
+    )
