@@ -37,6 +37,13 @@ HEADLINE = [
     "lsh_pairs",         # minhash-LSH near-dup candidate pairs
     "simhash_near_dup",  # simhash hamming near-dup self-join
     "cosine_topk",       # brute-force ANN baseline
+    "raster_stats",      # tile-table array-aggregate partials
+    "focal_mean",        # halo-join + numpy stencil
+    "slope",             # 3x3 terrain derivative
+    "euclidean_allocation",  # nearest-target labeling
+    "feature_metrics",   # vector ring-array metrics
+    "sessionize",        # gap-rule sessionization window
+    "adaptive_cells",    # hot-cell subdivision (skew path)
 ]
 
 
@@ -60,6 +67,15 @@ def run_headline() -> dict:
     total = round(sum(times.values()), 3)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     pages_sec = round(n_docs / max(times["pip_counts"], 1e-9), 1)
+    # flagship synthetic throughput at bench scale (warm steady-state —
+    # the BASELINE.md north-star metric at a size where work >> overhead)
+    from whitebox_geospatial_analysis_tools_spark.plans.pipeline import flagship_synthetic
+
+    n_flag = 64_000_000
+    flagship_synthetic(spark, n_flag).count()
+    t0 = time.time()
+    flagship_synthetic(spark, n_flag).count()
+    flagship_pps = round(n_flag / (time.time() - t0), 1)
     spark.stop()
     return {
         "metric": "headline_total_wall",
@@ -69,6 +85,8 @@ def run_headline() -> dict:
         "sf": SF_DIR,
         "cpus": int(CPUS),
         "pip_pages_per_sec": pages_sec,
+        "flagship_synthetic_pages_per_sec": flagship_pps,
+        "flagship_synthetic_n": n_flag,
     }
 
 
