@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from . import queries as Q
 from .operators import raster as R
+from .functions.exprs import A, C, M
 from .operators.raster import NODATA, cell_value_sql
 
 ROWS, COLS = 240, 360
@@ -270,4 +271,162 @@ def q_raster_to_points(spark, sf):
     return (
         cells.where((F.col("value") != _ND) & (F.col("value") > 150e0))
         .orderBy("row", "col")
+    )
+
+
+# -- clump: connected-component labeling (§2.4; Clump.java) -------------------
+_CROWS, _CCOLS = 60, 90
+_CVAL = cell_value_sql("r.r", "c.c", 0, _CCOLS)
+_CBASE = (
+    f"cells AS (SELECT r.r AS row, c.c AS col, {_CVAL} AS v "
+    f"FROM range(0, {_CROWS}) r(r), range(0, {_CCOLS}) c(c)), "
+    f"base AS (SELECT row, col, CAST(FLOOR(v / 50e0) AS BIGINT) AS cls, "
+    f"row * {_CCOLS} + col AS id FROM cells WHERE v != {NODATA!r}e0), "
+    "adj AS (SELECT a.id AS id, b.id AS nid FROM base a JOIN base b "
+    "ON a.cls = b.cls AND ABS(a.row - b.row) + ABS(a.col - b.col) <= 1), "
+    "reach(id, rid) AS (SELECT id, id FROM base UNION "
+    "SELECT r.id, a.nid FROM reach r JOIN adj a ON a.id = r.rid), "
+    "lab AS (SELECT id, MIN(rid) AS label FROM reach GROUP BY 1)"
+)
+
+
+@Q.register(
+    "clump_sizes",
+    f"WITH RECURSIVE {_CBASE} "
+    "SELECT b.cls, l.label, COUNT(*) AS n_cells FROM base b JOIN lab l USING (id) "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_clump_sizes(spark, sf):
+    from .operators.clump import clump_sizes
+
+    cells = (
+        R.explode_cells(R.synth_raster(spark, _CROWS, _CCOLS))
+        .where(F.col("value") != _ND)
+        .select("row", "col", F.expr("CAST(FLOOR(value / 50e0) AS BIGINT)").alias("cls"))
+    )
+    return clump_sizes(cells, _CCOLS).orderBy("cls", "label")
+
+
+# -- histogram equalization (§2.13; HistogramEqualization.java) ---------------
+@Q.register(
+    "hist_equalize",
+    f"WITH {_RAS}, live AS (SELECT * FROM ras WHERE {_NDF}), "
+    "hist AS (SELECT CAST(FLOOR(value) AS BIGINT) AS bin, COUNT(*) AS n FROM live GROUP BY 1), "
+    "cdf AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum, "
+    "(SELECT SUM(n) FROM hist) AS total FROM hist), "
+    "lut AS (SELECT bin, CAST(FLOOR(cum * 255e0 / total) AS BIGINT) AS eq FROM cdf) "
+    "SELECT l.eq, COUNT(*) AS n FROM live v JOIN lut l "
+    "ON CAST(FLOOR(v.value) AS BIGINT) = l.bin GROUP BY 1 ORDER BY 1",
+)
+def q_hist_equalize(spark, sf):
+    from pyspark.sql import Window
+
+    live = R.explode_cells(_dem(spark)).where(F.col("value") != _ND)
+    hist = live.groupBy(
+        F.expr("CAST(FLOOR(value) AS BIGINT)").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    total = hist.agg(F.sum("n").alias("t"))
+    lut = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .crossJoin(F.broadcast(total))
+        .select("bin", F.expr("CAST(FLOOR(cum * 255e0 / t) AS BIGINT)").alias("eq"))
+    )
+    return (
+        live.withColumn("bin", F.expr("CAST(FLOOR(value) AS BIGINT)"))
+        .join(F.broadcast(lut), "bin")
+        .groupBy("eq").agg(F.count(F.lit(1)).alias("n")).orderBy("eq")
+    )
+
+
+# -- vector lines -> raster cells (§2.10; VectorLinesToRaster.java) -----------
+_NLINES, _LSTEPS = 24, 256
+# deterministic endpoints from the LCG chain (dyadic-free; pure arithmetic)
+_LX1 = f"((({{i}} * {A} + {C}) % {M}) % 360000) / 1000e0"
+_LY1 = f"(((({{i}} + 7) * {A} + {C}) % {M}) % 180000) / 1000e0"
+_LX2 = f"(((({{i}} + 13) * {A} + {C}) % {M}) % 360000) / 1000e0"
+_LY2 = f"(((({{i}} + 29) * {A} + {C}) % {M}) % 180000) / 1000e0"
+
+
+@Q.register(
+    "lines_to_raster",
+    f"""WITH lines AS (SELECT t.i AS line_id,
+  {_LX1.format(i='t.i')} AS x1, {_LY1.format(i='t.i')} AS y1,
+  {_LX2.format(i='t.i')} AS x2, {_LY2.format(i='t.i')} AS y2
+  FROM range(0, {_NLINES}) t(i)),
+steps AS (SELECT line_id, x1, y1, x2, y2, unnest(generate_series(0, {_LSTEPS})) AS s FROM lines),
+cells AS (SELECT DISTINCT line_id,
+  CAST(FLOOR((x1 + s * (x2 - x1) / {_LSTEPS}e0) / 6e0) AS BIGINT) AS cx,
+  CAST(FLOOR((y1 + s * (y2 - y1) / {_LSTEPS}e0) / 6e0) AS BIGINT) AS cy
+  FROM steps)
+SELECT line_id, COUNT(*) AS n_cells, MIN(cy * 60 + cx) AS min_cell, MAX(cy * 60 + cx) AS max_cell
+FROM cells GROUP BY 1 ORDER BY 1""",
+)
+def q_lines_to_raster(spark, sf):
+    x1, y1 = _LX1.format(i="id"), _LY1.format(i="id")
+    x2, y2 = _LX2.format(i="id"), _LY2.format(i="id")
+    lines = spark.range(_NLINES).select(
+        F.col("id").alias("line_id"),
+        F.expr(x1).alias("x1"), F.expr(y1).alias("y1"),
+        F.expr(x2).alias("x2"), F.expr(y2).alias("y2"),
+    )
+    cells = (
+        lines.withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(_LSTEPS))))
+        .select(
+            "line_id",
+            F.expr(f"CAST(FLOOR((x1 + s * (x2 - x1) / {_LSTEPS}e0) / 6e0) AS BIGINT)").alias("cx"),
+            F.expr(f"CAST(FLOOR((y1 + s * (y2 - y1) / {_LSTEPS}e0) / 6e0) AS BIGINT)").alias("cy"),
+        )
+        .distinct()
+    )
+    return (
+        cells.groupBy("line_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min(F.col("cy") * 60 + F.col("cx")).alias("min_cell"),
+            F.max(F.col("cy") * 60 + F.col("cx")).alias("max_cell"),
+        )
+        .orderBy("line_id")
+    )
+
+
+# -- mosaic of two rasters with priority resolve (§2.7; Mosaic.java) ----------
+@Q.register(
+    "mosaic",
+    f"WITH {_RAS}, {_RAS2} SELECT COUNT(*) AS n, "
+    "CAST(ROUND(SUM(CASE WHEN a.value != " + f"{NODATA!r}e0 THEN a.value ELSE b.value END), 6) AS DOUBLE) AS total "
+    "FROM ras a JOIN ras2 b USING (row, col) "
+    f"WHERE a.value != {NODATA!r}e0 OR b.value != {NODATA!r}e0",
+)
+def q_mosaic(spark, sf):
+    merged = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "a").join(
+        R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "b"), ["row", "col"]
+    )
+    return (
+        merged.where((F.col("a") != _ND) | (F.col("b") != _ND))
+        .select(F.when(F.col("a") != _ND, F.col("a")).otherwise(F.col("b")).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 6).cast("double").alias("total"))
+    )
+
+
+# -- cross-stack highest position (§2.5; HighestPosition.groovy) --------------
+@Q.register(
+    "highest_position",
+    f"WITH {_RAS}, {_RAS2} SELECT "
+    f"CASE WHEN a.value = {NODATA!r}e0 OR b.value = {NODATA!r}e0 THEN -1 "
+    "WHEN a.value >= b.value THEN 0 ELSE 1 END AS pos, COUNT(*) AS n "
+    "FROM ras a JOIN ras2 b USING (row, col) GROUP BY 1 ORDER BY 1",
+)
+def q_highest_position(spark, sf):
+    merged = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "a").join(
+        R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "b"), ["row", "col"]
+    )
+    return (
+        merged.select(
+            F.when((F.col("a") == _ND) | (F.col("b") == _ND), -1)
+            .when(F.col("a") >= F.col("b"), 0)
+            .otherwise(1)
+            .alias("pos")
+        )
+        .groupBy("pos").agg(F.count(F.lit(1)).alias("n")).orderBy("pos")
     )
