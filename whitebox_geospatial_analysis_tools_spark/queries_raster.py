@@ -430,3 +430,201 @@ def q_highest_position(spark, sf):
         )
         .groupBy("pos").agg(F.count(F.lit(1)).alias("n")).orderBy("pos")
     )
+
+
+# -- hydrology slice (§2.12): D8 pointer, flow accumulation, streams ----------
+_HROWS, _HCOLS = 60, 90
+_HVAL = cell_value_sql("r.r", "c.c", 0, _HCOLS)
+_SQ2 = "1.4142135623730951e0"
+_HYD_BASE = (
+    f"cells AS (SELECT r.r AS row, c.c AS col, {_HVAL} AS v "
+    f"FROM range(0, {_HROWS}) r(r), range(0, {_HCOLS}) c(c)), "
+    f"live AS (SELECT row, col, NULLIF(v, {NODATA!r}e0) AS v FROM cells), "
+    "w9 AS (SELECT a.row, a.col, a.v AS cv, "
+    "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col - 1 THEN b.v END) AS n0, "
+    "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col     THEN b.v END) AS n1, "
+    "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col + 1 THEN b.v END) AS n2, "
+    "MAX(CASE WHEN b.row = a.row     AND b.col = a.col - 1 THEN b.v END) AS n3, "
+    "MAX(CASE WHEN b.row = a.row     AND b.col = a.col + 1 THEN b.v END) AS n4, "
+    "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col - 1 THEN b.v END) AS n5, "
+    "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col     THEN b.v END) AS n6, "
+    "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col + 1 THEN b.v END) AS n7 "
+    "FROM live a JOIN live b ON b.row BETWEEN a.row - 1 AND a.row + 1 "
+    "AND b.col BETWEEN a.col - 1 AND a.col + 1 AND b.v IS NOT NULL "
+    "WHERE a.v IS NOT NULL GROUP BY 1, 2, 3), "
+    "rates AS (SELECT row, col, "
+    f"COALESCE((cv - n0) / {_SQ2}, -1e30) AS r0, COALESCE(cv - n1, -1e30) AS r1, "
+    f"COALESCE((cv - n2) / {_SQ2}, -1e30) AS r2, COALESCE(cv - n3, -1e30) AS r3, "
+    f"COALESCE(cv - n4, -1e30) AS r4, COALESCE((cv - n5) / {_SQ2}, -1e30) AS r5, "
+    f"COALESCE(cv - n6, -1e30) AS r6, COALESCE((cv - n7) / {_SQ2}, -1e30) AS r7 "
+    "FROM w9), "
+    "d8 AS (SELECT row, col, CASE "
+    "WHEN GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) <= 0e0 THEN 0 "
+    "WHEN r0 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 1 "
+    "WHEN r1 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 2 "
+    "WHEN r2 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 4 "
+    "WHEN r3 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 8 "
+    "WHEN r4 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 16 "
+    "WHEN r5 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 32 "
+    "WHEN r6 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 64 "
+    "ELSE 128 END AS code FROM rates)"
+)
+_HYD_EDGES = (
+    "edges AS (SELECT row * 1000000 + col AS id, "
+    "(row + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1 "
+    "WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1 ELSE 1 END) * 1000000 + "
+    "(col + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 1 "
+    "WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN 0 ELSE 1 END) AS nid "
+    "FROM d8 WHERE code > 0), "
+    "reach(id, nid) AS (SELECT id, nid FROM edges UNION "
+    "SELECT r.id, e.nid FROM reach r JOIN edges e ON e.id = r.nid), "
+    "acc AS (SELECT d.row, d.col, 1 + COALESCE(c.n_up, 0) AS accum FROM d8 d "
+    "LEFT JOIN (SELECT nid, COUNT(*) AS n_up FROM reach GROUP BY 1) c "
+    "ON d.row * 1000000 + d.col = c.nid)"
+)
+
+
+def _hydem(spark):
+    return R.synth_raster(spark, _HROWS, _HCOLS)
+
+
+@Q.register(
+    "flow_d8",
+    f"WITH {_HYD_BASE} SELECT row, col, CAST(code AS BIGINT) AS code FROM d8 ORDER BY row, col",
+)
+def q_flow_d8(spark, sf):
+    from .operators.hydro import flow_pointer_d8
+
+    return flow_pointer_d8(_hydem(spark)).orderBy("row", "col")
+
+
+@Q.register(
+    "flow_accum",
+    f"WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES} "
+    "SELECT row, col, CAST(accum AS BIGINT) AS accum FROM acc ORDER BY row, col",
+)
+def q_flow_accum(spark, sf):
+    from .operators.hydro import flow_accum, flow_pointer_d8
+
+    return (
+        flow_accum(flow_pointer_d8(_hydem(spark)))
+        .select("row", "col", F.col("accum").cast("long").alias("accum"))
+        .orderBy("row", "col")
+    )
+
+
+@Q.register(
+    "extract_streams",
+    f"WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES} "
+    "SELECT row, col, CAST(accum AS BIGINT) AS accum FROM acc WHERE accum >= 20 "
+    "ORDER BY row, col",
+)
+def q_extract_streams(spark, sf):
+    from .operators.hydro import extract_streams, flow_pointer_d8
+
+    return (
+        extract_streams(flow_pointer_d8(_hydem(spark)), 20)
+        .select("row", "col", F.col("accum").cast("long").alias("accum"))
+        .orderBy("row", "col")
+    )
+
+
+# -- profile along a transect (§2.5/2.6; Scripts/Profile.groovy) --------------
+@Q.register(
+    "profile",
+    f"WITH {_RAS}, samp AS (SELECT t.i AS step, 10 + t.i AS row, 20 + 2 * t.i AS col "
+    "FROM range(0, 100) t(i)) "
+    "SELECT s.step, r.value, r.value - LAG(r.value) OVER (ORDER BY s.step) AS dz "
+    f"FROM samp s JOIN ras r ON r.row = s.row AND r.col = s.col "
+    f"WHERE r.value != {NODATA!r}e0 ORDER BY s.step",
+)
+def q_profile(spark, sf):
+    from pyspark.sql import Window
+
+    samp = spark.range(100).select(
+        F.col("id").alias("step"),
+        (10 + F.col("id")).alias("row"),
+        (20 + 2 * F.col("id")).alias("col"),
+    )
+    cells = R.explode_cells(_dem(spark))
+    j = samp.join(cells, ["row", "col"]).where(F.col("value") != _ND)
+    w = Window.orderBy("step")
+    return (
+        j.select("step", "value", (F.col("value") - F.lag("value").over(w)).alias("dz"))
+        .orderBy("step")
+    )
+
+
+# -- zonal stats with a RASTER zone layer (§2.3 raster-raster alignment) ------
+@Q.register(
+    "zonal_raster",
+    f"WITH {_RAS}, {_RAS2} SELECT CAST(FLOOR(b.value / 30e0) AS BIGINT) AS zone, "
+    "COUNT(*) AS n, CAST(ROUND(SUM(a.value) / COUNT(*), 6) AS DOUBLE) AS mean_val, "
+    "MIN(a.value) AS min_val, MAX(a.value) AS max_val "
+    "FROM ras a JOIN ras2 b USING (row, col) "
+    f"WHERE a.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0 "
+    "GROUP BY 1 ORDER BY 1",
+)
+def q_zonal_raster(spark, sf):
+    a = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "a")
+    b = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "b")
+    j = a.join(b, ["row", "col"]).where((F.col("a") != _ND) & (F.col("b") != _ND))
+    return (
+        j.groupBy(F.expr("CAST(FLOOR(b / 30e0) AS BIGINT)").alias("zone"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("a") / F.count(F.lit(1)), 6).cast("double").alias("mean_val"),
+            F.min("a").alias("min_val"),
+            F.max("a").alias("max_val"),
+        )
+        .orderBy("zone")
+    )
+
+
+# -- raster buffer: cells within distance d of target cells (§2.11) -----------
+@Q.register(
+    "raster_buffer",
+    f"""WITH ras AS (SELECT r.r AS row, c.c AS col,
+  {cell_value_sql('r.r', 'c.c', 0, 90)} AS value FROM range(0, 60) r(r), range(0, 90) c(c)),
+tgt AS (SELECT row AS trow, col AS tcol FROM ras WHERE value > 140e0),
+hit AS (SELECT DISTINCT a.row, a.col FROM ras a JOIN tgt t
+  ON (a.row - t.trow) * (a.row - t.trow) + (a.col - t.tcol) * (a.col - t.tcol) <= 25
+  WHERE a.value != {NODATA!r}e0)
+SELECT COUNT(*) AS n_buffer FROM hit""",
+)
+def q_raster_buffer(spark, sf):
+    cells = R.explode_cells(R.synth_raster(spark, 60, 90))
+    tgt = cells.where(F.col("value") > 140.0).select(
+        F.col("row").alias("trow"), F.col("col").alias("tcol")
+    )
+    live = cells.where(F.col("value") != _ND)
+    d2 = (F.col("row") - F.col("trow")) ** 2 + (F.col("col") - F.col("tcol")) ** 2
+    hit = (
+        live.crossJoin(F.broadcast(tgt)).where(d2 <= 25)
+        .select("row", "col").distinct()
+    )
+    return hit.agg(F.count(F.lit(1)).alias("n_buffer"))
+
+
+# -- nearest-neighbor resample 2x upscale (§2.13; Resample.java:185-309) ------
+@Q.register(
+    "resample_nn",
+    f"WITH {_RAS} SELECT u.r AS urow, u.c AS ucol, r.value "
+    f"FROM (SELECT a.a AS r, b.b AS c FROM range(0, 120) a(a), range(0, 120) b(b)) u "
+    "JOIN ras r ON r.row = u.r // 2 AND r.col = u.c // 2 "
+    "ORDER BY urow, ucol",
+)
+def q_resample_nn(spark, sf):
+    up = spark.range(120).selectExpr("id AS urow").crossJoin(
+        spark.range(120).selectExpr("id AS ucol")
+    )
+    cells = R.explode_cells(_dem(spark))
+    return (
+        up.join(
+            cells,
+            (F.col("row") == (F.col("urow") / 2).cast("long"))
+            & (F.col("col") == (F.col("ucol") / 2).cast("long")),
+        )
+        .select("urow", "ucol", "value")
+        .orderBy("urow", "ucol")
+    )
