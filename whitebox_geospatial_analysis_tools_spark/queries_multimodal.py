@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from . import queries as Q
 from .functions.exprs import A, C, M
+from .operators.raster import cell_value_sql as _cvs
 from .operators import multimodal as MM
 
 _N_MEDIA = 400
@@ -121,4 +122,102 @@ def q_json_props(spark, sf):
         ev.groupBy(F.get_json_object("props", "$.k").cast("long").alias("k"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("k")
+    )
+
+
+# -- as-of join: latest prior 'login'-class event per event (§custom ops) -----
+@Q.register(
+    "asof_join",
+    "WITH logins AS (SELECT user_id, ts, event_id AS login_id FROM events "
+    "WHERE event_type = 'view'), "
+    "j AS (SELECT e.event_id, e.user_id, e.ts, l.login_id, "
+    "ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY l.ts DESC, l.login_id DESC) AS rn "
+    "FROM events e JOIN logins l ON l.user_id = e.user_id AND l.ts <= e.ts) "
+    "SELECT event_id, user_id, login_id AS login_id_asof FROM j WHERE rn = 1 "
+    "ORDER BY event_id",
+)
+def q_asof_join(spark, sf):
+    from .operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    logins = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("login_id")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), logins,
+        key="user_id", ts="ts", right_cols=["login_id"],
+    )
+    return (
+        out.where(F.col("login_id_asof").isNotNull())
+        .select("event_id", "user_id", "login_id_asof")
+        .orderBy("event_id")
+    )
+
+
+# -- broadcast range join: value -> bucket label ------------------------------
+_BUCKETS = [(0.0, 5.0, "low"), (5.0, 20.0, "mid"), (20.0, 1e9, "high")]
+_BUCKET_SQL = ", ".join(
+    f"(CAST({lo!r} AS DOUBLE), CAST({hi!r} AS DOUBLE), '{lab}')" for lo, hi, lab in _BUCKETS
+)
+
+
+@Q.register(
+    "range_join_buckets",
+    f"WITH b AS (SELECT * FROM (VALUES {_BUCKET_SQL}) t(lo, hi, lab)) "
+    "SELECT b.lab, COUNT(*) AS n, CAST(ROUND(SUM(e.value), 6) AS DOUBLE) AS total "
+    "FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi "
+    "GROUP BY 1 ORDER BY 1",
+)
+def q_range_join_buckets(spark, sf):
+    from .operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    b = spark.createDataFrame(_BUCKETS, "lo double, hi double, lab string")
+    return (
+        range_join(ev, b, "value")
+        .groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 6).cast("double").alias("total"))
+        .orderBy("lab")
+    )
+
+
+# -- point probe into the tile raster (ExtractValuesAtXYCoords, §2.2) ---------
+@Q.register(
+    "point_probe",
+    f"WITH {Q.pts_cte()}, ras AS (SELECT r.r AS row, c.c AS col, "
+    f"{_cvs('r.r', 'c.c', 0, 360)} AS value FROM range(0, 180) r(r), range(0, 360) c(c)) "
+    "SELECT p.doc_id, r.value AS probe_val FROM pts p "
+    "JOIN ras r ON r.row = CAST(FLOOR(p.lat) AS BIGINT) "
+    "AND r.col = CAST(FLOOR(p.lon) AS BIGINT) "
+    "ORDER BY p.doc_id",
+)
+def q_point_probe(spark, sf):
+    """Probe each point into the tile-array raster: compute the point's
+    (tile_row, tile_col, offset), equi-join the tile table, element_at into
+    the values array — no cell explosion (the at-scale probe path)."""
+    from .operators import raster as R2
+
+    tiles = R2.synth_raster(spark, 180, 360)
+    pts = Q._points(spark, sf).select(
+        "doc_id",
+        F.expr("CAST(FLOOR(lat) AS BIGINT)").alias("prow"),
+        F.expr("CAST(FLOOR(lon) AS BIGINT)").alias("pcol"),
+    )
+    t = tiles.select(
+        "row0", "col0", "h", "w", "values",
+        (F.col("row0") / R2.TILE).cast("long").alias("trow"),
+        (F.col("col0") / R2.TILE).cast("long").alias("tcol"),
+    )
+    j = pts.withColumn("trow", (F.col("prow") / R2.TILE).cast("long")).withColumn(
+        "tcol", (F.col("pcol") / R2.TILE).cast("long")
+    ).join(t, ["trow", "tcol"])
+    return (
+        j.select(
+            "doc_id",
+            F.expr(
+                "element_at(values, CAST((prow - row0) * w + (pcol - col0) + 1 AS INT))"
+            ).alias("probe_val"),
+        )
+        .orderBy("doc_id")
     )
