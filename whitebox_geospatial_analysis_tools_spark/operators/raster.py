@@ -233,7 +233,7 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
         ])  # (9, h, w)
         centerv = pad[1:h + 1, 1:w + 1]
         with np.errstate(invalid="ignore", divide="ignore"):
-            if stat in ("mean", "total", "min", "max", "range", "stddev"):
+            if stat in ("mean", "total", "min", "max", "range", "stddev", "median"):
                 if stat == "mean":
                     out = np.nanmean(stack, axis=0)
                 elif stat == "total":
@@ -245,6 +245,10 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                     out = np.nanmax(stack, axis=0)
                 elif stat == "range":
                     out = np.nanmax(stack, axis=0) - np.nanmin(stack, axis=0)
+                elif stat == "median":
+                    # interpolated median (mean of middles on even counts) —
+                    # matches SQL MEDIAN; exact on dyadic inputs
+                    out = np.nanmedian(stack, axis=0)
                 else:
                     # explicit moment formula (not np.nanstd): with dyadic
                     # cell values the sums are exact, so this matches the
@@ -262,6 +266,10 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                 fy = (sw - nw + 2.0 * (ss - nn) + se - ne) / (8.0 * cell_size)
                 if stat == "slope":
                     out = np.degrees(np.arctan(np.sqrt(fx * fx + fy * fy)))
+                elif stat == "aspect":
+                    # Aspect.java orientation: degrees clockwise from north
+                    out = np.degrees(np.arctan2(fy, -fx))
+                    out = np.where(out < 0.0, out + 360.0, out)
                 elif stat == "hillshade":
                     az, alt = np.radians(315.0), np.radians(30.0)
                     slope_r = np.arctan(np.sqrt(fx * fx + fy * fy))

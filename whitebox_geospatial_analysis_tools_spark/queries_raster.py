@@ -628,3 +628,40 @@ def q_resample_nn(spark, sf):
         .select("urow", "ucol", "value")
         .orderBy("urow", "ucol")
     )
+
+
+# -- focal median (FilterMedian.java) and aspect (Aspect.java) ----------------
+@Q.register(
+    "focal_median",
+    f"WITH {_RAS}, {_NBR} SELECT row, col, "
+    f"MEDIAN(bv) FILTER (bv != {NODATA!r}e0) AS value "
+    f"FROM nbr GROUP BY 1, 2 HAVING COUNT(*) FILTER (bv != {NODATA!r}e0) > 0 "
+    "ORDER BY row, col",
+)
+def q_focal_median(spark, sf):
+    out = R.focal(_dem(spark), "median")
+    return R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
+
+
+_ASPECT_SQL = (
+    "CASE WHEN DEGREES(ATAN2((sw + 2e0 * ss + se - nw - 2e0 * nn - ne) / 8e0, "
+    "-((ne + 2e0 * ev + se - nw - 2e0 * wv - sw) / 8e0))) < 0e0 "
+    "THEN DEGREES(ATAN2((sw + 2e0 * ss + se - nw - 2e0 * nn - ne) / 8e0, "
+    "-((ne + 2e0 * ev + se - nw - 2e0 * wv - sw) / 8e0))) + 360e0 "
+    "ELSE DEGREES(ATAN2((sw + 2e0 * ss + se - nw - 2e0 * nn - ne) / 8e0, "
+    "-((ne + 2e0 * ev + se - nw - 2e0 * wv - sw) / 8e0))) END"
+)
+
+
+@Q.register(
+    "aspect",
+    f"WITH {_RAS}, {_W9} SELECT row, col, "
+    f"CAST(ROUND({_ASPECT_SQL}, 6) AS DOUBLE) AS value FROM w9 "
+    f"WHERE cv != {NODATA!r}e0 AND {NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
+    "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
+    "AND ev IS NOT NULL AND sw IS NOT NULL AND ss IS NOT NULL AND se IS NOT NULL "
+    "ORDER BY row, col",
+)
+def q_aspect(spark, sf):
+    out = R.focal(_dem(spark), "aspect")
+    return R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
