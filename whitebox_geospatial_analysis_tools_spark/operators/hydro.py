@@ -150,3 +150,34 @@ def flow_accum(pointers: DataFrame, *, max_doublings: int = 12) -> DataFrame:
 def extract_streams(pointers: DataFrame, threshold: int) -> DataFrame:
     """Stream cells: accumulation >= threshold (ExtractStreams.java)."""
     return flow_accum(pointers).where(F.col("accum") >= threshold)
+
+
+def watershed(pointers: DataFrame, *, max_doublings: int = 12) -> DataFrame:
+    """(row, col, ws): watershed label = flat id of the terminal (pit/flat,
+    code 0) each cell drains to (Watershed.java semantics over D8 paths).
+
+    Pointer doubling on the successor map (terminals map to themselves):
+    ptr := ptr(ptr) until fixpoint — log2(longest path) rounds.
+    """
+    ids = pointers.select(
+        "row", "col", (F.col("row") * F.lit(1_000_000) + F.col("col")).alias("id"), "code"
+    )
+    nxt = pointer_edges(pointers).unionByName(
+        ids.where(F.col("code") == 0).select("id", F.col("id").alias("nid"))
+    ).persist()
+    for _ in range(max_doublings):
+        hop = nxt.alias("a").join(
+            nxt.alias("b"), F.col("a.nid") == F.col("b.id"), "inner"
+        ).select(F.col("a.id").alias("id"), F.col("b.nid").alias("nid"))
+        changed = (
+            hop.alias("h").join(nxt.alias("o"), F.col("h.id") == F.col("o.id"))
+            .where(F.col("h.nid") != F.col("o.nid")).limit(1).count()
+        )
+        old = nxt
+        nxt = hop.persist()
+        old.unpersist()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("watershed pointer-doubling did not converge")
+    return ids.join(nxt, "id").select("row", "col", F.col("nid").alias("ws"))

@@ -264,7 +264,11 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                 nw, nn, ne, wv, _, ev, sw, ss, se = stack
                 fx = (ne - nw + 2.0 * (ev - wv) + se - sw) / (8.0 * cell_size)
                 fy = (sw - nw + 2.0 * (ss - nn) + se - ne) / (8.0 * cell_size)
-                if stat == "slope":
+                if stat == "sobel":
+                    gx = ne + 2.0 * ev + se - nw - 2.0 * wv - sw
+                    gy = sw + 2.0 * ss + se - nw - 2.0 * nn - ne
+                    out = np.sqrt(gx * gx + gy * gy)
+                elif stat == "slope":
                     out = np.degrees(np.arctan(np.sqrt(fx * fx + fy * fy)))
                 elif stat == "aspect":
                     # Aspect.java orientation: degrees clockwise from north

@@ -665,3 +665,47 @@ _ASPECT_SQL = (
 def q_aspect(spark, sf):
     out = R.focal(_dem(spark), "aspect")
     return R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
+
+
+# -- watershed labeling (§2.12; Watershed.java) -------------------------------
+@Q.register(
+    "watershed_sizes",
+    f"WITH RECURSIVE {_HYD_BASE}, "
+    "edges AS (SELECT row * 1000000 + col AS id, "
+    "(row + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1 "
+    "WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1 ELSE 1 END) * 1000000 + "
+    "(col + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 1 "
+    "WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN 0 ELSE 1 END) AS nid "
+    "FROM d8 WHERE code > 0), "
+    "terminals AS (SELECT row * 1000000 + col AS id FROM d8 WHERE code = 0), "
+    "walk(id, cur) AS (SELECT id, id FROM (SELECT row * 1000000 + col AS id FROM d8) "
+    "UNION SELECT w.id, e.nid FROM walk w JOIN edges e ON e.id = w.cur), "
+    "root AS (SELECT w.id, w.cur AS ws FROM walk w JOIN terminals t ON w.cur = t.id) "
+    "SELECT ws, COUNT(*) AS n_cells FROM root GROUP BY 1 ORDER BY 1",
+)
+def q_watershed_sizes(spark, sf):
+    from .operators.hydro import flow_pointer_d8, watershed
+
+    ws = watershed(flow_pointer_d8(_hydem(spark)))
+    return ws.groupBy("ws").agg(F.count(F.lit(1)).alias("n_cells")).orderBy("ws")
+
+
+# -- Sobel edge magnitude (FilterSobel.java) ----------------------------------
+_SOBEL_SQL = (
+    "SQRT(POW(ne + 2e0 * ev + se - nw - 2e0 * wv - sw, 2) + "
+    "POW(sw + 2e0 * ss + se - nw - 2e0 * nn - ne, 2))"
+)
+
+
+@Q.register(
+    "sobel",
+    f"WITH {_RAS}, {_W9} SELECT row, col, "
+    f"CAST(ROUND({_SOBEL_SQL}, 6) AS DOUBLE) AS value FROM w9 "
+    f"WHERE cv != {NODATA!r}e0 AND {NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
+    "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
+    "AND ev IS NOT NULL AND sw IS NOT NULL AND ss IS NOT NULL AND se IS NOT NULL "
+    "ORDER BY row, col",
+)
+def q_sobel(spark, sf):
+    out = R.focal(_dem(spark), "sobel")
+    return R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
