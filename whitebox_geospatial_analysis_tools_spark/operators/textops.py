@@ -27,7 +27,7 @@ TOKEN_HASH = (
     "+ ascii(substr(tok, length(tok), 1)) * 31) % 2147483648)"
 )
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 24
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
@@ -216,16 +216,16 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2,
                        bits: int = SIMHASH_BITS) -> DataFrame:
     """Near-duplicate pairs by simhash hamming distance <= 2.
 
-    Scale path: 16 bits split into 3 bands (6/5/5).  Any pair within hamming
+    Scale path: 24 bits split into 3 8-bit bands.  Any pair within hamming
     2 agrees EXACTLY on at least one band (pigeonhole), so a band-bucket
     equi-join yields a complete candidate set — never an all-pairs cross
     join.  Candidates are then verified with bit_count(xor)."""
     s = simhash(docs, bits)
     banded = s.select(
         "doc_id", "simhash",
-        F.expr("simhash % 64").alias("b0"),          # bits 0-5
-        F.expr("(simhash div 64) % 32").alias("b1"),  # bits 6-10
-        F.expr("(simhash div 2048) % 32").alias("b2"),  # bits 11-15
+        F.expr("simhash % 256").alias("b0"),             # bits 0-7
+        F.expr("(simhash div 256) % 256").alias("b1"),   # bits 8-15
+        F.expr("(simhash div 65536) % 256").alias("b2"),  # bits 16-23
     )
     cands = None
     for b in ("b0", "b1", "b2"):
