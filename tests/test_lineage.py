@@ -55,3 +55,22 @@ def test_resume_after_partial_commit(spark, pts, tmp_path):
     r3 = L.run_resumable(spark, pts, out, "tile_y", keys, batch_size=2)
     assert r3["written_keys"] == [] and r3["batches"] == 0
     assert L.read_lineage(spark, out).count() == len(keys)
+
+
+def test_north_star_end_to_end(spark, tmp_path):
+    """Full pipeline: geocode -> cells -> PIP left join -> lineage-committed
+    partitioned write -> per-polygon counts; counts must equal the direct
+    pip_counts query."""
+    from whitebox_geospatial_analysis_tools_spark.plans.pipeline import run_north_star
+    from whitebox_geospatial_analysis_tools_spark.operators.spatial_join import pip_counts
+    from whitebox_geospatial_analysis_tools_spark.sources.pages import points_from_documents
+
+    res = run_north_star(spark, SF, str(tmp_path / "ns"))
+    want = {
+        (r.poly_id, r.n_pages)
+        for r in pip_counts(points_from_documents(spark, SF), spark).collect()
+    }
+    assert set(res["counts"]) == want and want
+    assert res["summary"]["written_keys"]
+    lin = L.read_lineage(spark, str(tmp_path / "ns"))
+    assert lin.count() == len(res["summary"]["written_keys"])

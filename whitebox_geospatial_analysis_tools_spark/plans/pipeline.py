@@ -35,3 +35,38 @@ def tile_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     output: 'per-tile cell assignments')."""
     pts = with_cells(points_from_documents(spark, sf_dir))
     return pts.select("doc_id", "tile_id", "cell7", "cell8", "cell9")
+
+
+def run_north_star(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """The complete north-star job as one resumable, lineage-tracked run:
+
+      pages-as-points -> geocode -> tile + res 7-9 cell assignment ->
+      broadcast classified-cell PIP join (spatial LEFT join: unmatched pages
+      keep null poly_id) -> per-tile output partitions committed with
+      per-partition lineage rows (plans/lineage.py) -> per-polygon counts.
+
+    Re-running after a partial failure resumes from the last committed
+    partition; output is partition-count invariant (tests/test_properties).
+    Returns {'summary': lineage summary dict, 'counts': [(poly_id, n)]}.
+    """
+    from ..operators.spatial_join import pip_join
+    from . import lineage as L
+
+    pts = with_cells(points_from_documents(spark, sf_dir))
+    # spatial left join keeps every page; result carries all point columns
+    # (tile/cell assignments) + poly_id
+    joined = pip_join(pts, spark, keep=("doc_id",), how="left").select(
+        "doc_id", "tile_id", "tile_y", "cell7", "cell8", "cell9", "poly_id"
+    )
+    keys = [r.tile_y for r in pts.select("tile_y").distinct().collect()]
+    summary = L.run_resumable(
+        spark, joined, out_dir, "tile_y", keys,
+        input_desc=f"documents@{sf_dir}",
+    )
+    out = spark.read.parquet(f"{out_dir}/{L.DATA_DIR}")
+    counts = (
+        out.where(F.col("poly_id").isNotNull())
+        .groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_pages"))
+        .orderBy("poly_id").collect()
+    )
+    return {"summary": summary, "counts": [(r.poly_id, r.n_pages) for r in counts]}

@@ -49,6 +49,19 @@ def _dem(spark, band: int = 0):
     return R.synth_raster(spark, ROWS, COLS, band=band)
 
 
+FROWS, FCOLS = 120, 180
+_FVAL = cell_value_sql("r.r", "c.c", 0, FCOLS)
+_RASF = (
+    f"ras AS (SELECT r.r AS row, c.c AS col, {_FVAL} AS value "
+    f"FROM range(0, {FROWS}) r(r), range(0, {FCOLS}) c(c))"
+)
+
+
+def _demf(spark):
+    return R.synth_raster(spark, FROWS, FCOLS)
+
+
+
 # -- whole-raster stats (§2.4) ------------------------------------------------
 @Q.register(
     "raster_stats",
@@ -114,14 +127,14 @@ _NBR = (
 
 @Q.register(
     "focal_mean",
-    f"WITH {_RAS}, {_NBR} SELECT row, col, "
+    f"WITH {_RASF}, {_NBR} SELECT row, col, "
     f"SUM(CASE WHEN bv = {R.NODATA!r}e0 THEN 0e0 ELSE bv END) "
     f"/ COUNT(*) FILTER (bv != {R.NODATA!r}e0) AS value "
     f"FROM nbr GROUP BY 1, 2 HAVING COUNT(*) FILTER (bv != {R.NODATA!r}e0) > 0 "
     "ORDER BY row, col",
 )
 def q_focal_mean(spark, sf):
-    out = R.focal(_dem(spark), "mean")
+    out = R.focal(_demf(spark), "mean")
     return (
         R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
     )
@@ -129,7 +142,7 @@ def q_focal_mean(spark, sf):
 
 @Q.register(
     "focal_stats",
-    f"WITH {_RAS}, {_NBR}, live AS (SELECT row, col, bv FROM nbr WHERE bv != {R.NODATA!r}e0) "
+    f"WITH {_RASF}, {_NBR}, live AS (SELECT row, col, bv FROM nbr WHERE bv != {R.NODATA!r}e0) "
     "SELECT row, col, MIN(bv) AS min_v, MAX(bv) AS max_v, "
     "MAX(bv) - MIN(bv) AS range_v, SUM(bv) AS total_v, "
     "CASE WHEN COUNT(*) < 2 THEN NULL ELSE "
@@ -137,7 +150,7 @@ def q_focal_mean(spark, sf):
     "FROM live GROUP BY 1, 2 ORDER BY row, col",
 )
 def q_focal_stats(spark, sf):
-    dem = _dem(spark)
+    dem = _demf(spark)
     parts = {s: R.explode_cells(R.focal(dem, s), f"{s}_v") for s in
              ("min", "max", "range", "total", "stddev")}
     out = parts["min"]
@@ -174,7 +187,7 @@ _W9 = (
 
 @Q.register(
     "slope",
-    f"WITH {_RAS}, {_W9} SELECT row, col, "
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
     f"CAST(ROUND({_SLOPE_SQL}, 6) AS DOUBLE) AS value FROM w9 "
     f"WHERE cv != {R.NODATA!r}e0 AND {R.NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
     "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
@@ -182,7 +195,7 @@ _W9 = (
     "ORDER BY row, col",
 )
 def q_slope(spark, sf):
-    out = R.focal(_dem(spark), "slope")
+    out = R.focal(_demf(spark), "slope")
     return (
         R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
     )
@@ -633,13 +646,13 @@ def q_resample_nn(spark, sf):
 # -- focal median (FilterMedian.java) and aspect (Aspect.java) ----------------
 @Q.register(
     "focal_median",
-    f"WITH {_RAS}, {_NBR} SELECT row, col, "
+    f"WITH {_RASF}, {_NBR} SELECT row, col, "
     f"MEDIAN(bv) FILTER (bv != {NODATA!r}e0) AS value "
     f"FROM nbr GROUP BY 1, 2 HAVING COUNT(*) FILTER (bv != {NODATA!r}e0) > 0 "
     "ORDER BY row, col",
 )
 def q_focal_median(spark, sf):
-    out = R.focal(_dem(spark), "median")
+    out = R.focal(_demf(spark), "median")
     return R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
 
 
@@ -655,7 +668,7 @@ _ASPECT_SQL = (
 
 @Q.register(
     "aspect",
-    f"WITH {_RAS}, {_W9} SELECT row, col, "
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
     f"CAST(ROUND({_ASPECT_SQL}, 6) AS DOUBLE) AS value FROM w9 "
     f"WHERE cv != {NODATA!r}e0 AND {NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
     "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
@@ -663,7 +676,7 @@ _ASPECT_SQL = (
     "ORDER BY row, col",
 )
 def q_aspect(spark, sf):
-    out = R.focal(_dem(spark), "aspect")
+    out = R.focal(_demf(spark), "aspect")
     return R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
 
 
@@ -699,7 +712,7 @@ _SOBEL_SQL = (
 
 @Q.register(
     "sobel",
-    f"WITH {_RAS}, {_W9} SELECT row, col, "
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
     f"CAST(ROUND({_SOBEL_SQL}, 6) AS DOUBLE) AS value FROM w9 "
     f"WHERE cv != {NODATA!r}e0 AND {NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
     "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
@@ -707,5 +720,5 @@ _SOBEL_SQL = (
     "ORDER BY row, col",
 )
 def q_sobel(spark, sf):
-    out = R.focal(_dem(spark), "sobel")
+    out = R.focal(_demf(spark), "sobel")
     return R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
