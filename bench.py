@@ -110,7 +110,7 @@ def _flagship_throughput(master: str, n_pages: int) -> float:
         # the parallel fraction at sandbox scale).
         flagship_synthetic(spark, n_pages).count()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             flagship_synthetic(spark, n_pages).count()
             best = min(best, time.time() - t0)
