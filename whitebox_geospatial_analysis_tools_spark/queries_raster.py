@@ -722,3 +722,84 @@ _SOBEL_SQL = (
 def q_sobel(spark, sf):
     out = R.focal(_demf(spark), "sobel")
     return R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
+
+
+# -- weighted overlay (§2.7; WeightedSum.java / WeightedOverlay.java) ---------
+@Q.register(
+    "weighted_overlay",
+    f"WITH {_RAS}, {_RAS2} SELECT COUNT(*) AS n, "
+    "CAST(ROUND(SUM(0.75e0 * a.value + 0.25e0 * b.value), 6) AS DOUBLE) AS total, "
+    "MIN(0.75e0 * a.value + 0.25e0 * b.value) AS min_v, "
+    "MAX(0.75e0 * a.value + 0.25e0 * b.value) AS max_v "
+    "FROM ras a JOIN ras2 b USING (row, col) "
+    f"WHERE a.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0",
+)
+def q_weighted_overlay(spark, sf):
+    out = R.zip_algebra(_dem(spark, 0), _dem(spark, 1), "0.75e0 * x + 0.25e0 * y")
+    cells = R.explode_cells(out).where(F.col("value") != _ND)
+    return cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).cast("double").alias("total"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+# -- raster cross-tabulation (§2.4; CrossTabulation.java:228-268) -------------
+@Q.register(
+    "raster_crosstab",
+    f"WITH {_RAS}, {_RAS2} SELECT CAST(FLOOR(a.value / 50e0) AS BIGINT) AS c1, "
+    "CAST(FLOOR(b.value / 50e0) AS BIGINT) AS c2, COUNT(*) AS n "
+    "FROM ras a JOIN ras2 b USING (row, col) "
+    f"WHERE a.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0 "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_raster_crosstab(spark, sf):
+    a = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "a")
+    b = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "b")
+    j = a.join(b, ["row", "col"]).where((F.col("a") != _ND) & (F.col("b") != _ND))
+    return (
+        j.groupBy(
+            F.expr("CAST(FLOOR(a / 50e0) AS BIGINT)").alias("c1"),
+            F.expr("CAST(FLOOR(b / 50e0) AS BIGINT)").alias("c2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c1", "c2")
+    )
+
+
+# -- trend surface: OLS plane fit z = a + b x + c y (§2.9; TrendSurface.java) -
+_TS_SUMS = (
+    "s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(lon) AS sx, SUM(lat) AS sy, "
+    "SUM(val) AS sz, SUM(lon * lon) AS sxx, SUM(lon * lat) AS sxy, "
+    "SUM(lat * lat) AS syy, SUM(lon * val) AS sxz, SUM(lat * val) AS syz FROM pts)"
+)
+_TS_DET = "(n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy) + sy * (sx * sxy - sxx * sy))"
+_TS_A = "(sz * (sxx * syy - sxy * sxy) - sx * (sxz * syy - sxy * syz) + sy * (sxz * sxy - sxx * syz))"
+_TS_B = "(n * (sxz * syy - sxy * syz) - sz * (sx * syy - sxy * sy) + sy * (sx * syz - sxz * sy))"
+_TS_C = "(n * (sxx * syz - sxz * sxy) - sx * (sx * syz - sxz * sy) + sz * (sx * sxy - sxx * sy))"
+
+
+@Q.register(
+    "trend_surface",
+    f"WITH {Q.pts_cte()}, {_TS_SUMS} "
+    f"SELECT CAST(ROUND({_TS_A} / {_TS_DET}, 4) AS DOUBLE) AS a, "
+    f"CAST(ROUND({_TS_B} / {_TS_DET}, 4) AS DOUBLE) AS b, "
+    f"CAST(ROUND({_TS_C} / {_TS_DET}, 4) AS DOUBLE) AS c FROM s",
+)
+def q_trend_surface(spark, sf):
+    pts = Q._points(spark, sf)
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lon").alias("sx"), F.sum("lat").alias("sy"), F.sum("val").alias("sz"),
+        F.sum(F.col("lon") * F.col("lon")).alias("sxx"),
+        F.sum(F.col("lon") * F.col("lat")).alias("sxy"),
+        F.sum(F.col("lat") * F.col("lat")).alias("syy"),
+        F.sum(F.col("lon") * F.col("val")).alias("sxz"),
+        F.sum(F.col("lat") * F.col("val")).alias("syz"),
+    )
+    return s.selectExpr(
+        f"CAST(ROUND({_TS_A} / {_TS_DET}, 4) AS DOUBLE) AS a",
+        f"CAST(ROUND({_TS_B} / {_TS_DET}, 4) AS DOUBLE) AS b",
+        f"CAST(ROUND({_TS_C} / {_TS_DET}, 4) AS DOUBLE) AS c",
+    )
