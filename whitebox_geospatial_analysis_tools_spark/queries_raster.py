@@ -803,3 +803,27 @@ def q_trend_surface(spark, sf):
         f"CAST(ROUND({_TS_B} / {_TS_DET}, 4) AS DOUBLE) AS b",
         f"CAST(ROUND({_TS_C} / {_TS_DET}, 4) AS DOUBLE) AS c",
     )
+
+
+# -- hillshade (TerrainAnalysisTools/src/plugins/Hillshade.java) --------------
+_FX = "((ne + 2e0 * ev + se - nw - 2e0 * wv - sw) / 8e0)"
+_FY = "((sw + 2e0 * ss + se - nw - 2e0 * nn - ne) / 8e0)"
+_HS_SQL = (
+    f"(SIN(RADIANS(30e0)) * COS(ATAN(SQRT({_FX} * {_FX} + {_FY} * {_FY}))) "
+    f"+ COS(RADIANS(30e0)) * SIN(ATAN(SQRT({_FX} * {_FX} + {_FY} * {_FY}))) "
+    f"* COS(RADIANS(315e0) - ATAN2(-{_FX}, {_FY})))"
+)
+
+
+@Q.register(
+    "hillshade",
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
+    f"CAST(ROUND({_HS_SQL}, 6) AS DOUBLE) AS value FROM w9 "
+    f"WHERE cv != {NODATA!r}e0 AND {NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
+    "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
+    "AND ev IS NOT NULL AND sw IS NOT NULL AND ss IS NOT NULL AND se IS NOT NULL "
+    "ORDER BY row, col",
+)
+def q_hillshade(spark, sf):
+    out = R.focal(_demf(spark), "hillshade")
+    return R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
