@@ -75,3 +75,31 @@ def test_downsample_vs_pandas(spark, dem_grid):
     assert len(m) == len(want) == len(out)
     assert (m["n"] == m["count"]).all()
     assert np.allclose(m["mean_val"], m["mean"].round(6))
+
+
+def test_focal_invariant_to_tile_size(spark):
+    """Halo-exchange correctness: focal results must not depend on the tile
+    decomposition (tile=16 vs 64 vs 128 covers interior/edge/corner halos)."""
+    outs = []
+    for tile in (16, 64, 128):
+        tiles = R.synth_raster(spark, 70, 90, tile=tile)
+        pdf = R.explode_cells(R.focal(tiles, "mean")).toPandas()
+        outs.append(pdf.sort_values(["row", "col"]).reset_index(drop=True))
+    for other in outs[1:]:
+        assert len(outs[0]) == len(other)
+        assert (outs[0]["row"] == other["row"]).all()
+        assert (outs[0]["col"] == other["col"]).all()
+        a, b = outs[0]["value"].to_numpy(), other["value"].to_numpy()
+        assert np.array_equal(a, b)
+
+
+def test_flow_accum_invariant_to_tile_size(spark):
+    from whitebox_geospatial_analysis_tools_spark.operators.hydro import (
+        flow_accum, flow_pointer_d8,
+    )
+
+    res = []
+    for tile in (32, 64):
+        acc = flow_accum(flow_pointer_d8(R.synth_raster(spark, 40, 60, tile=tile)))
+        res.append({(r.row, r.col): r.accum for r in acc.collect()})
+    assert res[0] == res[1] and res[0]
