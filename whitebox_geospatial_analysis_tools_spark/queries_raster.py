@@ -827,3 +827,51 @@ _HS_SQL = (
 def q_hillshade(spark, sf):
     out = R.focal(_demf(spark), "hillshade")
     return R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
+
+
+# -- two-image histogram matching (§2.13; TwoImageHistogramMatching.java) -----
+# A's integer-bin CDF is mapped onto B's bin whose CDF quantile is the
+# smallest >= A's (classic LUT remap); all-integer counts -> exact.
+@Q.register(
+    "hist_match",
+    f"WITH {_RAS}, {_RAS2}, "
+    f"la AS (SELECT CAST(FLOOR(value) AS BIGINT) AS bin FROM ras WHERE {_NDF}), "
+    f"lb AS (SELECT CAST(FLOOR(value) AS BIGINT) AS bin FROM ras2 WHERE value != {NODATA!r}e0), "
+    "ca AS (SELECT bin, CAST(SUM(COUNT(*)) OVER (ORDER BY bin) AS DOUBLE) "
+    "/ (SELECT COUNT(*) FROM la) AS q FROM la GROUP BY bin), "
+    "cb AS (SELECT bin, CAST(SUM(COUNT(*)) OVER (ORDER BY bin) AS DOUBLE) "
+    "/ (SELECT COUNT(*) FROM lb) AS q FROM lb GROUP BY bin), "
+    "lut AS (SELECT ca.bin AS abin, MIN(cb.bin) AS mapped FROM ca JOIN cb "
+    "ON cb.q >= ca.q GROUP BY 1) "
+    "SELECT l.mapped, COUNT(*) AS n FROM la a JOIN lut l ON a.bin = l.abin "
+    "GROUP BY 1 ORDER BY 1",
+)
+def q_hist_match(spark, sf):
+    from pyspark.sql import Window
+
+    def cdf(cells):
+        h = cells.groupBy(F.expr("CAST(FLOOR(value) AS BIGINT)").alias("bin")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        t = h.agg(F.sum("n").alias("t"))
+        w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            h.withColumn("cum", F.sum("n").over(w))
+            .crossJoin(F.broadcast(t))
+            .select("bin", (F.col("cum").cast("double") / F.col("t")).alias("q"))
+        )
+
+    la = R.explode_cells(_dem(spark, 0)).where(F.col("value") != _ND)
+    lb = R.explode_cells(_dem(spark, 1)).where(F.col("value") != _ND)
+    ca, cb = cdf(la), cdf(lb)
+    lut = (
+        ca.alias("a").join(F.broadcast(cb.alias("b")), F.col("b.q") >= F.col("a.q"))
+        .groupBy(F.col("a.bin").alias("abin"))
+        .agg(F.min("b.bin").alias("mapped"))
+    )
+    return (
+        la.withColumn("bin", F.expr("CAST(FLOOR(value) AS BIGINT)"))
+        .join(F.broadcast(lut), F.col("bin") == F.col("abin"))
+        .groupBy("mapped").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("mapped")
+    )
