@@ -875,3 +875,51 @@ def q_hist_match(spark, sf):
         .groupBy("mapped").agg(F.count(F.lit(1)).alias("n"))
         .orderBy("mapped")
     )
+
+
+# -- percent of stack greater than threshold (Scripts/PercentGreaterThan.groovy)
+@Q.register(
+    "percent_greater",
+    f"WITH {_RAS}, {_RAS2} SELECT "
+    "(CASE WHEN a.value > 100e0 THEN 50e0 ELSE 0e0 END "
+    "+ CASE WHEN b.value > 100e0 THEN 50e0 ELSE 0e0 END) AS pct, COUNT(*) AS n "
+    "FROM ras a JOIN ras2 b USING (row, col) "
+    f"WHERE a.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0 GROUP BY 1 ORDER BY 1",
+)
+def q_percent_greater(spark, sf):
+    out = R.zip_algebra(
+        _dem(spark, 0), _dem(spark, 1),
+        "CASE WHEN x > 100e0 THEN 50e0 ELSE 0e0 END + CASE WHEN y > 100e0 THEN 50e0 ELSE 0e0 END",
+    )
+    return (
+        R.explode_cells(out).where(F.col("value") != _ND)
+        .groupBy(F.col("value").alias("pct")).agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pct")
+    )
+
+
+# -- raster-to-raster OLS regression (ImageRegression.java:237-264) -----------
+@Q.register(
+    "raster_regression",
+    f"WITH {_RAS}, {_RAS2}, j AS (SELECT a.value AS x, b.value AS y "
+    "FROM ras a JOIN ras2 b USING (row, col) "
+    f"WHERE a.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0) "
+    "SELECT CAST(ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) "
+    "/ (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS DOUBLE) AS slope_b, "
+    "CAST(ROUND((SUM(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) "
+    "/ (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * SUM(x)) / COUNT(*), 6) AS DOUBLE) AS intercept_a, "
+    "COUNT(*) AS n FROM j",
+)
+def q_raster_regression(spark, sf):
+    a = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "x")
+    b = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "y")
+    j = a.join(b, ["row", "col"]).where((F.col("x") != _ND) & (F.col("y") != _ND))
+    n = F.count(F.lit(1))
+    sb = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return j.agg(
+        F.round(sb, 6).cast("double").alias("slope_b"),
+        F.round((F.sum("y") - sb * F.sum("x")) / n, 6).cast("double").alias("intercept_a"),
+        n.alias("n"),
+    )

@@ -215,3 +215,23 @@ def q_attr_correlation(spark, sf):
         corr("l_quantity", "l_discount").alias("r_qty_disc"),
         corr("l_extendedprice", "l_discount").alias("r_price_disc"),
     )
+
+
+# -- elongation ratio per feature (GISTools ElongationRatio.java, bbox form) --
+@Q.register(
+    "elongation",
+    f"SELECT poly_id, category, "
+    "CAST(ROUND(1e0 - LEAST(xmax - xmin, ymax - ymin) / GREATEST(xmax - xmin, ymax - ymin), 6) AS DOUBLE) AS elongation "
+    f"FROM {bbox_sql_values()} b(poly_id, category, xmin, ymin, xmax, ymax) ORDER BY poly_id",
+)
+def q_elongation(spark, sf):
+    from .sources.polygons import polygons_df
+
+    df = polygons_df(spark)
+    w = F.col("bbox.xmax") - F.col("bbox.xmin")
+    h = F.col("bbox.ymax") - F.col("bbox.ymin")
+    return df.select(
+        "poly_id", "category",
+        F.round(F.lit(1.0) - F.least(w, h) / F.greatest(w, h), 6)
+        .cast("double").alias("elongation"),
+    ).orderBy("poly_id")
