@@ -19,20 +19,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_OFFS = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]
+_OFFS4 = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]
+_OFFS8 = _OFFS4 + [(-1, -1), (-1, 1), (1, -1), (1, 1)]
 
 
-def clump(cells: DataFrame, cols: int, *, max_rounds: int = 40) -> DataFrame:
+def clump(cells: DataFrame, cols: int, *, connectivity: int = 4,
+          max_rounds: int = 40) -> DataFrame:
     """cells: (row, col, cls) — non-nodata cells with a class value.
 
     Returns (row, col, cls, label) with label = min flat id in the
-    4-connected same-class component.
+    4- or 8-connected same-class component (GISTools/Clump.java supports
+    both connectivities).
     """
     base = cells.select(
         "row", "col", "cls", (F.col("row") * cols + F.col("col")).alias("id")
     ).persist()
+    offs_list = _OFFS8 if connectivity == 8 else _OFFS4
     offs = F.array(*[
-        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc")) for dr, dc in _OFFS
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc")) for dr, dc in offs_list
     ])
     probe = (
         base.withColumn("_o", F.explode(offs))

@@ -923,3 +923,61 @@ def q_raster_regression(spark, sf):
         F.round((F.sum("y") - sb * F.sum("x")) / n, 6).cast("double").alias("intercept_a"),
         n.alias("n"),
     )
+
+
+# -- change vector analysis (§2.13; ChangeVectorAnalysis.java) ----------------
+# two dates x two bands; change magnitude per cell + 4-quadrant direction code
+@Q.register(
+    "change_vector",
+    f"WITH {_RAS}, {_RAS2} SELECT "
+    "(CASE WHEN b.value >= a.value THEN 1 ELSE 0 END "
+    "+ CASE WHEN b.value * 2e0 >= a.value * 2e0 THEN 2 ELSE 0 END) AS quad, "
+    "COUNT(*) AS n, "
+    "CAST(ROUND(SUM(SQRT(POW(b.value - a.value, 2) + POW(b.value * 2e0 - a.value * 2e0, 2))), 4) AS DOUBLE) AS total_mag "
+    "FROM ras a JOIN ras2 b USING (row, col) "
+    f"WHERE a.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0 GROUP BY 1 ORDER BY 1",
+)
+def q_change_vector(spark, sf):
+    a = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "a")
+    b = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "b")
+    j = a.join(b, ["row", "col"]).where((F.col("a") != _ND) & (F.col("b") != _ND))
+    quad = (
+        F.when(F.col("b") >= F.col("a"), 1).otherwise(0)
+        + F.when(F.col("b") * 2.0 >= F.col("a") * 2.0, 2).otherwise(0)
+    )
+    mag = F.sqrt(
+        F.pow(F.col("b") - F.col("a"), 2) + F.pow(F.col("b") * 2.0 - F.col("a") * 2.0, 2)
+    )
+    return (
+        j.groupBy(quad.alias("quad"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(mag), 4).cast("double").alias("total_mag"))
+        .orderBy("quad")
+    )
+
+
+# -- stream link labeling (StreamNetworkAnalysisTools StreamLinkID.java) ------
+# stream cells (accum >= 5) labeled into 8-connected links
+@Q.register(
+    "stream_links",
+    f"WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES}, "
+    "stream AS (SELECT row, col FROM acc WHERE accum >= 5), "
+    "sbase AS (SELECT row, col, row * 1000000 + col AS id FROM stream), "
+    "sadj AS (SELECT a.id AS id, b.id AS nid FROM sbase a JOIN sbase b "
+    "ON ABS(a.row - b.row) <= 1 AND ABS(a.col - b.col) <= 1), "
+    "sreach(id, rid) AS (SELECT id, id FROM sbase UNION "
+    "SELECT r.id, a.nid FROM sreach r JOIN sadj a ON a.id = r.rid), "
+    "slab AS (SELECT id, MIN(rid) AS label FROM sreach GROUP BY 1) "
+    "SELECT label, COUNT(*) AS n_cells FROM slab GROUP BY 1 ORDER BY 1",
+)
+def q_stream_links(spark, sf):
+    from .operators.clump import clump
+    from .operators.hydro import flow_accum, flow_pointer_d8
+
+    acc = flow_accum(flow_pointer_d8(_hydem(spark)))
+    stream = acc.where(F.col("accum") >= 5).select("row", "col", F.lit(1).alias("cls"))
+    return (
+        clump(stream, 1_000_000, connectivity=8)
+        .groupBy("label").agg(F.count(F.lit(1)).alias("n_cells"))
+        .orderBy("label")
+    )
