@@ -180,10 +180,13 @@ def classified_cells(size: float, cols: int, layer: PolygonLayer | None = None):
     Fully vectorized per polygon: (cells x edges) broadcast arrays — the
     whole index builds in ~10ms for 100 polygons at res 9.
     """
-    key = (float(size), int(cols), id(layer) if layer is not None else None)
-    hit = _CLASSIFIED_CACHE.get(key)
-    if hit is not None:
-        return hit
+    # memoize only the canonical (layer=None) case: an id(layer) key can
+    # alias after GC reuses the address for a different layer object
+    key = (float(size), int(cols)) if layer is None else None
+    if key is not None:
+        hit = _CLASSIFIED_CACHE.get(key)
+        if hit is not None:
+            return hit
     layer = layer or make_polygon_layer()
     eps = 1e-9
     out = []
@@ -230,7 +233,8 @@ def classified_cells(size: float, cols: int, layer: PolygonLayer | None = None):
                 out.append((int(cid), pid, False))
             elif inside:
                 out.append((int(cid), pid, True))
-    _CLASSIFIED_CACHE[key] = out
+    if key is not None:
+        _CLASSIFIED_CACHE[key] = out
     return out
 
 

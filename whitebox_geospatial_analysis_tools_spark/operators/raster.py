@@ -283,8 +283,11 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                 else:
                     raise ValueError(stat)
                 # transcendental outputs round to 6 decimals (libm ulp policy);
-                # moment/order stats above are exact on dyadic inputs - no rounding
-                out = np.round(out, 6)
+                # moment/order stats above are exact on dyadic inputs - no
+                # rounding.  Half-UP idiom floor(x*1e6+0.5)/1e6 — the same
+                # formula the oracle SQL uses (np.round is HALF_EVEN, DuckDB
+                # ROUND is half-away-from-zero; mixing them breaks exact ties)
+                out = np.floor(out * 1e6 + 0.5) / 1e6
                 out = np.where(np.isnan(stack).any(axis=0), np.nan, out)
         out = np.where(np.isnan(centerv), np.nan, out)
         out = np.where(np.isnan(out), NODATA, out)

@@ -57,10 +57,15 @@ def classified_cell_index(spark: SparkSession, res: int = _REFINE_RES) -> DataFr
     even-odd ray-cast runs as a Catalyst ``aggregate()`` lambda — whole-stage
     codegen, no Python, no shuffle.  Interior rows carry an empty array.
     """
-    key = (id(spark._jsparkSession), res)
+    # keyed on applicationId (stable per SparkSession lifetime) — id()-based
+    # keys can alias after stop()+new session in one process (bench --scaling)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, res)
     hit = _INDEX_CACHE.get(key)
     if hit is not None:
         return hit
+    for stale in [k for k in _INDEX_CACHE if k[0] != app_id]:
+        _INDEX_CACHE.pop(stale)  # entries of stopped sessions: dead persists
     size = {7: 6.0, 8: 2.0, 9: 2.0 / 3.0}[res]
     cols = int(round(360.0 / size))
     layer = make_polygon_layer()

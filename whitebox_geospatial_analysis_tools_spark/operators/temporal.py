@@ -31,7 +31,12 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str, ts: str,
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        # final right-value sort keys: right rows sharing (key, ts) would
+        # otherwise carry forward a nondeterministic value; ascending + last()
+        # = the LARGEST right value wins, matching the oracle's
+        # ORDER BY ts DESC, value DESC ... rn = 1 tie-break
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc(),
+                 *[F.col(c + suffix).asc_nulls_first() for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in right_cols:

@@ -188,7 +188,7 @@ _W9 = (
 @Q.register(
     "slope",
     f"WITH {_RASF}, {_W9} SELECT row, col, "
-    f"CAST(ROUND({_SLOPE_SQL}, 6) AS DOUBLE) AS value FROM w9 "
+    f"(FLOOR(({_SLOPE_SQL}) * 1e6 + 0.5e0) / 1e6) AS value FROM w9 "
     f"WHERE cv != {R.NODATA!r}e0 AND {R.NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
     "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
     "AND ev IS NOT NULL AND sw IS NOT NULL AND ss IS NOT NULL AND se IS NOT NULL "
@@ -669,7 +669,7 @@ _ASPECT_SQL = (
 @Q.register(
     "aspect",
     f"WITH {_RASF}, {_W9} SELECT row, col, "
-    f"CAST(ROUND({_ASPECT_SQL}, 6) AS DOUBLE) AS value FROM w9 "
+    f"(FLOOR(({_ASPECT_SQL}) * 1e6 + 0.5e0) / 1e6) AS value FROM w9 "
     f"WHERE cv != {NODATA!r}e0 AND {NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
     "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
     "AND ev IS NOT NULL AND sw IS NOT NULL AND ss IS NOT NULL AND se IS NOT NULL "
@@ -713,7 +713,7 @@ _SOBEL_SQL = (
 @Q.register(
     "sobel",
     f"WITH {_RASF}, {_W9} SELECT row, col, "
-    f"CAST(ROUND({_SOBEL_SQL}, 6) AS DOUBLE) AS value FROM w9 "
+    f"(FLOOR(({_SOBEL_SQL}) * 1e6 + 0.5e0) / 1e6) AS value FROM w9 "
     f"WHERE cv != {NODATA!r}e0 AND {NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
     "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
     "AND ev IS NOT NULL AND sw IS NOT NULL AND ss IS NOT NULL AND se IS NOT NULL "
@@ -818,7 +818,7 @@ _HS_SQL = (
 @Q.register(
     "hillshade",
     f"WITH {_RASF}, {_W9} SELECT row, col, "
-    f"CAST(ROUND({_HS_SQL}, 6) AS DOUBLE) AS value FROM w9 "
+    f"(FLOOR(({_HS_SQL}) * 1e6 + 0.5e0) / 1e6) AS value FROM w9 "
     f"WHERE cv != {NODATA!r}e0 AND {NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
     "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
     "AND ev IS NOT NULL AND sw IS NOT NULL AND ss IS NOT NULL AND se IS NOT NULL "
@@ -926,27 +926,50 @@ def q_raster_regression(spark, sf):
 
 
 # -- change vector analysis (§2.13; ChangeVectorAnalysis.java) ----------------
-# two dates x two bands; change magnitude per cell + 4-quadrant direction code
+# two dates x two bands; change magnitude per cell + 4-quadrant direction code.
+# The two bands per date are INDEPENDENT synthetic bands (0/2 = date1,
+# 1/3 = date2) so all four direction quadrants are genuinely exercised.
+_VAL2 = cell_value_sql("r.r", "c.c", 2, COLS)
+_VAL3 = cell_value_sql("r.r", "c.c", 3, COLS)
+_RAS3 = (
+    f"ras3 AS (SELECT r.r AS row, c.c AS col, {_VAL2} AS value "
+    f"FROM range(0, {ROWS}) r(r), range(0, {COLS}) c(c))"
+)
+_RAS4 = (
+    f"ras4 AS (SELECT r.r AS row, c.c AS col, {_VAL3} AS value "
+    f"FROM range(0, {ROWS}) r(r), range(0, {COLS}) c(c))"
+)
+
+
 @Q.register(
     "change_vector",
-    f"WITH {_RAS}, {_RAS2} SELECT "
-    "(CASE WHEN b.value >= a.value THEN 1 ELSE 0 END "
-    "+ CASE WHEN b.value * 2e0 >= a.value * 2e0 THEN 2 ELSE 0 END) AS quad, "
+    f"WITH {_RAS}, {_RAS2}, {_RAS3}, {_RAS4} SELECT "
+    "(CASE WHEN b1.value >= a1.value THEN 1 ELSE 0 END "
+    "+ CASE WHEN b2.value >= a2.value THEN 2 ELSE 0 END) AS quad, "
     "COUNT(*) AS n, "
-    "CAST(ROUND(SUM(SQRT(POW(b.value - a.value, 2) + POW(b.value * 2e0 - a.value * 2e0, 2))), 4) AS DOUBLE) AS total_mag "
-    "FROM ras a JOIN ras2 b USING (row, col) "
-    f"WHERE a.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0 GROUP BY 1 ORDER BY 1",
+    "CAST(ROUND(SUM(SQRT(POW(b1.value - a1.value, 2) + POW(b2.value - a2.value, 2))), 4) AS DOUBLE) AS total_mag "
+    "FROM ras a1 JOIN ras2 b1 USING (row, col) JOIN ras3 a2 USING (row, col) "
+    "JOIN ras4 b2 USING (row, col) "
+    f"WHERE a1.value != {NODATA!r}e0 AND b1.value != {NODATA!r}e0 "
+    f"AND a2.value != {NODATA!r}e0 AND b2.value != {NODATA!r}e0 "
+    "GROUP BY 1 ORDER BY 1",
 )
 def q_change_vector(spark, sf):
-    a = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "a")
-    b = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "b")
-    j = a.join(b, ["row", "col"]).where((F.col("a") != _ND) & (F.col("b") != _ND))
+    a1 = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "a1")
+    b1 = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "b1")
+    a2 = R.explode_cells(_dem(spark, 2)).withColumnRenamed("value", "a2")
+    b2 = R.explode_cells(_dem(spark, 3)).withColumnRenamed("value", "b2")
+    j = (
+        a1.join(b1, ["row", "col"]).join(a2, ["row", "col"]).join(b2, ["row", "col"])
+        .where((F.col("a1") != _ND) & (F.col("b1") != _ND)
+               & (F.col("a2") != _ND) & (F.col("b2") != _ND))
+    )
     quad = (
-        F.when(F.col("b") >= F.col("a"), 1).otherwise(0)
-        + F.when(F.col("b") * 2.0 >= F.col("a") * 2.0, 2).otherwise(0)
+        F.when(F.col("b1") >= F.col("a1"), 1).otherwise(0)
+        + F.when(F.col("b2") >= F.col("a2"), 2).otherwise(0)
     )
     mag = F.sqrt(
-        F.pow(F.col("b") - F.col("a"), 2) + F.pow(F.col("b") * 2.0 - F.col("a") * 2.0, 2)
+        F.pow(F.col("b1") - F.col("a1"), 2) + F.pow(F.col("b2") - F.col("a2"), 2)
     )
     return (
         j.groupBy(quad.alias("quad"))
