@@ -1,4 +1,4 @@
-"""Hydrology slice: D8 flow pointer, flow accumulation, stream extraction.
+"""Hydrology slice: D8 flow pointer, flow accumulation, watershed, streams.
 
 Reference semantics (SURVEY.md §2.12):
   FlowPointerD8   HydroTools/src/plugins/FlowPointerD8.java (307) — each
@@ -7,19 +7,39 @@ Reference semantics (SURVEY.md §2.12):
                   direction codes, decoded log2 (FlowAccumD8.java:291-293).
   FlowAccumD8     HydroTools/src/plugins/FlowAccumD8.java (416) — number of
                   cells draining through each cell (incl. itself), computed
-                  there by sequential upstream-count scheduling.
+                  there by sequential upstream-count scheduling
+                  (FlowAccumD8.java:282-330).
+  Watershed       HydroTools/src/plugins/Watershed.java — label = terminal
+                  pit each cell drains to.
   ExtractStreams  StreamNetworkAnalysisTools/src/plugins/ExtractStreams.java
                   (283) — accumulation >= threshold.
 
-Distributed formulation: the pointer raster is one focal stencil; the
-accumulation is the size of each cell's ANCESTOR set in the pointer forest,
-computed by TRANSITIVE-CLOSURE DOUBLING — log2(longest path) self-joins
-instead of the reference's O(path) sequential peeling, the textbook Spark
-shape for pointer-graph aggregation.  Direction codes here are 2^j over the
-fixed neighbor order (NW,N,NE,W,E,SW,S,SE); j differs from the reference's
-rosette layout but the induced forest is identical up to that relabeling
-(tie-break: first maximum in the fixed order, mirroring the reference's
-scan-order tie behavior).
+Distributed formulation (round-2 rebuild, replacing the O(path^2)
+transitive-closure doubling of round 1 — VERDICT wrong-list #1):
+
+  phase 1  one ``applyInPandas`` per tile runs the reference's own
+           sequential upstream-count scheduling (vectorized Kahn wavefronts
+           in numpy) with EXTERNAL INFLOW = 0, and emits
+             - the tile-local accumulation per cell,
+             - every cross-tile edge (source cell, destination cell, local
+               mass), and
+             - per border cell: where its within-tile flow path EXITS the
+               tile (or the pit it terminates at) — via pointer jumping.
+  phase 2  the condensed inflow graph lives on entry cells only (targets of
+           cross-tile edges — O(N / tile) rows, the grid-graph analogue of a
+           √N boundary): a functional DAG where each entry's mass forwards
+           to exactly one downstream entry.  Solved on the driver by Kahn's
+           algorithm (size-guarded; at cluster scale the same solve is a
+           log-round propagation over this tiny graph).
+  phase 3  entry masses broadcast back; the SAME tile kernel reruns with
+           per-cell weight = 1 + external inflow, giving exact global
+           accumulation.  Total: 2 Spark passes, independent of flow-path
+           length — O(V) state instead of O(Σ path²) closure pairs.
+
+Direction codes here are 2^j over the fixed neighbor order
+(NW,N,NE,W,E,SW,S,SE); j differs from the reference's rosette layout but the
+induced forest is identical up to that relabeling (tie-break: first maximum
+in the fixed order, mirroring the reference's scan-order tie behavior).
 """
 
 from __future__ import annotations
@@ -29,6 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import _scratch
 from .raster import NODATA, _halo_contributions
 
 _SQRT2 = 1.4142135623730951
@@ -38,6 +59,11 @@ D8_OFFS = [
     (0, -1, 1.0), (0, 1, 1.0),
     (1, -1, _SQRT2), (1, 0, 1.0), (1, 1, _SQRT2),
 ]
+_D8_DR = np.array([o[0] for o in D8_OFFS], dtype=np.int64)
+_D8_DC = np.array([o[1] for o in D8_OFFS], dtype=np.int64)
+
+TILE = 256
+_MAX_DRIVER_ROWS = 5_000_000  # condensed-graph driver-solve guard
 
 
 def flow_pointer_d8(tiles: DataFrame) -> DataFrame:
@@ -105,7 +131,6 @@ def flow_pointer_d8(tiles: DataFrame) -> DataFrame:
 
 def pointer_edges(pointers: DataFrame) -> DataFrame:
     """(id, nid): flat-id edge per cell toward its D8 target (code>0)."""
-    j = F.expr("CAST(log2(code) AS INT)")
     dr = F.expr("element_at(array(-1,-1,-1,0,0,1,1,1), CAST(log2(code) AS INT) + 1)")
     dc = F.expr("element_at(array(-1,0,1,-1,1,-1,0,1), CAST(log2(code) AS INT) + 1)")
     return (
@@ -117,34 +142,204 @@ def pointer_edges(pointers: DataFrame) -> DataFrame:
     )
 
 
-def flow_accum(pointers: DataFrame, *, max_doublings: int = 12) -> DataFrame:
+# ---------------------------------------------------------------------------
+# tile-local flow solve (shared by flow_accum and watershed)
+# ---------------------------------------------------------------------------
+_FLOW_SCHEMA = (
+    "row long, col long, acc long, x_row long, x_col long, "
+    "p_row long, p_col long, kind int"
+)
+# kind 0: per-cell row — acc = tile-local accumulation; (p_row,p_col) = the
+#         pit this cell drains to when its path TERMINATES in-tile, else
+#         (x_row,x_col) = the out-of-tile cell its path crosses into.
+# kind 1: cross-tile edge — cell (row,col) sends mass acc into (x_row,x_col).
+# kind 2: border transit — border cell (row,col)'s path exits into
+#         (x_row,x_col), or terminates at pit (p_row,p_col).
+
+
+def _decode_targets(rr, cc, code):
+    has = code > 0
+    j = np.zeros(len(rr), dtype=np.int64)
+    j[has] = np.log2(code[has]).astype(np.int64)
+    return has, rr + np.where(has, _D8_DR[j], 0), cc + np.where(has, _D8_DC[j], 0)
+
+
+def _tile_flow_kernel(tile: int):
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * tile, tc * tile
+        rr = pdf["row"].to_numpy(np.int64)
+        cc = pdf["col"].to_numpy(np.int64)
+        code = pdf["code"].to_numpy(np.int64)
+        ext = (
+            pdf["ext"].fillna(0).to_numpy(np.int64)
+            if "ext" in pdf.columns else np.zeros(len(rr), dtype=np.int64)
+        )
+        n = len(rr)
+        lr, lc = rr - r0, cc - c0
+        h, w = int(lr.max()) + 1, int(lc.max()) + 1
+        gid = np.full((h, w), -1, dtype=np.int64)
+        gid[lr, lc] = np.arange(n)
+
+        has, t_r, t_c = _decode_targets(rr, cc, code)
+        t_lr, t_lc = t_r - r0, t_c - c0
+        inb = has & (t_lr >= 0) & (t_lr < min(tile, h)) & (t_lc >= 0) & (t_lc < min(tile, w))
+        tgt = np.full(n, -1, dtype=np.int64)
+        tgt[inb] = gid[t_lr[inb], t_lc[inb]]
+        internal = tgt >= 0  # D8 never targets a missing (nodata) cell
+        cross = has & ~internal
+
+        # --- tile-local accumulation: Kahn wavefronts (the reference's own
+        # upstream-count scheduling, FlowAccumD8.java:282-330, vectorized)
+        indeg = np.bincount(tgt[internal], minlength=n)
+        accum = 1 + ext
+        processed = np.zeros(n, dtype=bool)
+        frontier = np.flatnonzero(indeg == 0)
+        while frontier.size:
+            processed[frontier] = True
+            fe = frontier[internal[frontier]]
+            if fe.size:
+                t = tgt[fe]
+                np.add.at(accum, t, accum[fe])
+                indeg = indeg - np.bincount(t, minlength=n)
+                frontier = np.flatnonzero((indeg == 0) & ~processed)
+            else:
+                frontier = np.array([], dtype=np.int64)
+
+        # --- terminal of each cell's within-tile path: pointer jumping
+        nxt = np.arange(n, dtype=np.int64)
+        nxt[internal] = tgt[internal]
+        dest = nxt
+        while True:
+            nd = dest[dest]
+            if np.array_equal(nd, dest):
+                break
+            dest = nd
+        d_exits = cross[dest]  # terminal cell has an out-of-tile edge
+
+        on_border = (
+            (rr % tile == 0) | (rr % tile == tile - 1)
+            | (cc % tile == 0) | (cc % tile == tile - 1)
+        )
+
+        parts = []
+        null = np.int64(-1)
+        # kind 0: per-cell local accumulation + path terminal
+        parts.append(pd.DataFrame({
+            "row": rr, "col": cc, "acc": accum,
+            "x_row": np.where(d_exits, t_r[dest], null),
+            "x_col": np.where(d_exits, t_c[dest], null),
+            "p_row": np.where(d_exits, null, rr[dest]),
+            "p_col": np.where(d_exits, null, cc[dest]),
+            "kind": np.zeros(n, dtype=np.int32),
+        }))
+        # kind 1: cross-tile out-edges with tile-local mass
+        xs = np.flatnonzero(cross)
+        if xs.size:
+            parts.append(pd.DataFrame({
+                "row": rr[xs], "col": cc[xs], "acc": accum[xs],
+                "x_row": t_r[xs], "x_col": t_c[xs],
+                "p_row": np.full(xs.size, null), "p_col": np.full(xs.size, null),
+                "kind": np.full(xs.size, 1, dtype=np.int32),
+            }))
+        # kind 2: border-cell transit map
+        bs = np.flatnonzero(on_border)
+        if bs.size:
+            bd = dest[bs]
+            be = cross[bd]
+            parts.append(pd.DataFrame({
+                "row": rr[bs], "col": cc[bs],
+                "acc": np.zeros(bs.size, dtype=np.int64),
+                "x_row": np.where(be, t_r[bd], null),
+                "x_col": np.where(be, t_c[bd], null),
+                "p_row": np.where(be, null, rr[bd]),
+                "p_col": np.where(be, null, cc[bd]),
+                "kind": np.full(bs.size, 2, dtype=np.int32),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    return kernel
+
+
+def _with_tiles(pointers: DataFrame, tile: int) -> DataFrame:
+    return pointers.withColumn(
+        "_tr", (F.col("row") / tile).cast("long")
+    ).withColumn("_tc", (F.col("col") / tile).cast("long"))
+
+
+def _solve_entry_masses(xedges: pd.DataFrame, transit: pd.DataFrame) -> dict:
+    """Kahn over the condensed entry-cell DAG -> {(row, col): inflow mass}.
+
+    Entry cells are cross-edge targets; each entry's mass forwards along its
+    tile's transit map to exactly one downstream entry (functional DAG —
+    acyclic because global D8 flow strictly descends)."""
+    base: dict[tuple[int, int], int] = {}
+    for xr, xc, acc in zip(xedges["x_row"], xedges["x_col"], xedges["acc"]):
+        k = (int(xr), int(xc))
+        base[k] = base.get(k, 0) + int(acc)
+    fwd = {
+        (int(r), int(c)): ((int(xr), int(xc)) if xr >= 0 else None)
+        for r, c, xr, xc in zip(
+            transit["row"], transit["col"], transit["x_row"], transit["x_col"]
+        )
+    }
+    entries = list(base)
+    indeg = {e: 0 for e in entries}
+    for e in entries:
+        t = fwd.get(e)
+        if t is not None and t in indeg:
+            indeg[t] += 1
+    mass = dict(base)
+    stack = [e for e in entries if indeg[e] == 0]
+    while stack:
+        e = stack.pop()
+        t = fwd.get(e)
+        if t is not None and t in indeg:
+            mass[t] = mass.get(t, 0) + mass[e]
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                stack.append(t)
+    return mass
+
+
+def flow_accum(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
     """(row, col, accum): cells draining through each cell, incl. itself.
 
-    Ancestor-set sizes via transitive-closure doubling: closure_{k+1} =
-    closure_k UNION (closure_k JOIN closure_k) — log2(longest path) rounds.
-    """
-    ids = pointers.select(
-        "row", "col", (F.col("row") * F.lit(1_000_000) + F.col("col")).alias("id")
+    Two tile-kernel passes + a condensed boundary-graph solve (module
+    docstring) — wall time linear in cells, independent of path length."""
+    spark = pointers.sparkSession
+    _scratch.release(spark)
+    cells = _with_tiles(pointers, tile)
+    pass_a = _scratch.track(
+        spark,
+        cells.groupBy("_tr", "_tc").applyInPandas(
+            _tile_flow_kernel(tile), _FLOW_SCHEMA
+        ).persist(),
     )
-    closure = pointer_edges(pointers).persist()
-    for _ in range(max_doublings):
-        hop = closure.alias("a").join(
-            closure.alias("b"), F.col("a.nid") == F.col("b.id"), "inner"
-        ).select(F.col("a.id").alias("id"), F.col("b.nid").alias("nid"))
-        new = closure.unionByName(hop).distinct().persist()
-        grew = new.count() > closure.count()
-        closure.unpersist()
-        closure = new
-        if not grew:
-            break
-    else:
-        raise RuntimeError("flow_accum closure did not converge")
-    counts = closure.groupBy("nid").agg(F.count(F.lit(1)).alias("n_up"))
-    out = (
-        ids.join(counts, ids["id"] == counts["nid"], "left")
-        .select("row", "col", (F.coalesce("n_up", F.lit(0)) + 1).alias("accum"))
+    small = pass_a.where(F.col("kind") >= 1).limit(_MAX_DRIVER_ROWS + 1).toPandas()
+    if len(small) > _MAX_DRIVER_ROWS:
+        raise RuntimeError(
+            "flow_accum condensed graph exceeds driver guard; raise tile= "
+            "or run the condensed solve distributed"
+        )
+    xedges = small[small["kind"] == 1]
+    transit = small[small["kind"] == 2]
+    mass = _solve_entry_masses(xedges, transit)
+    if not mass:
+        return pass_a.where(F.col("kind") == 0).select(
+            "row", "col", F.col("acc").alias("accum")
+        )
+    ext_df = spark.createDataFrame(
+        [(r, c, m) for (r, c), m in mass.items() if m > 0],
+        "row long, col long, ext long",
     )
-    return out
+    cells_b = cells.join(F.broadcast(ext_df), ["row", "col"], "left")
+    pass_b = cells_b.groupBy("_tr", "_tc").applyInPandas(
+        _tile_flow_kernel(tile), _FLOW_SCHEMA
+    )
+    return pass_b.where(F.col("kind") == 0).select(
+        "row", "col", F.col("acc").alias("accum")
+    )
 
 
 def extract_streams(pointers: DataFrame, threshold: int) -> DataFrame:
@@ -152,32 +347,66 @@ def extract_streams(pointers: DataFrame, threshold: int) -> DataFrame:
     return flow_accum(pointers).where(F.col("accum") >= threshold)
 
 
-def watershed(pointers: DataFrame, *, max_doublings: int = 12) -> DataFrame:
-    """(row, col, ws): watershed label = flat id of the terminal (pit/flat,
-    code 0) each cell drains to (Watershed.java semantics over D8 paths).
+def watershed(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
+    """(row, col, ws): watershed label = flat id (row*1e6+col) of the
+    terminal pit/flat each cell drains to (Watershed.java semantics).
 
-    Pointer doubling on the successor map (terminals map to themselves):
-    ptr := ptr(ptr) until fixpoint — log2(longest path) rounds.
-    """
-    ids = pointers.select(
-        "row", "col", (F.col("row") * F.lit(1_000_000) + F.col("col")).alias("id"), "code"
+    One tile-kernel pass; pending cells (path exits the tile) resolve via a
+    driver-side chase over the border transit map, broadcast back as an
+    entry -> terminal lookup."""
+    spark = pointers.sparkSession
+    _scratch.release(spark)
+    cells = _with_tiles(pointers, tile)
+    pass_a = _scratch.track(
+        spark,
+        cells.groupBy("_tr", "_tc").applyInPandas(
+            _tile_flow_kernel(tile), _FLOW_SCHEMA
+        ).persist(),
     )
-    nxt = pointer_edges(pointers).unionByName(
-        ids.where(F.col("code") == 0).select("id", F.col("id").alias("nid"))
-    ).persist()
-    for _ in range(max_doublings):
-        hop = nxt.alias("a").join(
-            nxt.alias("b"), F.col("a.nid") == F.col("b.id"), "inner"
-        ).select(F.col("a.id").alias("id"), F.col("b.nid").alias("nid"))
-        changed = (
-            hop.alias("h").join(nxt.alias("o"), F.col("h.id") == F.col("o.id"))
-            .where(F.col("h.nid") != F.col("o.nid")).limit(1).count()
+    transit = pass_a.where(F.col("kind") == 2).limit(_MAX_DRIVER_ROWS + 1).toPandas()
+    if len(transit) > _MAX_DRIVER_ROWS:
+        raise RuntimeError("watershed transit map exceeds driver guard")
+
+    fwd: dict[tuple[int, int], tuple] = {}
+    for r, c, xr, xc, pr, pc in zip(
+        transit["row"], transit["col"], transit["x_row"], transit["x_col"],
+        transit["p_row"], transit["p_col"],
+    ):
+        fwd[(int(r), int(c))] = (
+            ("x", (int(xr), int(xc))) if xr >= 0 else ("p", (int(pr), int(pc)))
         )
-        old = nxt
-        nxt = hop.persist()
-        old.unpersist()
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("watershed pointer-doubling did not converge")
-    return ids.join(nxt, "id").select("row", "col", F.col("nid").alias("ws"))
+
+    term: dict[tuple[int, int], tuple[int, int]] = {}
+
+    def resolve(e: tuple[int, int]) -> tuple[int, int]:
+        path = []
+        cur = e
+        while cur not in term:
+            kindv, nxt = fwd[cur]
+            if kindv == "p":
+                term[cur] = nxt
+                break
+            path.append(cur)
+            cur = nxt
+        t = term[cur]
+        for p in path:
+            term[p] = t
+        return t
+
+    pend = pass_a.where((F.col("kind") == 0) & (F.col("x_row") >= 0))
+    done = pass_a.where((F.col("kind") == 0) & (F.col("x_row") < 0)).select(
+        "row", "col",
+        (F.col("p_row") * F.lit(1_000_000) + F.col("p_col")).alias("ws"),
+    )
+    entries = {(int(r), int(c)) for r, c in zip(transit["row"], transit["col"])}
+    lut = [
+        (e[0], e[1], resolve(e)[0] * 1_000_000 + resolve(e)[1])
+        for e in entries
+    ]
+    if not lut:
+        return done
+    lut_df = spark.createDataFrame(lut, "x_row long, x_col long, ws long")
+    resolved = pend.join(F.broadcast(lut_df), ["x_row", "x_col"], "inner").select(
+        "row", "col", "ws"
+    )
+    return done.unionByName(resolved)
