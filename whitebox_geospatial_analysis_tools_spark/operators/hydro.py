@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import _scratch
-from .raster import NODATA, _halo_contributions
+from .raster import NODATA, _assemble_pad, _halo_contributions
 
 _SQRT2 = 1.4142135623730951
 # neighbor order NW N NE W E SW S SE -> (dr, dc, dist)
@@ -72,39 +72,15 @@ def flow_pointer_d8(tiles: DataFrame) -> DataFrame:
     schema = "row long, col long, code long"
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        trow, tcol = int(key[0]), int(key[1])
-        center = pdf[(pdf.tile_row == trow) & (pdf.tile_col == tcol)]
-        if center.empty:
+        asm = _assemble_pad(pdf)
+        if asm is None:
             return pd.DataFrame({
                 "row": pd.Series([], dtype="int64"),
                 "col": pd.Series([], dtype="int64"),
                 "code": pd.Series([], dtype="int64"),
             })
-        c = center.iloc[0]
+        c, pad = asm
         h, w = int(c.h), int(c.w)
-        pad = np.full((h + 2, w + 2), np.nan)
-        for r in pdf.itertuples():
-            vals = np.asarray(r.values, dtype=np.float64).reshape(int(r.h), int(r.w))
-            vals = np.where(vals == NODATA, np.nan, vals)
-            dr, dc = int(r.tile_row) - trow, int(r.tile_col) - tcol
-            if dr == 0 and dc == 0:
-                pad[1:h + 1, 1:w + 1] = vals
-            elif dr == -1 and dc == 0:
-                pad[0, 1:w + 1] = vals[-1, :w]
-            elif dr == 1 and dc == 0:
-                pad[h + 1, 1:w + 1] = vals[0, :w]
-            elif dr == 0 and dc == -1:
-                pad[1:h + 1, 0] = vals[:h, -1]
-            elif dr == 0 and dc == 1:
-                pad[1:h + 1, w + 1] = vals[:h, 0]
-            elif dr == -1 and dc == -1:
-                pad[0, 0] = vals[-1, -1]
-            elif dr == -1 and dc == 1:
-                pad[0, w + 1] = vals[-1, 0]
-            elif dr == 1 and dc == -1:
-                pad[h + 1, 0] = vals[0, -1]
-            elif dr == 1 and dc == 1:
-                pad[h + 1, w + 1] = vals[0, 0]
         centerv = pad[1:h + 1, 1:w + 1]
         best_rate = np.full((h, w), 0.0)
         best_j = np.full((h, w), -1)

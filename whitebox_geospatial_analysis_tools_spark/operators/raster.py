@@ -156,20 +156,86 @@ def raster_stats(tiles: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 _OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
 
+# per-direction strip extraction for the halo exchange: a 3x3 stencil only
+# needs a ONE-CELL strip from each neighbor, so each tile ships its full
+# array to its own group plus 4 edge strips and 4 corner cells — ~1.06x
+# shuffle bytes instead of the round-1 9x full-tile replication (VERDICT
+# wrong-list #5).  (ddr, ddc) is the destination offset; the strip is what
+# the destination needs from a source in direction (-ddr, -ddc).
+_STRIPS = [
+    (0, 0, "values", "h", "w"),
+    (1, 0, "slice(values, (h - 1) * w + 1, w)", "1", "w"),          # my last row
+    (-1, 0, "slice(values, 1, w)", "1", "w"),                        # my first row
+    (0, 1, "transform(sequence(1, h), r -> element_at(values, (r - 1) * w + w))", "h", "1"),
+    (0, -1, "transform(sequence(1, h), r -> element_at(values, (r - 1) * w + 1))", "h", "1"),
+    (1, 1, "array(element_at(values, h * w))", "1", "1"),
+    (1, -1, "array(element_at(values, (h - 1) * w + 1))", "1", "1"),
+    (-1, 1, "array(element_at(values, w))", "1", "1"),
+    (-1, -1, "array(element_at(values, 1))", "1", "1"),
+]
+
 
 def _halo_contributions(tiles: DataFrame) -> DataFrame:
-    """Each tile contributes itself to its own group and its 8 neighbors'
-    groups — the Spark analogue of the reference's block cache reading
-    across block borders (WhiteboxRaster.java:483-553)."""
-    offs = F.array(*[
-        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc")) for dr, dc in _OFFS
-    ])
-    return (
-        tiles.withColumn("_o", F.explode(offs))
-        .withColumn("dst_row", F.col("tile_row") + F.col("_o.dr"))
-        .withColumn("dst_col", F.col("tile_col") + F.col("_o.dc"))
-        .drop("_o")
+    """Each tile contributes to its own group (full array) and its 8
+    neighbors' groups (1-cell border strips) — the Spark analogue of the
+    reference's block cache reading across block borders
+    (WhiteboxRaster.java:483-553), shipping only what a 3x3 window reads."""
+    structs = ", ".join(
+        f"struct(CAST({ddr} AS INT) AS ddr, CAST({ddc} AS INT) AS ddc, "
+        f"{strip} AS strip, CAST({sh} AS INT) AS sh, CAST({sw} AS INT) AS sw)"
+        for ddr, ddc, strip, sh, sw in _STRIPS
     )
+    return (
+        tiles.select(
+            "tile_row", "tile_col", "row0", "col0", "h", "w",
+            F.explode(F.expr(f"array({structs})")).alias("_s"),
+        )
+        .select(
+            (F.col("tile_row") + F.col("_s.ddr")).alias("dst_row"),
+            (F.col("tile_col") + F.col("_s.ddc")).alias("dst_col"),
+            (-F.col("_s.ddr")).alias("rel_r"),
+            (-F.col("_s.ddc")).alias("rel_c"),
+            F.col("_s.strip").alias("strip"),
+            F.col("_s.sh").alias("sh"), F.col("_s.sw").alias("sw"),
+            "row0", "col0", "h", "w",
+        )
+    )
+
+
+def _assemble_pad(pdf: pd.DataFrame):
+    """Rebuild the (h+2, w+2) nan-padded window from halo strip rows.
+
+    Returns (center_row, pad) or None when the group is pure spill-over
+    past the grid edge (no rel (0,0) contribution)."""
+    center = pdf[(pdf.rel_r == 0) & (pdf.rel_c == 0)]
+    if center.empty:
+        return None
+    c = center.iloc[0]
+    h, w = int(c.h), int(c.w)
+    pad = np.full((h + 2, w + 2), np.nan)
+    for r in pdf.itertuples():
+        s = np.asarray(r.strip, dtype=np.float64).reshape(int(r.sh), int(r.sw))
+        s = np.where(s == NODATA, np.nan, s)
+        rr, rc = int(r.rel_r), int(r.rel_c)
+        if rr == 0 and rc == 0:
+            pad[1:h + 1, 1:w + 1] = s
+        elif rr == -1 and rc == 0:
+            pad[0, 1:int(r.sw) + 1] = s[0]
+        elif rr == 1 and rc == 0:
+            pad[h + 1, 1:int(r.sw) + 1] = s[0]
+        elif rr == 0 and rc == -1:
+            pad[1:int(r.sh) + 1, 0] = s[:, 0]
+        elif rr == 0 and rc == 1:
+            pad[1:int(r.sh) + 1, w + 1] = s[:, 0]
+        elif rr == -1 and rc == -1:
+            pad[0, 0] = s[0, 0]
+        elif rr == -1 and rc == 1:
+            pad[0, w + 1] = s[0, 0]
+        elif rr == 1 and rc == -1:
+            pad[h + 1, 0] = s[0, 0]
+        elif rr == 1 and rc == 1:
+            pad[h + 1, w + 1] = s[0, 0]
+    return c, pad
 
 
 def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
@@ -190,8 +256,8 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         trow, tcol = int(key[0]), int(key[1])
-        center = pdf[(pdf.tile_row == trow) & (pdf.tile_col == tcol)]
-        if center.empty:  # halo spill-over past the grid edge: no output tile
+        asm = _assemble_pad(pdf)
+        if asm is None:  # halo spill-over past the grid edge: no output tile
             return pd.DataFrame(
                 {
                     "tile_row": pd.Series([], dtype="int64"),
@@ -203,31 +269,8 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                     "values": pd.Series([], dtype=object),
                 }
             )
-        c = center.iloc[0]
+        c, pad = asm
         h, w = int(c.h), int(c.w)
-        pad = np.full((h + 2, w + 2), np.nan)
-        for r in pdf.itertuples():
-            vals = np.asarray(r.values, dtype=np.float64).reshape(int(r.h), int(r.w))
-            vals = np.where(vals == NODATA, np.nan, vals)
-            dr, dc = int(r.tile_row) - trow, int(r.tile_col) - tcol
-            if dr == 0 and dc == 0:
-                pad[1:h + 1, 1:w + 1] = vals
-            elif dr == -1 and dc == 0:
-                pad[0, 1:w + 1] = vals[-1, :w]
-            elif dr == 1 and dc == 0:
-                pad[h + 1, 1:w + 1] = vals[0, :w]
-            elif dr == 0 and dc == -1:
-                pad[1:h + 1, 0] = vals[:h, -1]
-            elif dr == 0 and dc == 1:
-                pad[1:h + 1, w + 1] = vals[:h, 0]
-            elif dr == -1 and dc == -1:
-                pad[0, 0] = vals[-1, -1]
-            elif dr == -1 and dc == 1:
-                pad[0, w + 1] = vals[-1, 0]
-            elif dr == 1 and dc == -1:
-                pad[h + 1, 0] = vals[0, -1]
-            elif dr == 1 and dc == 1:
-                pad[h + 1, w + 1] = vals[0, 0]
         stack = np.stack([
             pad[1 + dr:1 + dr + h, 1 + dc:1 + dc + w] for dr, dc in _OFFS
         ])  # (9, h, w)

@@ -281,8 +281,8 @@ d AS (SELECT a.row, a.col, t.trow, t.tcol,
 SELECT row, col, trow, tcol, d2 FROM d WHERE rn = 1 ORDER BY row, col""",
 )
 def q_euclidean_allocation(spark, sf):
-    from pyspark.sql import Window
     from .operators import raster as R
+    from .operators.distance import nearest_target
 
     cells = R.explode_cells(R.synth_raster(spark, _EA_ROWS, _EA_COLS))
     tgt = (
@@ -290,12 +290,41 @@ def q_euclidean_allocation(spark, sf):
         .select(F.col("row").alias("trow"), F.col("col").alias("tcol"))
     )
     live = cells.where(F.col("value") != R.NODATA)
-    d2 = (F.col("row") - F.col("trow")) ** 2 + (F.col("col") - F.col("tcol")) ** 2
-    w = Window.partitionBy("row", "col").orderBy(d2.asc(), F.col("trow"), F.col("tcol"))
     return (
-        live.crossJoin(F.broadcast(tgt))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("row", "col", "trow", "tcol", d2.cast("long").alias("d2"))
+        nearest_target(live, tgt)
+        .select("row", "col", "trow", "tcol", "d2")
+        .orderBy("row", "col")
+    )
+
+
+@Q.register(
+    "euclidean_distance",
+    f"""WITH ras AS (SELECT r.r AS row, c.c AS col,
+  {_cvs("r.r", "c.c", 0, _EA_COLS)} AS value FROM range(0, {_EA_ROWS}) r(r), range(0, {_EA_COLS}) c(c)),
+tgt AS (SELECT row AS trow, col AS tcol FROM ras WHERE value > {_EA_T!r}e0),
+d AS (SELECT a.row, a.col,
+  MIN((a.row - t.trow) * (a.row - t.trow) + (a.col - t.tcol) * (a.col - t.tcol)) AS d2
+  FROM ras a CROSS JOIN tgt t WHERE a.value != {_RND!r}e0 GROUP BY 1, 2)
+SELECT row, col, CAST(ROUND(SQRT(CAST(d2 AS DOUBLE)), 6) AS DOUBLE) AS dist
+FROM d ORDER BY row, col""",
+)
+def q_euclidean_distance(spark, sf):
+    """EuclideanDistance (GISTools/src/plugins/EuclideanDistance.java):
+    distance to nearest target cell — same block-ring plan as allocation."""
+    from .operators import raster as R
+    from .operators.distance import nearest_target
+
+    cells = R.explode_cells(R.synth_raster(spark, _EA_ROWS, _EA_COLS))
+    tgt = (
+        cells.where(F.col("value") > _EA_T)
+        .select(F.col("row").alias("trow"), F.col("col").alias("tcol"))
+    )
+    live = cells.where(F.col("value") != R.NODATA)
+    return (
+        nearest_target(live, tgt)
+        .select(
+            "row", "col",
+            F.round(F.sqrt(F.col("d2").cast("double")), 6).cast("double").alias("dist"),
+        )
         .orderBy("row", "col")
     )
