@@ -235,3 +235,131 @@ def q_elongation(spark, sf):
         F.round(F.lit(1.0) - F.least(w, h) / F.greatest(w, h), 6)
         .cast("double").alias("elongation"),
     ).orderBy("poly_id")
+
+
+# ---------------------------------------------------------------------------
+# polygon-polygon boolean overlay (§2.7: Intersect / Clip / Difference /
+# Union — VectorTools Intersect.java:291-299, Clip.java:267,455,
+# Difference.java:332-334, Union.java:294-295).  Engine: Sutherland-Hodgman
+# convex clipping kernel (operators/overlay.py).  Oracle: the SAME algorithm
+# unrolled as 6 chained SQL clip stages (clip layer = hexagons, fixed 6
+# edges), identical formulas/branches -> identical vertices; areas round via
+# the shared half-up idiom (sum-order-dependent only).
+# ---------------------------------------------------------------------------
+def _sh_oracle_ctes() -> str:
+    from .sources.polygons import clip_edges_sql_values
+
+    parts = [
+        f"sv AS (SELECT * FROM {vertices_sql_values()} t(poly_id, ring, vi, nv, x, y))",
+        f"ce AS (SELECT * FROM {clip_edges_sql_values()} t(clip_id, k, ax, ay, bx, by))",
+        "s0 AS (SELECT v.poly_id, c.clip_id, v.ring, v.vi AS seq, v.x, v.y "
+        "FROM sv v CROSS JOIN (SELECT DISTINCT clip_id FROM ce) c)",
+    ]
+    for k in range(6):
+        prev, cur = f"s{k}", f"s{k + 1}"
+        parts.append(
+            f"{cur}_e AS (SELECT s.poly_id, s.clip_id, s.ring, s.seq, s.x, s.y, "
+            "COALESCE(LEAD(s.x) OVER w, FIRST_VALUE(s.x) OVER w) AS qx, "
+            "COALESCE(LEAD(s.y) OVER w, FIRST_VALUE(s.y) OVER w) AS qy, "
+            f"e.ax, e.ay, e.bx, e.by FROM {prev} s "
+            f"JOIN ce e ON e.clip_id = s.clip_id AND e.k = {k} "
+            "WINDOW w AS (PARTITION BY s.poly_id, s.clip_id, s.ring ORDER BY s.seq "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"
+        )
+        parts.append(
+            f"{cur}_d AS (SELECT *, "
+            "(bx - ax) * (y - ay) - (by - ay) * (x - ax) AS dp, "
+            "(bx - ax) * (qy - ay) - (by - ay) * (qx - ax) AS dq "
+            f"FROM {cur}_e)"
+        )
+        parts.append(
+            f"{cur} AS (SELECT poly_id, clip_id, ring, "
+            "ROW_NUMBER() OVER (PARTITION BY poly_id, clip_id, ring ORDER BY ord) - 1 AS seq, "
+            "x, y FROM ("
+            "SELECT poly_id, clip_id, ring, seq * 2 AS ord, "
+            "x + (dp / (dp - dq)) * (qx - x) AS x, "
+            "y + (dp / (dp - dq)) * (qy - y) AS y "
+            f"FROM {cur}_d WHERE (dq >= 0e0 AND dp < 0e0) OR (dq < 0e0 AND dp >= 0e0) "
+            "UNION ALL "
+            f"SELECT poly_id, clip_id, ring, seq * 2 + 1, qx, qy FROM {cur}_d "
+            "WHERE dq >= 0e0))"
+        )
+    parts.append(
+        "s_fin AS (SELECT poly_id, clip_id, ring, seq, x, y, "
+        "COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS qx, "
+        "COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS qy "
+        "FROM s6 WINDOW w AS (PARTITION BY poly_id, clip_id, ring ORDER BY seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"
+    )
+    parts.append(
+        "ring_area AS (SELECT poly_id, clip_id, ring, COUNT(*) AS nv, "
+        "SUM(x * qy - qx * y) / 2e0 AS a FROM s_fin GROUP BY 1, 2, 3)"
+    )
+    parts.append(
+        "pair_area AS (SELECT poly_id, clip_id, CAST(SUM(nv) AS BIGINT) AS n_vertices, "
+        "SUM(CASE WHEN ring = 0 THEN a ELSE -a END) AS raw_area "
+        "FROM ring_area GROUP BY 1, 2)"
+    )
+    return ", ".join(parts)
+
+
+_SUBJ_AREA_CTE = (
+    f"{_VTX}, sr AS (SELECT poly_id, ring, SUM(x * y2 - x2 * y) / 2e0 AS a "
+    "FROM seg GROUP BY 1, 2), "
+    "subj_area AS (SELECT poly_id, SUM(CASE WHEN ring = 0 THEN a ELSE -a END) AS sa "
+    "FROM sr GROUP BY 1)"
+)
+
+
+@Q.register(
+    "intersect_area",
+    f"WITH {_sh_oracle_ctes()} "
+    "SELECT poly_id, clip_id, n_vertices, "
+    "FLOOR(raw_area * 1e6 + 0.5e0) / 1e6 AS area "
+    "FROM pair_area WHERE raw_area > 1e-9 ORDER BY poly_id, clip_id",
+)
+def q_intersect_area(spark, sf):
+    from .operators.overlay import intersect_areas
+
+    return intersect_areas(spark).orderBy("poly_id", "clip_id")
+
+
+@Q.register(
+    "clip_pairs",
+    f"WITH {_sh_oracle_ctes()} "
+    "SELECT poly_id, clip_id FROM pair_area WHERE raw_area > 1e-9 "
+    "ORDER BY poly_id, clip_id",
+)
+def q_clip_pairs(spark, sf):
+    from .operators.overlay import intersect_areas
+
+    return intersect_areas(spark).select("poly_id", "clip_id").orderBy("poly_id", "clip_id")
+
+
+@Q.register(
+    "difference_area",
+    f"WITH {_sh_oracle_ctes()}, {_SUBJ_AREA_CTE}, "
+    "inter AS (SELECT poly_id, SUM(raw_area) AS ia FROM pair_area GROUP BY 1) "
+    "SELECT s.poly_id, FLOOR((s.sa - COALESCE(i.ia, 0e0)) * 1e6 + 0.5e0) / 1e6 AS area "
+    "FROM subj_area s LEFT JOIN inter i USING (poly_id) ORDER BY s.poly_id",
+)
+def q_difference_area(spark, sf):
+    from .operators.overlay import difference_areas
+
+    return difference_areas(spark)
+
+
+@Q.register(
+    "union_area",
+    f"WITH {_sh_oracle_ctes()}, {_SUBJ_AREA_CTE}, "
+    "clip_a AS (SELECT SUM(a) AS ca FROM ("
+    "SELECT clip_id, SUM(ax * by - bx * ay) / 2e0 AS a FROM ce GROUP BY 1)), "
+    "tot AS (SELECT (SELECT SUM(sa) FROM subj_area) AS s, "
+    "(SELECT ca FROM clip_a) AS c, "
+    "(SELECT COALESCE(SUM(raw_area), 0e0) FROM pair_area) AS i) "
+    "SELECT FLOOR((s + c - i) * 1e6 + 0.5e0) / 1e6 AS area FROM tot",
+)
+def q_union_area(spark, sf):
+    from .operators.overlay import union_area
+
+    return union_area(spark)

@@ -138,6 +138,74 @@ def bbox_sql_values() -> str:
     return f"(VALUES {rows})"
 
 
+# ---------------------------------------------------------------------------
+# clip layer: deterministic CONVEX hexagons (VectorTools overlay operand)
+# ---------------------------------------------------------------------------
+# All clip polygons are rotated, ellipse-scaled regular hexagons: convex by
+# construction (affine image of a regular hexagon), CCW, exactly 6 edges each
+# (a fixed edge count lets the DuckDB Sutherland-Hodgman oracle run as 6
+# chained clip stages with no recursion), and pairwise DISJOINT (radius < half
+# the 45-degree center spacing) so per-subject difference/union areas derive
+# exactly from pairwise intersection areas.
+N_CLIPS = 32
+_CLIP_SEED = 43
+
+
+@lru_cache(maxsize=1)
+def make_clip_layer() -> PolygonLayer:
+    rng = np.random.default_rng(_CLIP_SEED)
+    poly_ids, cats, bboxes, rings_all = [], [], [], []
+    e_poly, e_x1, e_y1, e_x2, e_y2 = [], [], [], [], []
+    for p in range(N_CLIPS):
+        gx, gy = p % 8, p // 8
+        cx = gx * 45.0 + 22.5 + (rng.random() - 0.5) * 8.0
+        cy = gy * 45.0 + 22.5 + (rng.random() - 0.5) * 8.0
+        theta = rng.random() * 2.0 * np.pi
+        rx = 8.0 + rng.random() * 8.0
+        ry = 8.0 + rng.random() * 8.0
+        ang = theta + np.arange(6) * (np.pi / 3.0)
+        ring = np.column_stack([cx + rx * np.cos(ang), cy + ry * np.sin(ang)])
+        poly_ids.append(p)
+        cats.append(f"clip{p % 3}")
+        bboxes.append([ring[:, 0].min(), ring[:, 1].min(),
+                       ring[:, 0].max(), ring[:, 1].max()])
+        rings_all.append([ring])
+        x1, y1, x2, y2 = _ring_edges(ring)
+        e_poly.append(np.full(6, p, dtype=np.int64))
+        e_x1.append(x1)
+        e_y1.append(y1)
+        e_x2.append(x2)
+        e_y2.append(y2)
+    return PolygonLayer(
+        poly_id=np.asarray(poly_ids, dtype=np.int64),
+        category=np.asarray(cats, dtype=object),
+        bbox=np.asarray(bboxes, dtype=np.float64),
+        edge_poly=np.concatenate(e_poly),
+        x1=np.concatenate(e_x1),
+        y1=np.concatenate(e_y1),
+        x2=np.concatenate(e_x2),
+        y2=np.concatenate(e_y2),
+        rings=rings_all,
+    )
+
+
+def clip_edges_sql_values() -> str:
+    """Clip-hexagon directed edges as DuckDB VALUES:
+    (clip_id, k, ax, ay, bx, by), k = 0..5 in ring order (CCW)."""
+    layer = make_clip_layer()
+    rows = []
+    for i in range(layer.n):
+        ring = layer.rings[i][0]
+        nxt = np.roll(ring, -1, axis=0)
+        for k in range(len(ring)):
+            rows.append(
+                f"({int(layer.poly_id[i])},{k},"
+                f"CAST({ring[k, 0]!r} AS DOUBLE),CAST({ring[k, 1]!r} AS DOUBLE),"
+                f"CAST({nxt[k, 0]!r} AS DOUBLE),CAST({nxt[k, 1]!r} AS DOUBLE))"
+            )
+    return f"(VALUES {', '.join(rows)})"
+
+
 def polygons_df(spark):
     """Polygon layer as a Spark DataFrame (small; always broadcast-joined).
 
