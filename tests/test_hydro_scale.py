@@ -139,3 +139,90 @@ def test_clump_tile_invariance(spark):
     a = clump(cells, 180, tile=32).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
     b = clump(cells, 180, tile=256).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def priority_flood_np(dem: np.ndarray) -> np.ndarray:
+    """Sequential priority-flood (Barnes et al. 2014 formulation) — the
+    independent fill oracle.  Open cells: raster border or nan-adjacent."""
+    import heapq
+
+    h, w = dem.shape
+    filled = np.full((h, w), np.inf)
+    valid = ~np.isnan(dem)
+    # seed: border or any missing 8-neighbor
+    pad = np.pad(valid, 1, constant_values=False)
+    nbr_all = np.zeros((h, w), dtype=bool)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            nbr_all |= ~pad[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+    seed = valid & nbr_all
+    heap = []
+    for r, c in zip(*np.nonzero(seed)):
+        filled[r, c] = dem[r, c]
+        heap.append((dem[r, c], int(r), int(c)))
+    heapq.heapify(heap)
+    while heap:
+        f, r, c = heapq.heappop(heap)
+        if f > filled[r, c]:
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                nr, nc = r + dr, c + dc
+                if 0 <= nr < h and 0 <= nc < w and valid[nr, nc]:
+                    nf = max(dem[nr, nc], f)
+                    if nf < filled[nr, nc]:
+                        filled[nr, nc] = nf
+                        heapq.heappush(heap, (nf, nr, nc))
+    return np.where(valid, filled, np.nan)
+
+
+def test_fill_depressions_multi_tile(spark):
+    from whitebox_geospatial_analysis_tools_spark.operators.hydro import (
+        fill_depressions,
+    )
+
+    R_, C_ = 96, 128
+    dem = synth_values(R_, C_)
+    want = priority_flood_np(dem)
+    cells = (
+        __import__(
+            "whitebox_geospatial_analysis_tools_spark.operators.raster",
+            fromlist=["raster"],
+        ).explode_cells(
+            __import__(
+                "whitebox_geospatial_analysis_tools_spark.operators.raster",
+                fromlist=["raster"],
+            ).synth_raster(spark, R_, C_)
+        )
+        .where(F.col("value") != R.NODATA)
+        .withColumnRenamed("value", "dem")
+    )
+    got = fill_depressions(cells, R_, C_, tile=32).toPandas()
+    g = np.full((R_, C_), np.nan)
+    g[got["row"].to_numpy(), got["col"].to_numpy()] = got["filled"].to_numpy()
+    m = ~np.isnan(want)
+    assert np.array_equal(g[m], want[m])
+    assert np.isnan(g[~m]).all()
+    # filled DEM is pit-free: every non-open cell has a neighbor with
+    # filled <= its own filled (water can always continue downhill/level)
+    h, w = want.shape
+    padf = np.pad(np.where(m, g, np.inf), 1, constant_values=np.inf)
+    best_nbr = np.full((h, w), np.inf)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            best_nbr = np.minimum(best_nbr, padf[1 + dr:1 + dr + h, 1 + dc:1 + dc + w])
+    # seeds (border / nan-adjacent) legitimately drain off-grid and may be
+    # local minima; the pit-free property holds for every NON-seed cell
+    padv = np.pad(m, 1, constant_values=False)
+    nan_adj = np.zeros((h, w), dtype=bool)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            nan_adj |= ~padv[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+    interior = m & ~nan_adj & (best_nbr != np.inf)
+    assert (best_nbr[interior] <= g[interior]).all()

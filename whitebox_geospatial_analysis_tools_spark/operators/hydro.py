@@ -386,3 +386,173 @@ def watershed(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
         "row", "col", "ws"
     )
     return done.unionByName(resolved)
+
+
+# ---------------------------------------------------------------------------
+# depression filling (priority flood)
+# ---------------------------------------------------------------------------
+_OFFS8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def fill_depressions(cells: DataFrame, rows: int, cols: int, *,
+                     tile: int = TILE, max_rounds: int = 64) -> DataFrame:
+    """FillDepressions (HydroTools/src/plugins/FillDepressions.java, 416;
+    BreachDepressionsFast.java:759 is the breach variant): filled(c) =
+    max(dem(c), min over 8-connected paths to an open cell of the path's
+    max dem) — the minimax fixpoint priority-flood computes.
+
+    Distributed formulation: iterative TILE-LOCAL priority floods.  Open
+    (seed) cells — raster border or nodata-adjacent — start at dem, all
+    others at +inf; each round ships 1-cell halo strips of the current
+    filled state to neighbor tiles and re-floods every tile given those
+    boundary estimates (sequential heap flood in numpy/heapq per tile).
+    Estimates decrease monotonically to the global fixpoint in
+    O(tile-graph diameter) rounds — each round two narrow shuffles, state
+    O(cells).  Values are max/min selections of input cells (no float
+    arithmetic), so results are exact against any oracle.
+
+    cells: (row, col, dem) — non-nodata cells only.
+    Returns (row, col, filled).
+    """
+    import heapq
+
+    spark = cells.sparkSession
+    INF = float("inf")
+
+    # seed mask: raster border or any missing (nodata / off-grid) 8-neighbor
+    offs_arr = F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc")) for dr, dc in _OFFS8
+    ])
+    probe = (
+        cells.select("row", "col")
+        .withColumn("_o", F.explode(offs_arr))
+        .select(
+            "row", "col",
+            (F.col("row") + F.col("_o.dr")).alias("nr"),
+            (F.col("col") + F.col("_o.dc")).alias("nc"),
+        )
+        .where((F.col("nr") >= 0) & (F.col("nr") < rows)
+               & (F.col("nc") >= 0) & (F.col("nc") < cols))
+    )
+    nbr_live = probe.join(
+        cells.select(F.col("row").alias("nr"), F.col("col").alias("nc")),
+        ["nr", "nc"], "inner",
+    ).groupBy("row", "col").agg(F.count(F.lit(1)).alias("_nlive"))
+    ingrid = probe.groupBy("row", "col").agg(F.count(F.lit(1)).alias("_ngrid"))
+    seeds = (
+        cells.join(nbr_live, ["row", "col"], "left")
+        .join(ingrid, ["row", "col"], "left")
+        .select(
+            "row", "col", "dem",
+            (
+                (F.col("row") == 0) | (F.col("row") == rows - 1)
+                | (F.col("col") == 0) | (F.col("col") == cols - 1)
+                | (F.coalesce("_nlive", F.lit(0)) < F.coalesce("_ngrid", F.lit(0)))
+            ).alias("seed"),
+        )
+    )
+
+    state = seeds.select(
+        "row", "col", "dem", "seed",
+        F.when(F.col("seed"), F.col("dem")).otherwise(F.lit(INF)).alias("filled"),
+        (F.col("row") / tile).cast("long").alias("_tr"),
+        (F.col("col") / tile).cast("long").alias("_tc"),
+    ).persist()
+    state.count()
+
+    schema = ("row long, col long, dem double, seed boolean, "
+              "filled double, changed int, _tr long, _tc long")
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * tile, tc * tile
+        own = pdf[~pdf["is_ext"].to_numpy()]
+        if own.empty:
+            return pd.DataFrame({
+                "row": pd.Series([], dtype="int64"),
+                "col": pd.Series([], dtype="int64"),
+                "dem": pd.Series([], dtype="float64"),
+                "seed": pd.Series([], dtype="bool"),
+                "filled": pd.Series([], dtype="float64"),
+                "changed": pd.Series([], dtype="int32"),
+                "_tr": pd.Series([], dtype="int64"),
+                "_tc": pd.Series([], dtype="int64"),
+            })
+        # local grid with 1-cell margin for external halo cells
+        lr = pdf["row"].to_numpy(np.int64) - r0 + 1
+        lc = pdf["col"].to_numpy(np.int64) - c0 + 1
+        H, W = tile + 2, tile + 2
+        dem = np.full((H, W), np.nan)
+        fil = np.full((H, W), INF)
+        is_own = np.zeros((H, W), dtype=bool)
+        dem[lr, lc] = pdf["dem"].to_numpy(np.float64)
+        fil[lr, lc] = pdf["filled"].to_numpy(np.float64)
+        is_own[lr, lc] = ~pdf["is_ext"].to_numpy()
+        old = fil.copy()
+        heap = [
+            (fil[r, c], int(r), int(c))
+            for r, c in zip(*np.nonzero(~np.isnan(dem)))
+            if fil[r, c] < INF
+        ]
+        heapq.heapify(heap)
+        while heap:
+            f, r, c = heapq.heappop(heap)
+            if f > fil[r, c]:
+                continue
+            for dr, dc in _OFFS8:
+                nr, nc = r + dr, c + dc
+                if 0 <= nr < H and 0 <= nc < W and is_own[nr, nc]:
+                    nf = dem[nr, nc] if dem[nr, nc] > f else f
+                    if nf < fil[nr, nc]:
+                        fil[nr, nc] = nf
+                        heapq.heappush(heap, (nf, nr, nc))
+        orr = own["row"].to_numpy(np.int64)
+        occ = own["col"].to_numpy(np.int64)
+        new_f = fil[orr - r0 + 1, occ - c0 + 1]
+        chg = (new_f < old[orr - r0 + 1, occ - c0 + 1]).astype(np.int32)
+        return pd.DataFrame({
+            "row": orr, "col": occ,
+            "dem": own["dem"].to_numpy(np.float64),
+            "seed": own["seed"].to_numpy(bool),
+            "filled": new_f, "changed": chg,
+            "_tr": np.full(len(orr), tr, dtype=np.int64),
+            "_tc": np.full(len(orr), tc, dtype=np.int64),
+        })
+
+    on_border = (
+        (F.col("row") % tile == 0) | (F.col("row") % tile == tile - 1)
+        | (F.col("col") % tile == 0) | (F.col("col") % tile == tile - 1)
+    )
+    for _ in range(max_rounds):
+        own = state.drop("changed").withColumn("is_ext", F.lit(False))
+        halo = (
+            state.where(on_border)
+            .withColumn("_o", F.explode(offs_arr))
+            .withColumn("_ntr", ((F.col("row") + F.col("_o.dr")) / tile).cast("long"))
+            .withColumn("_ntc", ((F.col("col") + F.col("_o.dc")) / tile).cast("long"))
+            .where((F.col("_ntr") != F.col("_tr")) | (F.col("_ntc") != F.col("_tc")))
+            .select(
+                "row", "col", "dem", "seed", "filled",
+                F.col("_ntr").alias("_tr"), F.col("_ntc").alias("_tc"),
+                F.lit(True).alias("is_ext"),
+            )
+        )  # duplicate halo rows per corner are harmless (same heap value)
+        # localCheckpoint CUTS the lineage each round — without it the plan
+        # nests the whole round history and the driver heap grows unboundedly
+        new_state = (
+            own.unionByName(halo)
+            .groupBy("_tr", "_tc")
+            .applyInPandas(kernel, schema)
+            .localCheckpoint()
+        )
+        n_changed = new_state.agg(F.sum("changed")).collect()[0][0] or 0
+        state.unpersist()
+        state = new_state
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError("fill_depressions did not converge; raise max_rounds")
+    out = state.select("row", "col", "filled")
+    _scratch.release(spark)
+    _scratch.track(spark, state)
+    return out

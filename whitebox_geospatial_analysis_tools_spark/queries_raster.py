@@ -1004,3 +1004,50 @@ def q_stream_links(spark, sf):
         .groupBy("label").agg(F.count(F.lit(1)).alias("n_cells"))
         .orderBy("label")
     )
+
+
+# -- depression filling (§2.12; FillDepressions.java priority flood) ----------
+# minimax fixpoint: filled(c) = max(dem(c), min over 8-paths to an open cell
+# of the path max).  Oracle: Jacobi relaxation to the same fixpoint via a
+# recursive CTE (monotone from +inf; K bounded below by the longest minimax
+# geodesic on this grid — convergence asserted by the engine match itself).
+# Values are dyadic max/min selections — EXACT, no rounding policy needed.
+_DROWS, _DCOLS, _DK = 40, 60, 80
+_DVAL = cell_value_sql("r.r", "c.c", 0, _DCOLS)
+
+
+@Q.register(
+    "fill_depressions",
+    f"""WITH RECURSIVE
+rasd AS (SELECT r.r AS row, c.c AS col, {_DVAL} AS value
+         FROM range(0, {_DROWS}) r(r), range(0, {_DCOLS}) c(c)),
+live AS (SELECT row, col, value AS dem FROM rasd WHERE value != {NODATA!r}e0),
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) t(dr, dc)),
+base AS (SELECT a.row, a.col, a.dem,
+  (a.row = 0 OR a.row = {_DROWS - 1} OR a.col = 0 OR a.col = {_DCOLS - 1} OR EXISTS (
+     SELECT 1 FROM offs o JOIN rasd n ON n.row = a.row + o.dr AND n.col = a.col + o.dc
+     WHERE n.value = {NODATA!r}e0)) AS s
+  FROM live a),
+fill(it, row, col, f) AS (
+  SELECT 0, row, col, CASE WHEN s THEN dem ELSE 1e18 END FROM base
+  UNION ALL
+  SELECT f.it + 1, b.row, b.col,
+    CASE WHEN b.s THEN b.dem ELSE GREATEST(b.dem, MIN(f.f)) END
+  FROM fill f JOIN offs o ON TRUE
+  JOIN base b ON b.row = f.row + o.dr AND b.col = f.col + o.dc
+  WHERE f.it < {_DK}
+  GROUP BY f.it, b.row, b.col, b.dem, b.s
+)
+SELECT b.row, b.col, COALESCE(l.f, b.dem) AS filled
+FROM base b LEFT JOIN (SELECT row, col, f FROM fill WHERE it = {_DK}) l
+USING (row, col) ORDER BY b.row, b.col""",
+)
+def q_fill_depressions(spark, sf):
+    from .operators.hydro import fill_depressions
+
+    cells = (
+        R.explode_cells(R.synth_raster(spark, _DROWS, _DCOLS))
+        .where(F.col("value") != _ND)
+        .withColumnRenamed("value", "dem")
+    )
+    return fill_depressions(cells, _DROWS, _DCOLS, tile=16).orderBy("row", "col")
