@@ -121,8 +121,8 @@ def clump(cells: DataFrame, cols: int, *, connectivity: int = 4,
     # persist: the tile kernel output feeds both the equivalence-pair
     # materialization and the final relabel join (scratch-tracked, released
     # on the next operator call — VERDICT r1 persist-leak fix)
-    _scratch.release(spark)
-    lab = _scratch.track(spark, lab.persist())
+    _scratch.release(spark, "clump")
+    lab = _scratch.track(spark, lab.persist(), "clump")
 
     # cross-tile equivalences: only the 1-cell border strips participate
     on_border = (
@@ -159,14 +159,33 @@ def clump(cells: DataFrame, cols: int, *, connectivity: int = 4,
         .select("plabel", "nplabel")
         .distinct()
     )
+    out = _driver_merge_relabel(lab, pairs, keep_cols=["row", "col", "cls"])
+    return out
+
+
+def clump_sizes(cells: DataFrame, cols: int) -> DataFrame:
+    """Per-component size table (Area.java per-patch analogue, cell counts)."""
+    return (
+        clump(cells, cols)
+        .groupBy("cls", "label")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+
+
+def _driver_merge_relabel(lab, pairs, *, keep_cols):
+    """Union-find the (small, boundary-sized) equivalence pairs on the
+    driver with min-id roots, broadcast the remap, relabel `lab`.
+
+    lab must carry a `plabel` column; pairs carries (plabel, nplabel).
+    Guarded: at cluster scale the same merge runs as log-round label
+    propagation over the condensed graph."""
+    spark = lab.sparkSession
     pdf_pairs = pairs.limit(_MAX_DRIVER_PAIRS + 1).toPandas()
     if len(pdf_pairs) > _MAX_DRIVER_PAIRS:
         raise RuntimeError(
-            "clump equivalence graph exceeds driver merge guard; "
+            "equivalence graph exceeds driver merge guard; "
             "raise tile= or run the distributed condensed merge"
         )
-
-    # driver union-find with min-id roots over the condensed graph
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -184,25 +203,90 @@ def clump(cells: DataFrame, cols: int, *, connectivity: int = 4,
             parent[hi] = lo
     remap = [(int(x), find(int(x))) for x in parent]
     remap = [(x, r) for x, r in remap if x != r]
-
     if remap:
         mapdf = spark.createDataFrame(remap, "plabel long, glabel long")
-        out = (
+        return (
             lab.join(F.broadcast(mapdf), "plabel", "left")
-            .select(
-                "row", "col", "cls",
-                F.coalesce("glabel", "plabel").alias("label"),
-            )
+            .select(*keep_cols, F.coalesce("glabel", "plabel").alias("label"))
         )
-    else:
-        out = lab.select("row", "col", "cls", F.col("plabel").alias("label"))
-    return out
+    return lab.select(*keep_cols, F.col("plabel").alias("label"))
 
 
-def clump_sizes(cells: DataFrame, cols: int) -> DataFrame:
-    """Per-component size table (Area.java per-patch analogue, cell counts)."""
-    return (
-        clump(cells, cols)
-        .groupBy("cls", "label")
-        .agg(F.count(F.lit(1)).alias("n_cells"))
+def components_from_edges(nodes, edges, *, idmul: int = 1_000_000,
+                          tile: int = 256):
+    """Connected components of sparse grid nodes over an EXPLICIT edge list
+    (endpoints grid-adjacent) — the stream-link labeling shape
+    (StreamNetworkAnalysisTools StreamLinkID.java semantics: links break at
+    junctions, expressed here as edges cut before labeling).
+
+    nodes: (row, col); edges: (row, col, nr, nc).
+    Returns (row, col, label) with label = min flat id (row*idmul+col).
+    Same 2-pass plan as clump(): per-tile sequential union-find over in-tile
+    edges, driver merge of the cross-tile equivalences.
+    """
+    tr = lambda c: (F.col(c) / tile).cast("long")  # noqa: E731
+    n = nodes.select(
+        "row", "col",
+        F.lit(None).cast("long").alias("nr"), F.lit(None).cast("long").alias("nc"),
+        tr("row").alias("_tr"), tr("col").alias("_tc"),
     )
+    e = edges.select(
+        "row", "col", "nr", "nc",
+        tr("row").alias("_tr"), tr("col").alias("_tc"),
+        tr("nr").alias("_ntr"), tr("nc").alias("_ntc"),
+    )
+    e_in = e.where((F.col("_tr") == F.col("_ntr")) & (F.col("_tc") == F.col("_ntc"))).drop("_ntr", "_ntc")
+    e_cross = e.where((F.col("_tr") != F.col("_ntr")) | (F.col("_tc") != F.col("_ntc")))
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        node_rows = pdf[pdf["nr"].isna()]
+        ids = (node_rows["row"].to_numpy(np.int64) * idmul
+               + node_rows["col"].to_numpy(np.int64))
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        ed = pdf[~pdf["nr"].isna()]
+        for a, b in zip(
+            ed["row"].to_numpy(np.int64) * idmul + ed["col"].to_numpy(np.int64),
+            ed["nr"].to_numpy(np.int64) * idmul + ed["nc"].to_numpy(np.int64),
+        ):
+            a, b = int(a), int(b)
+            if a in parent and b in parent:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        return pd.DataFrame({
+            "row": node_rows["row"].to_numpy(np.int64),
+            "col": node_rows["col"].to_numpy(np.int64),
+            "plabel": [find(int(i)) for i in ids],
+        })
+
+    spark = nodes.sparkSession
+    lab = (
+        n.unionByName(e_in)
+        .groupBy("_tr", "_tc")
+        .applyInPandas(kernel, "row long, col long, plabel long")
+    )
+    _scratch.release(spark, "cc_edges")
+    lab = _scratch.track(spark, lab.persist(), "cc_edges")
+    la = lab.select(F.col("row").alias("_ar"), F.col("col").alias("_ac"),
+                    F.col("plabel"))
+    lb = lab.select(F.col("row").alias("_br"), F.col("col").alias("_bc"),
+                    F.col("plabel").alias("nplabel"))
+    pairs = (
+        e_cross
+        .join(la, (F.col("row") == F.col("_ar")) & (F.col("col") == F.col("_ac")), "inner")
+        .join(lb, (F.col("nr") == F.col("_br")) & (F.col("nc") == F.col("_bc")), "inner")
+        .where(F.col("plabel") != F.col("nplabel"))
+        .select("plabel", "nplabel")
+        .distinct()
+    )
+    return _driver_merge_relabel(lab, pairs, keep_cols=["row", "col"])

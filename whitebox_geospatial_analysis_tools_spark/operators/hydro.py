@@ -284,13 +284,14 @@ def flow_accum(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
     Two tile-kernel passes + a condensed boundary-graph solve (module
     docstring) — wall time linear in cells, independent of path length."""
     spark = pointers.sparkSession
-    _scratch.release(spark)
+    _scratch.release(spark, "flow_accum")
     cells = _with_tiles(pointers, tile)
     pass_a = _scratch.track(
         spark,
         cells.groupBy("_tr", "_tc").applyInPandas(
             _tile_flow_kernel(tile), _FLOW_SCHEMA
         ).persist(),
+        "flow_accum",
     )
     small = pass_a.where(F.col("kind") >= 1).limit(_MAX_DRIVER_ROWS + 1).toPandas()
     if len(small) > _MAX_DRIVER_ROWS:
@@ -331,13 +332,14 @@ def watershed(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
     driver-side chase over the border transit map, broadcast back as an
     entry -> terminal lookup."""
     spark = pointers.sparkSession
-    _scratch.release(spark)
+    _scratch.release(spark, "watershed")
     cells = _with_tiles(pointers, tile)
     pass_a = _scratch.track(
         spark,
         cells.groupBy("_tr", "_tc").applyInPandas(
             _tile_flow_kernel(tile), _FLOW_SCHEMA
         ).persist(),
+        "watershed",
     )
     transit = pass_a.where(F.col("kind") == 2).limit(_MAX_DRIVER_ROWS + 1).toPandas()
     if len(transit) > _MAX_DRIVER_ROWS:
@@ -553,6 +555,145 @@ def fill_depressions(cells: DataFrame, rows: int, cols: int, *,
     else:
         raise RuntimeError("fill_depressions did not converge; raise max_rounds")
     out = state.select("row", "col", "filled")
-    _scratch.release(spark)
-    _scratch.track(spark, state)
+    _scratch.release(spark, "fill")
+    _scratch.track(spark, state, "fill")
     return out
+
+
+# ---------------------------------------------------------------------------
+# stream network measures (StreamNetworkAnalysisTools)
+# ---------------------------------------------------------------------------
+def stream_network(pointers: DataFrame, threshold: int = 5, *,
+                   tile: int = TILE) -> DataFrame:
+    """Link-level stream measures over the D8 network:
+
+      StreamLinkID      StreamNetworkAnalysisTools/src/plugins/StreamLinkID.java
+                        — links break at junctions (cells receiving >= 2
+                        stream in-edges); expressed here by CUTTING edges
+                        into junction cells before component labeling, so
+                        the junction cell heads the downstream link.
+      StreamOrder       StreamOrder.java (364) — Strahler: headwaters 1; at
+                        a junction max of tributary orders, +1 on a tie.
+      StreamMagnitude   StreamMagnitude.java (365) — Shreve source count.
+      StreamLinkLength  StreamLinkLength.java (370) — sum of in-link step
+                        lengths (1 / sqrt(2) per D8 step).
+      FindMainStem      FindMainStem.java (347) — from each outlet walk
+                        upstream choosing the max-magnitude tributary
+                        (tie-break: smaller link id).
+
+    Physical shape: stream cells + edges are Spark-side (joins/groupBys);
+    link labeling reuses the tile union-find CC (components_from_edges);
+    the LINK DAG is condensed (√N-ish) and is solved on the driver like the
+    flow-accum boundary graph (size-guarded).
+
+    Returns (link, strahler, magnitude, n_cells, length, main_stem).
+    """
+    from .clump import components_from_edges
+
+    spark = pointers.sparkSession
+    _scratch.release(spark, "streamnet")
+    acc = flow_accum(pointers, tile=tile)
+    # persist the small stream tables: stream_network issues several driver
+    # actions (condensed-graph collects), and without these caches each one
+    # would recompute the full pointer + accumulation lineage
+    stream = _scratch.track(
+        spark,
+        acc.where(F.col("accum") >= threshold).select("row", "col").persist(),
+        "streamnet",
+    )
+    dr = F.expr("element_at(array(-1,-1,-1,0,0,1,1,1), CAST(log2(code) AS INT) + 1)")
+    dc = F.expr("element_at(array(-1,0,1,-1,1,-1,0,1), CAST(log2(code) AS INT) + 1)")
+    sd = (
+        stream.join(pointers, ["row", "col"], "inner")
+        .where(F.col("code") > 0)
+        .select("row", "col",
+                (F.col("row") + dr).alias("nr"), (F.col("col") + dc).alias("nc"))
+    )
+    st_t = stream.select(F.col("row").alias("nr"), F.col("col").alias("nc"))
+    sedge = _scratch.track(
+        spark, sd.join(st_t, ["nr", "nc"], "left_semi").persist(), "streamnet"
+    )
+    junc = (
+        sedge.groupBy("nr", "nc").agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2).select("nr", "nc")
+    )
+    kept = sedge.join(junc, ["nr", "nc"], "left_anti")
+    cut = sedge.join(junc, ["nr", "nc"], "left_semi")
+
+    lab = components_from_edges(stream, kept, tile=tile)
+
+    n_cells = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_cells"))
+    dist = F.when((F.col("row") != F.col("nr")) & (F.col("col") != F.col("nc")),
+                  F.lit(_SQRT2)).otherwise(F.lit(1.0))
+    length = (
+        kept.join(lab, ["row", "col"], "inner")
+        .groupBy("label").agg(F.round(F.sum(dist), 6).cast("double").alias("length"))
+    )
+    lu = lab.select(F.col("row"), F.col("col"), F.col("label").alias("_up"))
+    lv = lab.select(F.col("row").alias("nr"), F.col("col").alias("nc"),
+                    F.col("label").alias("_dn"))
+    ldag = (
+        cut.join(lu, ["row", "col"], "inner").join(lv, ["nr", "nc"], "inner")
+        .select(F.col("_up").alias("up"), F.col("_dn").alias("dn")).distinct()
+    )
+
+    links_pd = (
+        n_cells.join(length, "label", "left")
+        .limit(_MAX_DRIVER_ROWS + 1).toPandas()
+    )
+    dag_pd = ldag.limit(_MAX_DRIVER_ROWS + 1).toPandas()
+    if len(links_pd) > _MAX_DRIVER_ROWS or len(dag_pd) > _MAX_DRIVER_ROWS:
+        raise RuntimeError("stream network condensed graph exceeds driver guard")
+
+    ups: dict[int, list[int]] = {}
+    downs: dict[int, int] = {}
+    for up, dn in zip(dag_pd["up"], dag_pd["dn"]):
+        ups.setdefault(int(dn), []).append(int(up))
+        downs[int(up)] = int(dn)
+    all_links = [int(x) for x in links_pd["label"]]
+    strahler: dict[int, int] = {}
+    mag: dict[int, int] = {}
+    # Kahn over the link DAG
+    pending = {l: len(ups.get(l, [])) for l in all_links}
+    stack = [l for l in all_links if pending[l] == 0]
+    while stack:
+        l = stack.pop()
+        u = ups.get(l, [])
+        if not u:
+            strahler[l], mag[l] = 1, 1
+        else:
+            mx = max(strahler[x] for x in u)
+            tie = sum(1 for x in u if strahler[x] == mx) >= 2
+            strahler[l] = mx + 1 if tie else mx
+            mag[l] = sum(mag[x] for x in u)
+        d = downs.get(l)
+        if d is not None and d in pending:
+            pending[d] -= 1
+            if pending[d] == 0:
+                stack.append(d)
+    # main stem: outlets walk upstream by max (magnitude, -link)
+    main: set[int] = set()
+    for outlet in (l for l in all_links if l not in downs):
+        cur = outlet
+        while True:
+            main.add(cur)
+            u = ups.get(cur, [])
+            if not u:
+                break
+            cur = max(u, key=lambda x: (mag[x], -x))
+    rows = [
+        (l, strahler[l], mag[l], l in main)
+        for l in all_links
+    ]
+    meta = spark.createDataFrame(
+        rows, "label long, strahler long, magnitude long, main_stem boolean"
+    )
+    return (
+        n_cells.join(length, "label", "left")
+        .join(F.broadcast(meta), "label", "inner")
+        .select(
+            F.col("label").alias("link"), "strahler", "magnitude", "n_cells",
+            F.coalesce("length", F.lit(0.0)).alias("length"), "main_stem",
+        )
+        .orderBy("link")
+    )

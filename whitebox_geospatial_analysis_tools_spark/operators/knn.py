@@ -72,10 +72,10 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int = 5, *,
         )
 
     spark = queries.sparkSession
-    _scratch.release(spark)  # unpersist any prior call's pass-1 candidates
+    _scratch.release(spark, "knn")  # unpersist prior call's pass-1 candidates
     t1 = _scratch.track(spark, topk(
         explode_k_ring(q, radius).join(pts, F.col("nbr_tile_id") == F.col("p_tile"), "inner")
-    ).select(q_key, p_key, "dist2", "rnk").persist())
+    ).select(q_key, p_key, "dist2", "rnk").persist(), "knn")
     bound = float(radius * cell_size) ** 2
     stats = t1.groupBy(q_key).agg(
         F.max("dist2").alias("kth_d2"), F.count(F.lit(1)).alias("n_found")

@@ -47,12 +47,17 @@ def cell_value_sql(row: str, col: str, band: int, cols: int) -> str:
 
 
 def synth_raster(spark: SparkSession, rows: int, cols: int, band: int = 0,
-                 tile: int = TILE, raster_id: str = "dem") -> DataFrame:
+                 tile: int = TILE, raster_id: str = "dem",
+                 value_sql: str | None = None) -> DataFrame:
     """Tile table for the deterministic synthetic raster — pure Catalyst.
 
     Values are built per tile with ``transform(sequence(...))``; generation
     is a narrow map over ``spark.range(n_tiles)`` (CreatePlane /
     NewRasterFromBase semantics, RasterCreation/src/plugins/CreatePlane.java).
+
+    value_sql: optional shared formula template with ``{row}``/``{col}``
+    placeholders (engine and DuckDB oracle splice the same text) replacing
+    the default noise-plane band.
     """
     tr = (rows + tile - 1) // tile
     tc = (cols + tile - 1) // tile
@@ -66,9 +71,14 @@ def synth_raster(spark: SparkSession, rows: int, cols: int, band: int = 0,
         .withColumn("h", F.least(F.lit(tile), F.lit(rows) - F.col("row0")).cast("int"))
         .withColumn("w", F.least(F.lit(tile), F.lit(cols) - F.col("col0")).cast("int"))
     )
-    val = cell_value_sql(
-        "(row0 + CAST(floor(i / w) AS BIGINT))", "(col0 + i % w)", band, cols
-    )
+    if value_sql is None:
+        val = cell_value_sql(
+            "(row0 + CAST(floor(i / w) AS BIGINT))", "(col0 + i % w)", band, cols
+        )
+    else:
+        val = value_sql.format(
+            row="(row0 + CAST(floor(i / w) AS BIGINT))", col="(col0 + i % w)"
+        )
     return df.select(
         F.lit(raster_id).alias("raster_id"),
         F.lit(band).alias("band"),

@@ -1051,3 +1051,176 @@ def q_fill_depressions(spark, sf):
         .withColumnRenamed("value", "dem")
     )
     return fill_depressions(cells, _DROWS, _DCOLS, tile=16).orderBy("row", "col")
+
+
+# -- stream network measures (§2.12; StreamOrder/Magnitude/LinkLength/
+# FindMainStem) — link DAG orders via K unrolled Jacobi stages (monotone,
+# converge at DAG depth), main stem via K unrolled upstream-walk stages.
+_SQ2L = "1.4142135623730951e0"
+_OM_K = 80
+_MS_K = 100
+
+
+def _stream_net_sql(threshold: int = 5, acc_iters: int = 200,
+                    lab_iters: int = 250) -> str:
+    """Stream-network oracle CTEs over a `d8` pointer CTE.
+
+    Accumulation and link CC use ITERATION-COUNTER Jacobi recursions
+    (O(cells x rounds) UNION ALL rows) rather than transitive-closure pair
+    sets — the closure form is O(sum path^2) and stalls DuckDB on DEMs with
+    long drainage paths.  acc converges at the longest flow path; link
+    labels at the link diameter; both bounds asserted by the engine match.
+    """
+    dr_case = ("CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN -1 "
+               "WHEN 2 THEN -1 WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 "
+               "WHEN 6 THEN 1 ELSE 1 END")
+    dc_case = ("CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN 0 "
+               "WHEN 2 THEN 1 WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 "
+               "WHEN 6 THEN 0 ELSE 1 END")
+    parts = [
+        # cell flow edges + self-edges (the self-edge keeps source cells in
+        # every aggregation round)
+        f"fedge AS MATERIALIZED (SELECT row, col, row + {dr_case} AS nr, "
+        f"col + {dc_case} AS nc, 0 AS selfe FROM d8 WHERE code > 0 "
+        "UNION ALL SELECT row, col, row, col, 1 FROM d8)",
+        "accit(it, row, col, a) AS (SELECT 0, row, col, CAST(1 AS BIGINT) FROM d8 "
+        "UNION ALL SELECT u.it + 1, e.nr, e.nc, "
+        "CAST(1 + COALESCE(SUM(CASE WHEN e.selfe = 0 THEN u.a END), 0) AS BIGINT) "
+        "FROM accit u JOIN fedge e ON e.row = u.row AND e.col = u.col "
+        f"WHERE u.it < {acc_iters} GROUP BY 1, 2, 3)",
+        f"acc AS MATERIALIZED (SELECT row, col, a AS accum FROM accit WHERE it = {acc_iters})",
+        f"stream AS MATERIALIZED (SELECT row, col FROM acc WHERE accum >= {threshold})",
+        f"sd AS MATERIALIZED (SELECT s.row, s.col, s.row + {dr_case} AS nr, "
+        f"s.col + {dc_case} AS nc "
+        "FROM stream s JOIN d8 d USING (row, col) WHERE d.code > 0)",
+        "sedge AS MATERIALIZED (SELECT e.* FROM sd e JOIN stream t ON t.row = e.nr AND t.col = e.nc)",
+        "junc AS MATERIALIZED (SELECT nr, nc FROM sedge GROUP BY 1, 2 HAVING COUNT(*) >= 2)",
+        "kept AS MATERIALIZED (SELECT e.* FROM sedge e LEFT JOIN junc j ON j.nr = e.nr AND j.nc = e.nc WHERE j.nr IS NULL)",
+        "cut AS MATERIALIZED (SELECT e.* FROM sedge e JOIN junc j ON j.nr = e.nr AND j.nc = e.nc)",
+        "snode AS MATERIALIZED (SELECT row * 1000000 + col AS id FROM stream)",
+        # symmetric kept edges + self-edges for min-label propagation
+        "symp AS MATERIALIZED (SELECT row * 1000000 + col AS id, nr * 1000000 + nc AS nid FROM kept "
+        "UNION ALL SELECT nr * 1000000 + nc, row * 1000000 + col FROM kept "
+        "UNION ALL SELECT id, id FROM snode)",
+        "labit(it, id, lab) AS (SELECT 0, id, id FROM snode "
+        "UNION ALL SELECT u.it + 1, e.nid, MIN(u.lab) "
+        "FROM labit u JOIN symp e ON e.id = u.id "
+        f"WHERE u.it < {lab_iters} GROUP BY 1, 2)",
+        f"slab AS MATERIALIZED (SELECT id, lab AS link FROM labit WHERE it = {lab_iters})",
+        "links AS MATERIALIZED (SELECT DISTINCT link FROM slab)",
+        "ldag AS MATERIALIZED (SELECT DISTINCT u.link AS up, v.link AS dn FROM cut c "
+        "JOIN slab u ON u.id = c.row * 1000000 + c.col "
+        "JOIN slab v ON v.id = c.nr * 1000000 + c.nc)",
+        "om0 AS MATERIALIZED (SELECT link, 1 AS ord, CAST(1 AS BIGINT) AS mag FROM links)",
+    ]
+    for k in range(_OM_K):
+        p, c = f"om{k}", f"om{k + 1}"
+        parts.append(
+            f"{c}_mx AS MATERIALIZED (SELECT d.dn AS link, MAX(o.ord) AS mx, "
+            f"CAST(SUM(o.mag) AS BIGINT) AS smag FROM ldag d "
+            f"JOIN {p} o ON o.link = d.up GROUP BY 1)"
+        )
+        parts.append(
+            f"{c}_tie AS MATERIALIZED (SELECT d.dn AS link, COUNT(*) AS n_mx FROM ldag d "
+            f"JOIN {p} o ON o.link = d.up JOIN {c}_mx m ON m.link = d.dn "
+            "AND o.ord = m.mx GROUP BY 1)"
+        )
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT l.link, "
+            "CASE WHEN m.mx IS NULL THEN 1 WHEN t.n_mx >= 2 THEN m.mx + 1 "
+            "ELSE m.mx END AS ord, COALESCE(m.smag, 1) AS mag "
+            f"FROM links l LEFT JOIN {c}_mx m USING (link) "
+            f"LEFT JOIN {c}_tie t USING (link))"
+        )
+    fin = f"om{_OM_K}"
+    parts.append(
+        "b1 AS MATERIALIZED (SELECT dn, up FROM (SELECT d.dn, d.up, "
+        "ROW_NUMBER() OVER (PARTITION BY d.dn ORDER BY o.mag DESC, d.up ASC) AS rn "
+        f"FROM ldag d JOIN {fin} o ON o.link = d.up) WHERE rn = 1)"
+    )
+    parts.append(
+        "ms0 AS MATERIALIZED (SELECT link FROM links WHERE link NOT IN (SELECT up FROM ldag))"
+    )
+    for k in range(_MS_K):
+        # NOTE: DuckDB 1.0 degrades UNION to ALL-semantics for
+        # non-recursive CTEs inside a WITH RECURSIVE block — dedup must be
+        # an explicit DISTINCT
+        parts.append(
+            f"ms{k + 1} AS MATERIALIZED (SELECT DISTINCT link FROM "
+            f"(SELECT link FROM ms{k} UNION ALL "
+            f"SELECT b.up FROM ms{k} m JOIN b1 b ON b.dn = m.link))"
+        )
+    parts.append(
+        "lstat AS MATERIALIZED (SELECT link, COUNT(*) AS n_cells FROM slab GROUP BY 1)"
+    )
+    parts.append(
+        "llen AS MATERIALIZED (SELECT s.link, SUM(CASE WHEN k.row != k.nr AND k.col != k.nc "
+        f"THEN {_SQ2L} ELSE 1e0 END) AS len FROM kept k "
+        "JOIN slab s ON s.id = k.row * 1000000 + k.col GROUP BY 1)"
+    )
+    return ", ".join(parts)
+
+
+# stream_order runs on a deterministic TWO-VALLEY DEM (pure integer /
+# abs / least arithmetic — identical text in both engines, no libm): two
+# valley floors converge downslope, so the network has real confluences and
+# the Strahler/Shreve/main-stem logic is genuinely exercised (orders 1-3),
+# unlike the noise DEM whose streams are junction-free fragments.
+_VROWS, _VCOLS = 80, 60
+_VT = 20  # stream threshold on the valley DEM
+VALLEY_VAL = (
+    "(0.25e0 * (79 - ({row})) "
+    "+ 2e0 * LEAST(ABS(({col}) - (20 + CAST(FLOOR(({row}) / 4e0) AS BIGINT))), "
+    "ABS(({col}) - (50 - CAST(FLOOR(({row}) / 4e0) AS BIGINT)))) "
+    f"+ ((((({{row}}) * {_VCOLS} + ({{col}})) * {A}) % {M}) % 1024) / 2048e0)"
+)
+_VVAL = VALLEY_VAL.format(row="r.r", col="c.c")
+_VHYD_BASE = (
+    f"cells AS (SELECT r.r AS row, c.c AS col, {_VVAL} AS v "
+    f"FROM range(0, {_VROWS}) r(r), range(0, {_VCOLS}) c(c)), "
+    "live AS (SELECT row, col, v FROM cells), "
+    "w9 AS (SELECT a.row, a.col, a.v AS cv, "
+    "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col - 1 THEN b.v END) AS n0, "
+    "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col     THEN b.v END) AS n1, "
+    "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col + 1 THEN b.v END) AS n2, "
+    "MAX(CASE WHEN b.row = a.row     AND b.col = a.col - 1 THEN b.v END) AS n3, "
+    "MAX(CASE WHEN b.row = a.row     AND b.col = a.col + 1 THEN b.v END) AS n4, "
+    "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col - 1 THEN b.v END) AS n5, "
+    "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col     THEN b.v END) AS n6, "
+    "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col + 1 THEN b.v END) AS n7 "
+    "FROM live a JOIN live b ON b.row BETWEEN a.row - 1 AND a.row + 1 "
+    "AND b.col BETWEEN a.col - 1 AND a.col + 1 "
+    "GROUP BY 1, 2, 3), "
+    "rates AS (SELECT row, col, "
+    f"COALESCE((cv - n0) / {_SQ2}, -1e30) AS r0, COALESCE(cv - n1, -1e30) AS r1, "
+    f"COALESCE((cv - n2) / {_SQ2}, -1e30) AS r2, COALESCE(cv - n3, -1e30) AS r3, "
+    f"COALESCE(cv - n4, -1e30) AS r4, COALESCE((cv - n5) / {_SQ2}, -1e30) AS r5, "
+    f"COALESCE(cv - n6, -1e30) AS r6, COALESCE((cv - n7) / {_SQ2}, -1e30) AS r7 "
+    "FROM w9), "
+    "d8 AS (SELECT row, col, CASE "
+    "WHEN GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) <= 0e0 THEN 0 "
+    "WHEN r0 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 1 "
+    "WHEN r1 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 2 "
+    "WHEN r2 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 4 "
+    "WHEN r3 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 8 "
+    "WHEN r4 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 16 "
+    "WHEN r5 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 32 "
+    "WHEN r6 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 64 "
+    "ELSE 128 END AS code FROM rates)"
+)
+
+
+@Q.register(
+    "stream_order",
+    f"WITH RECURSIVE {_VHYD_BASE}, {_stream_net_sql(_VT)} "
+    f"SELECT l.link, o.ord AS strahler, o.mag AS magnitude, s.n_cells, "
+    "CAST(ROUND(COALESCE(e.len, 0e0), 6) AS DOUBLE) AS length, "
+    f"l.link IN (SELECT link FROM ms{_MS_K}) AS main_stem "
+    f"FROM links l JOIN om{_OM_K} o USING (link) JOIN lstat s USING (link) "
+    "LEFT JOIN llen e USING (link) ORDER BY l.link",
+)
+def q_stream_order(spark, sf):
+    from .operators.hydro import flow_pointer_d8, stream_network
+
+    dem = R.synth_raster(spark, _VROWS, _VCOLS, value_sql=VALLEY_VAL)
+    return stream_network(flow_pointer_d8(dem), _VT)
