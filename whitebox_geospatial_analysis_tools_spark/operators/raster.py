@@ -312,6 +312,53 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                     with np.errstate(invalid="ignore", divide="ignore"):
                         out = np.sqrt((s2 - s * s / cnt) / (cnt - 1.0))
                     out = np.where(cnt < 2, np.nan, out)
+            elif stat == "olympic":
+                # FilterOlympic: mean excluding one min and one max
+                cnt = (~np.isnan(stack)).sum(axis=0).astype(np.float64)
+                s = np.nansum(np.where(np.isnan(stack), 0.0, stack), axis=0)
+                out = (s - np.nanmin(stack, axis=0) - np.nanmax(stack, axis=0)) / (cnt - 2.0)
+                out = np.where(cnt < 3, np.nan, out)
+            elif stat == "tri":
+                # terrain ruggedness: mean |dz| over available 8 neighbors
+                nb = np.delete(stack, 4, axis=0)
+                cnt = (~np.isnan(nb)).sum(axis=0).astype(np.float64)
+                d = np.abs(nb - centerv[None])
+                out = np.nansum(np.where(np.isnan(d), 0.0, d), axis=0) / cnt
+                out = np.where(cnt < 1, np.nan, out)
+            elif stat == "percentile":
+                # ElevationPercentile: fraction of window cells strictly
+                # below the center (center included in the denominator)
+                cnt = (~np.isnan(stack)).sum(axis=0).astype(np.float64)
+                less = np.nansum(
+                    np.where(np.isnan(stack), 0.0, (stack < centerv[None]).astype(float)),
+                    axis=0,
+                )
+                out = less / cnt
+            elif stat in ("majority", "diversity"):
+                # classes = floor(value); majority tie-break: smallest class
+                cls = np.floor(stack)
+                srt = np.sort(cls, axis=0)  # nan sorts last
+                valid = ~np.isnan(srt)
+                if stat == "diversity":
+                    new = valid[1:] & valid[:-1] & (srt[1:] != srt[:-1])
+                    out = (valid[0].astype(float)
+                           + new.sum(axis=0).astype(float))
+                    out = np.where(valid.any(axis=0), out, np.nan)
+                else:
+                    best_v = np.full(centerv.shape, np.nan)
+                    best_n = np.zeros(centerv.shape, dtype=np.int64)
+                    run_v = srt[0]
+                    run_n = valid[0].astype(np.int64)
+                    for i in range(1, srt.shape[0]):
+                        cont = valid[i] & (srt[i] == run_v)
+                        take = run_n > best_n  # strict >: earlier (smaller) wins ties
+                        best_v = np.where(take, run_v, best_v)
+                        best_n = np.where(take, run_n, best_n)
+                        run_v = np.where(cont, run_v, srt[i])
+                        run_n = np.where(cont, run_n + 1, valid[i].astype(np.int64))
+                    take = run_n > best_n
+                    best_v = np.where(take, run_v, best_v)
+                    out = best_v
             else:
                 # Slope.java:256-258 finite differences (8 neighbors, full window)
                 nw, nn, ne, wv, _, ev, sw, ss, se = stack
@@ -333,6 +380,36 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                     aspect_r = np.arctan2(-fx, fy)
                     out = (np.sin(alt) * np.cos(slope_r)
                            + np.cos(alt) * np.sin(slope_r) * np.cos(az - aspect_r))
+                elif stat == "gaussian":
+                    # 3x3 binomial smoothing (FilterGaussian 3x3 kernel):
+                    # dyadic /16 weights — exact
+                    out = (nw + 2.0 * nn + ne + 2.0 * wv + 4.0 * centerv
+                           + 2.0 * ev + sw + 2.0 * ss + se) / 16.0
+                elif stat == "laplacian":
+                    # 4-connected Laplacian (FilterLaplacian) — integer weights
+                    out = 4.0 * centerv - nn - ss - wv - ev
+                elif stat in ("curv_plan", "curv_profile", "curv_total"):
+                    # Zevenbergen-Thorne quadratic-fit coefficients
+                    # (PlanCurv.java / ProfCurv.java / TotalCurv.java family)
+                    L2 = cell_size * cell_size
+                    Dq = ((wv + ev) / 2.0 - centerv) / L2
+                    Eq = ((nn + ss) / 2.0 - centerv) / L2
+                    Fq = (-nw + ne + sw - se) / (4.0 * L2)
+                    Gq = (-wv + ev) / (2.0 * cell_size)
+                    Hq = (nn - ss) / (2.0 * cell_size)
+                    gh = Gq * Gq + Hq * Hq
+                    if stat == "curv_total":
+                        out = -2.0 * (Dq + Eq)
+                    elif stat == "curv_plan":
+                        out = np.where(
+                            gh == 0.0, 0.0,
+                            2.0 * (Dq * Hq * Hq + Eq * Gq * Gq - Fq * Gq * Hq) / gh,
+                        )
+                    else:
+                        out = np.where(
+                            gh == 0.0, 0.0,
+                            -2.0 * (Dq * Gq * Gq + Eq * Hq * Hq + Fq * Gq * Hq) / gh,
+                        )
                 else:
                     raise ValueError(stat)
                 # transcendental outputs round to 6 decimals (libm ulp policy);

@@ -1224,3 +1224,225 @@ def q_stream_order(spark, sf):
 
     dem = R.synth_raster(spark, _VROWS, _VCOLS, value_sql=VALLEY_VAL)
     return stream_network(flow_pointer_d8(dem), _VT)
+
+
+# -- extended focal family (§2.5: FilterOlympic/Gaussian/Laplacian/Majority/
+# Diversity, ElevationPercentile, TRI, PlanCurv/ProfCurv/TotalCurv,
+# DeviationFromMeanElevation) — all branches of the one halo-strip stencil
+# runner (operators/raster.py focal).
+_NBR2 = (
+    "nbr2 AS (SELECT a.row AS row, a.col AS col, a.value AS av, b.value AS bv, "
+    "(b.row = a.row AND b.col = a.col) AS is_c "
+    "FROM ras a JOIN ras b ON b.row BETWEEN a.row - 1 AND a.row + 1 "
+    "AND b.col BETWEEN a.col - 1 AND a.col + 1 "
+    f"WHERE a.value != {NODATA!r}e0)"
+)
+
+
+def _explode_focal(spark, stat, value_cast=None):
+    out = R.explode_cells(R.focal(_demf(spark), stat))
+    out = out.where(F.col("value") != _ND)
+    if value_cast:
+        out = out.withColumn("value", F.col("value").cast(value_cast))
+    return out.orderBy("row", "col")
+
+
+@Q.register(
+    "focal_olympic",
+    f"WITH {_RASF}, {_NBR2}, live AS (SELECT row, col, bv FROM nbr2 WHERE bv != {NODATA!r}e0) "
+    "SELECT row, col, (SUM(bv) - MIN(bv) - MAX(bv)) / (COUNT(*) - 2) AS value "
+    "FROM live GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY row, col",
+)
+def q_focal_olympic(spark, sf):
+    return _explode_focal(spark, "olympic")
+
+
+@Q.register(
+    "focal_tri",
+    f"WITH {_RASF}, {_NBR2}, nb AS (SELECT row, col, bv FROM nbr2 "
+    f"WHERE bv != {NODATA!r}e0 AND NOT is_c) "
+    "SELECT n.row, n.col, SUM(ABS(n.bv - a.value)) / COUNT(*) AS value "
+    "FROM nb n JOIN ras a ON a.row = n.row AND a.col = n.col "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_focal_tri(spark, sf):
+    return _explode_focal(spark, "tri")
+
+
+@Q.register(
+    "elev_percentile",
+    f"WITH {_RASF}, {_NBR2} SELECT row, col, "
+    f"CAST(SUM(CASE WHEN bv != {NODATA!r}e0 AND bv < av THEN 1 ELSE 0 END) AS DOUBLE) "
+    f"/ COUNT(*) FILTER (bv != {NODATA!r}e0) AS value "
+    "FROM nbr2 GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_elev_percentile(spark, sf):
+    return _explode_focal(spark, "percentile")
+
+
+@Q.register(
+    "focal_majority",
+    f"WITH {_RASF}, {_NBR2}, "
+    f"mj AS (SELECT row, col, CAST(FLOOR(bv) AS BIGINT) AS fv, COUNT(*) AS n "
+    f"FROM nbr2 WHERE bv != {NODATA!r}e0 GROUP BY 1, 2, 3), "
+    "sel AS (SELECT row, col, fv, ROW_NUMBER() OVER (PARTITION BY row, col "
+    "ORDER BY n DESC, fv ASC) AS rn FROM mj) "
+    "SELECT row, col, fv AS value FROM sel WHERE rn = 1 ORDER BY row, col",
+)
+def q_focal_majority(spark, sf):
+    return _explode_focal(spark, "majority", "bigint")
+
+
+@Q.register(
+    "focal_diversity",
+    f"WITH {_RASF}, {_NBR2} SELECT row, col, "
+    f"CAST(COUNT(DISTINCT CAST(FLOOR(bv) AS BIGINT)) FILTER (bv != {NODATA!r}e0) AS BIGINT) AS value "
+    "FROM nbr2 GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_focal_diversity(spark, sf):
+    return _explode_focal(spark, "diversity", "bigint")
+
+
+_FULLW = (
+    f"WHERE cv != {R.NODATA!r}e0 AND {R.NODATA!r}e0 NOT IN (nw, nn, ne, wv, ev, sw, ss, se) "
+    "AND nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
+    "AND ev IS NOT NULL AND sw IS NOT NULL AND ss IS NOT NULL AND se IS NOT NULL "
+)
+
+
+@Q.register(
+    "focal_gaussian",
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
+    "(FLOOR(((nw + 2e0 * nn + ne + 2e0 * wv + 4e0 * cv + 2e0 * ev + sw + 2e0 * ss + se) "
+    "/ 16e0) * 1e6 + 0.5e0) / 1e6) AS value FROM w9 "
+    f"{_FULLW} ORDER BY row, col",
+)
+def q_focal_gaussian(spark, sf):
+    return _explode_focal(spark, "gaussian")
+
+
+@Q.register(
+    "focal_laplacian",
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
+    "(FLOOR((4e0 * cv - nn - ss - wv - ev) * 1e6 + 0.5e0) / 1e6) AS value FROM w9 "
+    f"{_FULLW} ORDER BY row, col",
+)
+def q_focal_laplacian(spark, sf):
+    return _explode_focal(spark, "laplacian")
+
+
+# Zevenbergen-Thorne coefficients over the unit-cell 3x3 window
+_ZT = (
+    "zt AS (SELECT row, col, "
+    "((wv + ev) / 2e0 - cv) AS dq, ((nn + ss) / 2e0 - cv) AS eq, "
+    "(- nw + ne + sw - se) / 4e0 AS fq, "
+    "(- wv + ev) / 2e0 AS gq, (nn - ss) / 2e0 AS hq "
+    f"FROM w9 {_FULLW})"
+)
+
+
+@Q.register(
+    "curv_plan",
+    f"WITH {_RASF}, {_W9}, {_ZT} SELECT row, col, "
+    "(FLOOR((CASE WHEN gq * gq + hq * hq = 0e0 THEN 0e0 "
+    "ELSE 2e0 * (dq * hq * hq + eq * gq * gq - fq * gq * hq) / (gq * gq + hq * hq) END) "
+    "* 1e6 + 0.5e0) / 1e6) AS value FROM zt ORDER BY row, col",
+)
+def q_curv_plan(spark, sf):
+    return _explode_focal(spark, "curv_plan")
+
+
+@Q.register(
+    "curv_profile",
+    f"WITH {_RASF}, {_W9}, {_ZT} SELECT row, col, "
+    "(FLOOR((CASE WHEN gq * gq + hq * hq = 0e0 THEN 0e0 "
+    "ELSE -2e0 * (dq * gq * gq + eq * hq * hq + fq * gq * hq) / (gq * gq + hq * hq) END) "
+    "* 1e6 + 0.5e0) / 1e6) AS value FROM zt ORDER BY row, col",
+)
+def q_curv_profile(spark, sf):
+    return _explode_focal(spark, "curv_profile")
+
+
+@Q.register(
+    "curv_total",
+    f"WITH {_RASF}, {_W9}, {_ZT} SELECT row, col, "
+    "(FLOOR((-2e0 * (dq + eq)) * 1e6 + 0.5e0) / 1e6) AS value FROM zt ORDER BY row, col",
+)
+def q_curv_total(spark, sf):
+    return _explode_focal(spark, "curv_total")
+
+
+@Q.register(
+    "deviation_from_mean",
+    f"""WITH {_RASF}, {_NBR2}, live AS (SELECT row, col, bv FROM nbr2 WHERE bv != {NODATA!r}e0),
+st AS (
+  SELECT row, col, SUM(bv) / COUNT(*) AS m,
+    CASE WHEN COUNT(*) < 2 THEN NULL ELSE
+    SQRT((SUM(bv * bv) - SUM(bv) * SUM(bv) / COUNT(*)) / (COUNT(*) - 1)) END AS sd
+  FROM live GROUP BY 1, 2
+)
+SELECT s.row, s.col,
+  CAST(ROUND((a.value - s.m) / s.sd, 6) AS DOUBLE) AS value
+FROM st s JOIN ras a ON a.row = s.row AND a.col = s.col
+WHERE s.sd IS NOT NULL AND s.sd > 0e0 ORDER BY s.row, s.col""",
+)
+def q_deviation_from_mean(spark, sf):
+    """DeviationFromMeanElevation: (z - focal_mean) / focal_std —
+    composition of two stencil passes + a cell join."""
+    dem = _demf(spark)
+    m = R.explode_cells(R.focal(dem, "mean"), "m")
+    sd = R.explode_cells(R.focal(dem, "stddev"), "sd")
+    z = R.explode_cells(dem).where(F.col("value") != _ND)
+    return (
+        z.join(m, ["row", "col"]).join(sd, ["row", "col"])
+        .where((F.col("sd") != _ND) & (F.col("sd") > 0))
+        .select(
+            "row", "col",
+            F.round((F.col("value") - F.col("m")) / F.col("sd"), 6)
+            .cast("double").alias("value"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+# -- wetness index (§2.5/2.12; WetnessIndex.java): ln(a / tan(slope)) --------
+# composition of flow accumulation and the slope stencil; transcendental
+# output -> round(6) on both sides (libm ulp policy).
+@Q.register(
+    "wetness_index",
+    f"""WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES},
+slp AS (
+  SELECT row, col,
+    (FLOOR(DEGREES(ATAN(SQRT(
+      POW((n2 - n0 + 2e0 * (n4 - n3) + n7 - n5) / 8e0, 2) +
+      POW((n5 - n0 + 2e0 * (n6 - n1) + n7 - n2) / 8e0, 2)))) * 1e6 + 0.5e0) / 1e6) AS slope_deg
+  FROM w9
+  WHERE cv IS NOT NULL AND n0 IS NOT NULL AND n1 IS NOT NULL AND n2 IS NOT NULL
+    AND n3 IS NOT NULL AND n4 IS NOT NULL AND n5 IS NOT NULL AND n6 IS NOT NULL
+    AND n7 IS NOT NULL
+)
+SELECT s.row, s.col,
+  CAST(ROUND(LN(CAST(a.accum AS DOUBLE) / TAN(RADIANS(s.slope_deg))), 6) AS DOUBLE) AS wetness
+FROM slp s JOIN acc a ON a.row = s.row AND a.col = s.col
+WHERE s.slope_deg > 0e0 ORDER BY s.row, s.col""",
+)
+def q_wetness_index(spark, sf):
+    from .operators.hydro import flow_accum, flow_pointer_d8
+
+    dem = _hydem(spark)
+    acc = flow_accum(flow_pointer_d8(dem))
+    slp = R.explode_cells(R.focal(dem, "slope"), "slope_deg").where(
+        F.col("slope_deg") != _ND
+    )
+    return (
+        slp.join(acc, ["row", "col"], "inner")
+        .where(F.col("slope_deg") > 0)
+        .select(
+            "row", "col",
+            F.round(
+                F.log(F.col("accum").cast("double")
+                      / F.tan(F.radians("slope_deg"))), 6
+            ).cast("double").alias("wetness"),
+        )
+        .orderBy("row", "col")
+    )
