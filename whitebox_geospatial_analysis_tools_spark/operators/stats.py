@@ -252,3 +252,82 @@ def medoid(df: DataFrame, key: str, x: str = "lon", y: str = "lat") -> DataFrame
         j.select(F.col(key), d2.alias("_d2"))
         .agg(F.expr(f"min_by({key}, struct(_d2, {key}))").alias(key))
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA (ImageProcessingTools/src/plugins/PrincipalComponentAnalysis.java
+# :273-329): distributed covariance moments + CLOSED-FORM 2x2 eigen solve —
+# the eigen step stays inside Catalyst (and is SQL-expressible for the
+# oracle), no driver numpy.  Shared formula fragments below are spliced
+# verbatim into both engines: all inputs are exact integer moments, every
+# float op is order-pinned, so loadings match bit-for-bit before rounding.
+# Sign convention: the loading with the largest absolute value is positive.
+# ---------------------------------------------------------------------------
+PCA_COV = {
+    "a": "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) / 10000e0)",
+    "c": "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) / 10000e0)",
+    "b": "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) / 10000e0)",
+}
+_L1 = "((a + c) / 2e0 + SQRT(((a - c) / 2e0) * ((a - c) / 2e0) + b * b))"
+_L2 = "((a + c) / 2e0 - SQRT(((a - c) / 2e0) * ((a - c) / 2e0) + b * b))"
+_VN = f"SQRT(b * b + ({_L1} - a) * ({_L1} - a))"
+_V1X0 = f"(b / {_VN})"
+_V1Y0 = f"(({_L1} - a) / {_VN})"
+_SGN = (
+    f"(CASE WHEN ABS({_V1X0}) >= ABS({_V1Y0}) "
+    f"THEN (CASE WHEN {_V1X0} < 0e0 THEN -1e0 ELSE 1e0 END) "
+    f"ELSE (CASE WHEN {_V1Y0} < 0e0 THEN -1e0 ELSE 1e0 END) END)"
+)
+PCA_OUT = {
+    "lambda1": _L1,
+    "lambda2": _L2,
+    "v1x": f"({_SGN} * {_V1X0})",
+    "v1y": f"({_SGN} * {_V1Y0})",
+    "pct_var1": f"({_L1} / ({_L1} + {_L2}))",
+}
+
+
+def pca2_moments(df: DataFrame, x: str, y: str, scale: int = 100) -> DataFrame:
+    """Exact integer moment row (n, sx, sy, sxx, syy, sxy) in cents."""
+    d = df.select(cents(x, scale).alias("cx"), cents(y, scale).alias("cy"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cx").alias("sx"), F.sum("cy").alias("sy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).alias("syy"),
+        F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
+    )
+
+
+def pca2_components(df: DataFrame, x: str, y: str) -> DataFrame:
+    """1-row PCA summary: eigenvalues, PC1 loadings, explained share."""
+    cov = pca2_moments(df, x, y).select(
+        *[F.expr(e).alias(k) for k, e in PCA_COV.items()]
+    )
+    return cov.select(
+        *[F.round(F.expr(e), 6).cast("double").alias(k) for k, e in PCA_OUT.items()]
+    )
+
+
+def pca2_scores(df: DataFrame, x: str, y: str, key) -> DataFrame:
+    """Per-row PC1/PC2 scores: centered projection onto the loadings —
+    broadcast 1-row crossJoin, fully distributed."""
+    m = pca2_moments(df, x, y)
+    comp = m.select(
+        (F.col("sx").cast("double") / F.col("n") / 100).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n") / 100).alias("my"),
+        *[F.expr(e).alias(k) for k, e in PCA_COV.items()],
+    ).select(
+        "mx", "my",
+        F.expr(PCA_OUT["v1x"]).alias("v1x"),
+        F.expr(PCA_OUT["v1y"]).alias("v1y"),
+    )
+    j = df.crossJoin(F.broadcast(comp))
+    s1 = (F.col(x) - F.col("mx")) * F.col("v1x") + (F.col(y) - F.col("my")) * F.col("v1y")
+    s2 = -(F.col(x) - F.col("mx")) * F.col("v1y") + (F.col(y) - F.col("my")) * F.col("v1x")
+    keys = [key] if isinstance(key, str) else list(key)
+    return j.select(
+        *keys,
+        F.round(s1, 6).cast("double").alias("score1"),
+        F.round(s2, 6).cast("double").alias("score2"),
+    ).orderBy(*keys)

@@ -355,3 +355,55 @@ SELECT doc_id FROM d ORDER BY d2, doc_id LIMIT 1""",
 )
 def q_medoid(spark, sf):
     return stats.medoid(Q._points(spark, sf), "doc_id")
+
+
+# -- PCA (§2.4; PrincipalComponentAnalysis.java:273-329) -----------------------
+# distributed exact-integer covariance moments + closed-form 2x2 eigen (the
+# eigen step is Catalyst-side AND SQL-expressible, so the oracle verifies
+# loadings and scores, not just the covariance).  Shared fragments:
+# operators/stats.py PCA_COV / PCA_OUT.
+_PCA_MOM = (
+    "mom AS (SELECT COUNT(*) AS n, "
+    "CAST(SUM(CAST(round(l_quantity * 100e0) AS BIGINT)) AS BIGINT) AS sx, "
+    "CAST(SUM(CAST(round(l_extendedprice * 100e0) AS BIGINT)) AS BIGINT) AS sy, "
+    "CAST(SUM(CAST(round(l_quantity * 100e0) AS BIGINT) * CAST(round(l_quantity * 100e0) AS BIGINT)) AS BIGINT) AS sxx, "
+    "CAST(SUM(CAST(round(l_extendedprice * 100e0) AS BIGINT) * CAST(round(l_extendedprice * 100e0) AS BIGINT)) AS BIGINT) AS syy, "
+    "CAST(SUM(CAST(round(l_quantity * 100e0) AS BIGINT) * CAST(round(l_extendedprice * 100e0) AS BIGINT)) AS BIGINT) AS sxy "
+    "FROM lineitem)"
+)
+
+
+def _pca_cov_cte() -> str:
+    cov = ", ".join(f"{e} AS {k}" for k, e in stats.PCA_COV.items())
+    return f"cov AS (SELECT {cov} FROM mom)"
+
+
+@Q.register(
+    "pca_components",
+    f"WITH {_PCA_MOM}, {_pca_cov_cte()} SELECT "
+    + ", ".join(
+        f"CAST(ROUND({e}, 6) AS DOUBLE) AS {k}" for k, e in stats.PCA_OUT.items()
+    )
+    + " FROM cov",
+)
+def q_pca_components(spark, sf):
+    df = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return stats.pca2_components(df, "l_quantity", "l_extendedprice")
+
+
+@Q.register(
+    "pca_scores",
+    f"WITH {_PCA_MOM}, {_pca_cov_cte()}, "
+    "ld AS (SELECT (SELECT CAST(sx AS DOUBLE) / n / 100 FROM mom) AS mx, "
+    "(SELECT CAST(sy AS DOUBLE) / n / 100 FROM mom) AS my, "
+    f"{stats.PCA_OUT['v1x']} AS v1x, {stats.PCA_OUT['v1y']} AS v1y FROM cov) "
+    "SELECT l.l_orderkey, l.l_linenumber, "
+    "CAST(ROUND((l.l_quantity - d.mx) * d.v1x + (l.l_extendedprice - d.my) * d.v1y, 6) AS DOUBLE) AS score1, "
+    "CAST(ROUND(-(l.l_quantity - d.mx) * d.v1y + (l.l_extendedprice - d.my) * d.v1x, 6) AS DOUBLE) AS score2 "
+    "FROM lineitem l CROSS JOIN ld d ORDER BY l.l_orderkey, l.l_linenumber",
+)
+def q_pca_scores(spark, sf):
+    df = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return stats.pca2_scores(
+        df, "l_quantity", "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )

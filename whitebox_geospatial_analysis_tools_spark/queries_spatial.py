@@ -328,3 +328,70 @@ def q_euclidean_distance(spark, sf):
         )
         .orderBy("row", "col")
     )
+
+
+# -- CRS transformation (§2.2; CoordinateSystemTransformation.java:55,
+# whitebox/georeference/LL2UTM.java): WGS84 geographic <-> UTM -------------
+# Shared staged SQL fragments (functions/crs.py) evaluated identically in
+# Catalyst and DuckDB; metres round to 4 decimals, degrees to 6.
+_CRS_BASE_COLS = (
+    "CAST(FLOOR(lon / 6e0) AS BIGINT) + 1 AS zone, "
+    "RADIANS(lon - 180e0) AS lam, RADIANS(lat - 90e0) AS phi, "
+    "RADIANS(CAST((CAST(FLOOR(lon / 6e0) AS BIGINT) + 1) * 6 - 183 AS DOUBLE)) AS lam0"
+)
+_CRS_FILTER = "ABS(lat - 90e0) <= 80e0"
+
+
+def _crs_oracle(select: str, stages_needed: int) -> str:
+    from .functions import crs
+
+    base = (
+        f"SELECT doc_id, {_CRS_BASE_COLS} FROM pts WHERE {_CRS_FILTER}"
+    )
+    stages = crs.FWD_STAGES + (crs.INV_STAGES if stages_needed > 2 else [])
+    ctes, last = crs.stages_sql(base, "crs_base", stages, "crs")
+    return f"WITH {Q.pts_cte()}, {ctes} SELECT {select} FROM {last} ORDER BY doc_id"
+
+
+def _crs_engine(spark, sf, inverse: bool):
+    from .functions import crs
+
+    pts = Q._points(spark, sf).where(F.expr(_CRS_FILTER))
+    base = pts.select("doc_id", *[
+        F.expr(c.rsplit(" AS ", 1)[0]).alias(c.rsplit(" AS ", 1)[1])
+        for c in _CRS_BASE_COLS.split(", ")
+    ])
+    stages = crs.FWD_STAGES + (crs.INV_STAGES if inverse else [])
+    return crs.apply_stages(base, stages)
+
+
+@Q.register(
+    "utm_forward",
+    _crs_oracle(
+        "doc_id, zone, CAST(ROUND(easting, 4) AS DOUBLE) AS easting, "
+        "CAST(ROUND(northing, 4) AS DOUBLE) AS northing", 2,
+    ),
+)
+def q_utm_forward(spark, sf):
+    out = _crs_engine(spark, sf, inverse=False)
+    return out.select(
+        "doc_id", "zone",
+        F.round("easting", 4).cast("double").alias("easting"),
+        F.round("northing", 4).cast("double").alias("northing"),
+    ).orderBy("doc_id")
+
+
+@Q.register(
+    "utm_roundtrip",
+    _crs_oracle(
+        "doc_id, CAST(ROUND(DEGREES(lam2) + 180e0, 6) AS DOUBLE) AS lon2, "
+        "CAST(ROUND(DEGREES(phi2) + 90e0, 6) AS DOUBLE) AS lat2", 7,
+    ),
+)
+def q_utm_roundtrip(spark, sf):
+    out = _crs_engine(spark, sf, inverse=True)
+    return out.select(
+        "doc_id",
+        F.round(F.degrees("lam2") + 180.0, 6).cast("double").alias("lon2"),
+        F.round(F.degrees("phi2") + 90.0, 6).cast("double").alias("lat2"),
+    ).orderBy("doc_id")
