@@ -1446,3 +1446,28 @@ def q_wetness_index(spark, sf):
         )
         .orderBy("row", "col")
     )
+
+
+# -- raster -> vector polygons (§2.10; RasterToVectorPolygons.java:217-445) ---
+# patch summary is oracle-checked (labels + perimeter from a neighbor join);
+# the traced rings themselves are verified by the exact signed-area == cell
+# count property test (tests/test_vectorize.py).
+@Q.register(
+    "raster_to_polygons",
+    f"WITH RECURSIVE {_CBASE}, "
+    "nbr4 AS (SELECT a.id AS id, COUNT(*) AS nsame FROM base a JOIN base b "
+    "ON b.cls = a.cls AND ABS(a.row - b.row) + ABS(a.col - b.col) = 1 GROUP BY 1), "
+    "segs AS (SELECT b.id, l.label, 4 - COALESCE(n.nsame, 0) AS nseg "
+    "FROM base b JOIN lab l USING (id) LEFT JOIN nbr4 n ON n.id = b.id) "
+    "SELECT label, COUNT(*) AS n_cells, CAST(SUM(nseg) AS BIGINT) AS n_segments "
+    "FROM segs GROUP BY 1 ORDER BY 1",
+)
+def q_raster_to_polygons(spark, sf):
+    from .operators.vectorize import patch_stats
+
+    cells = (
+        R.explode_cells(R.synth_raster(spark, _CROWS, _CCOLS))
+        .where(F.col("value") != _ND)
+        .select("row", "col", F.expr("CAST(FLOOR(value / 50e0) AS BIGINT)").alias("cls"))
+    )
+    return patch_stats(cells, _CCOLS)
