@@ -1471,3 +1471,281 @@ def q_raster_to_polygons(spark, sf):
         .select("row", "col", F.expr("CAST(FLOOR(value / 50e0) AS BIGINT)").alias("cls"))
     )
     return patch_stats(cells, _CCOLS)
+
+
+# -- bilinear 2x resample (§2.13; Resample.java:185-309 bilinear branch) ------
+# source sample position (u + 0.5)/2 - 0.5 -> dyadic weights {0.25, 0.75};
+# products/sums of dyadic values are exact, no rounding policy needed.
+_BL = (
+    "up AS (SELECT a.a AS urow, b.b AS ucol FROM range(1, 118) a(a), range(1, 118) b(b)), "
+    "bl AS (SELECT urow, ucol, "
+    "CAST(FLOOR((urow + 0.5e0) / 2e0 - 0.5e0) AS BIGINT) AS r0, "
+    "((urow + 0.5e0) / 2e0 - 0.5e0) - CAST(FLOOR((urow + 0.5e0) / 2e0 - 0.5e0) AS BIGINT) AS fr, "
+    "CAST(FLOOR((ucol + 0.5e0) / 2e0 - 0.5e0) AS BIGINT) AS c0, "
+    "((ucol + 0.5e0) / 2e0 - 0.5e0) - CAST(FLOOR((ucol + 0.5e0) / 2e0 - 0.5e0) AS BIGINT) AS fc "
+    "FROM up)"
+)
+
+
+@Q.register(
+    "resample_bilinear",
+    f"WITH {_RAS}, {_BL} SELECT b.urow, b.ucol, "
+    "(1e0 - b.fr) * (1e0 - b.fc) * v00.value + (1e0 - b.fr) * b.fc * v01.value "
+    "+ b.fr * (1e0 - b.fc) * v10.value + b.fr * b.fc * v11.value AS value "
+    "FROM bl b "
+    "JOIN ras v00 ON v00.row = b.r0 AND v00.col = b.c0 "
+    "JOIN ras v01 ON v01.row = b.r0 AND v01.col = b.c0 + 1 "
+    "JOIN ras v10 ON v10.row = b.r0 + 1 AND v10.col = b.c0 "
+    "JOIN ras v11 ON v11.row = b.r0 + 1 AND v11.col = b.c0 + 1 "
+    f"WHERE {NODATA!r}e0 NOT IN (v00.value, v01.value, v10.value, v11.value) "
+    "ORDER BY b.urow, b.ucol",
+)
+def q_resample_bilinear(spark, sf):
+    cells = R.explode_cells(_dem(spark))
+    up = (
+        spark.range(1, 118).selectExpr("id AS urow")
+        .crossJoin(spark.range(1, 118).selectExpr("id AS ucol"))
+        .selectExpr(
+            "urow", "ucol",
+            "CAST(FLOOR((urow + 0.5e0) / 2e0 - 0.5e0) AS BIGINT) AS r0",
+            "((urow + 0.5e0) / 2e0 - 0.5e0) - CAST(FLOOR((urow + 0.5e0) / 2e0 - 0.5e0) AS BIGINT) AS fr",
+            "CAST(FLOOR((ucol + 0.5e0) / 2e0 - 0.5e0) AS BIGINT) AS c0",
+            "((ucol + 0.5e0) / 2e0 - 0.5e0) - CAST(FLOOR((ucol + 0.5e0) / 2e0 - 0.5e0) AS BIGINT) AS fc",
+        )
+    )
+    def src(name, dr, dc):
+        return cells.select(
+            (F.col("row") - dr).alias("r0"), (F.col("col") - dc).alias("c0"),
+            F.col("value").alias(name),
+        )
+    j = (
+        up.join(src("v00", 0, 0), ["r0", "c0"])
+        .join(src("v01", 0, 1), ["r0", "c0"])
+        .join(src("v10", 1, 0), ["r0", "c0"])
+        .join(src("v11", 1, 1), ["r0", "c0"])
+        .where((F.col("v00") != _ND) & (F.col("v01") != _ND)
+               & (F.col("v10") != _ND) & (F.col("v11") != _ND))
+    )
+    return j.select(
+        "urow", "ucol",
+        ((1 - F.col("fr")) * (1 - F.col("fc")) * F.col("v00")
+         + (1 - F.col("fr")) * F.col("fc") * F.col("v01")
+         + F.col("fr") * (1 - F.col("fc")) * F.col("v10")
+         + F.col("fr") * F.col("fc") * F.col("v11")).alias("value"),
+    ).orderBy("urow", "ucol")
+
+
+# -- binary morphology (§2.5 LineThinning family base ops: erode/dilate) ------
+# indicator = value > 100; erode = min over the available 3x3 window,
+# dilate = max (FilterMin/FilterMax over a binary image).
+@Q.register(
+    "morphology",
+    f"WITH {_RASF}, {_NBR2} SELECT row, col, "
+    f"CAST(MIN(CASE WHEN bv > 100e0 THEN 1 ELSE 0 END) FILTER (bv != {NODATA!r}e0) AS BIGINT) AS erode, "
+    f"CAST(MAX(CASE WHEN bv > 100e0 THEN 1 ELSE 0 END) FILTER (bv != {NODATA!r}e0) AS BIGINT) AS dilate "
+    "FROM nbr2 GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_morphology(spark, sf):
+    ind = R.map_algebra(_demf(spark), "CASE WHEN v > 100e0 THEN 1e0 ELSE 0e0 END")
+    er = R.explode_cells(R.focal(ind, "min"), "erode")
+    di = R.explode_cells(R.focal(ind, "max"), "dilate")
+    return (
+        er.join(di, ["row", "col"])
+        .where(F.col("erode") != _ND)
+        .select("row", "col",
+                F.col("erode").cast("bigint").alias("erode"),
+                F.col("dilate").cast("bigint").alias("dilate"))
+        .orderBy("row", "col")
+    )
+
+
+# -- stddev contrast stretch (§2.13; ContrastEnhancement stddev mode) ---------
+@Q.register(
+    "stretch_stddev",
+    f"""WITH {_RAS}, m AS (
+  SELECT SUM(value) / COUNT(*) AS mu,
+    SQRT((SUM(value * value) - SUM(value) * SUM(value) / COUNT(*)) / (COUNT(*) - 1)) AS sd
+  FROM ras WHERE {_NDF})
+SELECT row, col, CAST(ROUND(
+  LEAST(GREATEST((value - (mu - 2e0 * sd)) / (4e0 * sd), 0e0), 1e0) * 255e0, 6) AS DOUBLE) AS value
+FROM ras, m WHERE {_NDF} ORDER BY row, col""",
+)
+def q_stretch_stddev(spark, sf):
+    cells = R.explode_cells(_dem(spark)).where(F.col("value") != _ND)
+    m = cells.agg(
+        (F.sum("value") / F.count(F.lit(1))).alias("mu"),
+        F.expr(
+            "SQRT((SUM(value * value) - SUM(value) * SUM(value) / COUNT(*)) / (COUNT(*) - 1))"
+        ).alias("sd"),
+    )
+    v = F.least(
+        F.greatest((F.col("value") - (F.col("mu") - 2 * F.col("sd"))) / (4 * F.col("sd")),
+                   F.lit(0.0)), F.lit(1.0)
+    ) * 255.0
+    return (
+        cells.crossJoin(F.broadcast(m))
+        .select("row", "col", F.round(v, 6).cast("double").alias("value"))
+        .orderBy("row", "col")
+    )
+
+
+# -- percentile contrast stretch (§2.13; PercentageContrastStretch.java) ------
+@Q.register(
+    "stretch_percentile",
+    f"""WITH {_RAS}, live AS (SELECT * FROM ras WHERE {_NDF}), m AS (
+  SELECT QUANTILE_CONT(value, 0.05e0) AS lo, QUANTILE_CONT(value, 0.95e0) AS hi FROM live)
+SELECT row, col, CAST(ROUND(
+  LEAST(GREATEST((value - lo) / (hi - lo), 0e0), 1e0) * 255e0, 6) AS DOUBLE) AS value
+FROM live, m ORDER BY row, col""",
+)
+def q_stretch_percentile(spark, sf):
+    cells = R.explode_cells(_dem(spark)).where(F.col("value") != _ND)
+    m = cells.agg(
+        F.expr("percentile(value, 0.05e0)").alias("lo"),
+        F.expr("percentile(value, 0.95e0)").alias("hi"),
+    )
+    v = F.least(
+        F.greatest((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+                   F.lit(0.0)), F.lit(1.0)
+    ) * 255.0
+    return (
+        cells.crossJoin(F.broadcast(m))
+        .select("row", "col", F.round(v, 6).cast("double").alias("value"))
+        .orderBy("row", "col")
+    )
+
+
+# -- fill missing-data holes (§2.5; FillMissingDataHoles.java): nodata cells
+# take the mean of their valid 3x3 neighbors (single pass; dyadic-exact) ----
+@Q.register(
+    "fill_holes",
+    f"""WITH {_RASF},
+holes AS (SELECT row, col FROM ras WHERE value = {NODATA!r}e0),
+nb AS (
+  SELECT h.row, h.col, b.value AS bv
+  FROM holes h JOIN ras b ON b.row BETWEEN h.row - 1 AND h.row + 1
+   AND b.col BETWEEN h.col - 1 AND h.col + 1
+  WHERE b.value != {NODATA!r}e0
+)
+SELECT row, col, SUM(bv) / COUNT(*) AS value FROM nb GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q_fill_holes(spark, sf):
+    cells = R.explode_cells(_demf(spark))
+    holes = cells.where(F.col("value") == _ND).select("row", "col")
+    offs = F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+    ])
+    probe = (
+        holes.withColumn("_o", F.explode(offs))
+        .select("row", "col",
+                (F.col("row") + F.col("_o.dr")).alias("nr"),
+                (F.col("col") + F.col("_o.dc")).alias("nc"))
+    )
+    valid = cells.where(F.col("value") != _ND).select(
+        F.col("row").alias("nr"), F.col("col").alias("nc"), F.col("value").alias("bv")
+    )
+    return (
+        probe.join(valid, ["nr", "nc"], "inner")
+        .groupBy("row", "col")
+        .agg((F.sum("bv") / F.count(F.lit(1))).alias("value"))
+        .orderBy("row", "col")
+    )
+
+
+# -- flip image (§2.13; FlipImage.java vertical flip) -------------------------
+@Q.register(
+    "flip_image",
+    f"WITH {_RASF} SELECT ({FROWS - 1} - row) AS row, col, value FROM ras "
+    "ORDER BY 1, 2",
+)
+def q_flip_image(spark, sf):
+    return (
+        R.explode_cells(_demf(spark))
+        .select((F.lit(FROWS - 1) - F.col("row")).alias("row"), "col", "value")
+        .orderBy("row", "col")
+    )
+
+
+# -- contour crossings (§2.10; Contour.java vertex extraction) ----------------
+# a contour at level L crosses a 4-neighbor cell edge iff the endpoint values
+# straddle L; the interpolated crossing offset t = (L - a)/(b - a) is each
+# contour-polyline vertex.  Per level: vertex count + exact offset sum
+# (dyadic ratio -> deterministic; round 6 for the division).
+@Q.register(
+    "contour_crossings",
+    f"""WITH {_RASF}, live AS (SELECT * FROM ras WHERE {_NDF}),
+e AS (
+  SELECT a.value AS av, b.value AS bv FROM live a JOIN live b
+  ON (b.row = a.row AND b.col = a.col + 1) OR (b.row = a.row + 1 AND b.col = a.col)
+),
+lv AS (SELECT * FROM (VALUES (50e0), (100e0), (150e0)) t(lev))
+SELECT CAST(lev AS DOUBLE) AS level, COUNT(*) AS n_vertices,
+  CAST(ROUND(SUM((lev - av) / (bv - av)), 6) AS DOUBLE) AS t_sum
+FROM e JOIN lv ON (av < lev) != (bv < lev)
+GROUP BY 1 ORDER BY 1""",
+)
+def q_contour_crossings(spark, sf):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    right = live.select(
+        F.col("row"), (F.col("col") - 1).alias("col"), F.col("value").alias("bv")
+    )
+    down = live.select(
+        (F.col("row") - 1).alias("row"), F.col("col"), F.col("value").alias("bv")
+    )
+    e = (
+        live.join(right, ["row", "col"], "inner")
+        .unionByName(live.join(down, ["row", "col"], "inner"))
+        .select(F.col("value").alias("av"), "bv")
+    )
+    lv = spark.createDataFrame([(50.0,), (100.0,), (150.0,)], "lev double")
+    return (
+        e.crossJoin(F.broadcast(lv))
+        .where((F.col("av") < F.col("lev")) != (F.col("bv") < F.col("lev")))
+        .groupBy(F.col("lev").cast("double").alias("level"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.round(F.sum((F.col("lev") - F.col("av")) / (F.col("bv") - F.col("av"))), 6)
+            .cast("double").alias("t_sum"),
+        )
+        .orderBy("level")
+    )
+
+
+# -- feathered mosaic (§2.7; MosaicWithFeathering.java, 1027): linear
+# distance-to-seam weights blend the overlap zone ----------------------------
+@Q.register(
+    "mosaic_feather",
+    f"""WITH {_RAS}, {_RAS2},
+ja AS (SELECT row, col, value FROM ras WHERE col < 240 AND value != {NODATA!r}e0),
+jb AS (SELECT row, col, value FROM ras2 WHERE col >= 120 AND value != {NODATA!r}e0),
+m AS (
+  SELECT COALESCE(a.row, b.row) AS row, COALESCE(a.col, b.col) AS col,
+    CASE WHEN a.value IS NULL THEN b.value
+         WHEN b.value IS NULL THEN a.value
+         ELSE ((240e0 - COALESCE(a.col, b.col)) / 120e0) * a.value
+            + (1e0 - (240e0 - COALESCE(a.col, b.col)) / 120e0) * b.value END AS v
+  FROM ja a FULL OUTER JOIN jb b ON a.row = b.row AND a.col = b.col
+)
+SELECT COUNT(*) AS n, CAST(ROUND(SUM(v), 4) AS DOUBLE) AS total FROM m""",
+)
+def q_mosaic_feather(spark, sf):
+    a = (
+        R.explode_cells(_dem(spark, 0)).where((F.col("col") < 240) & (F.col("value") != _ND))
+        .withColumnRenamed("value", "av")
+    )
+    b = (
+        R.explode_cells(_dem(spark, 1)).where((F.col("col") >= 120) & (F.col("value") != _ND))
+        .withColumnRenamed("value", "bv")
+    )
+    m = a.join(b, ["row", "col"], "full_outer")
+    wa = (240.0 - F.col("col")) / 120.0
+    v = (
+        F.when(F.col("av").isNull(), F.col("bv"))
+        .when(F.col("bv").isNull(), F.col("av"))
+        .otherwise(wa * F.col("av") + (1 - wa) * F.col("bv"))
+    )
+    return m.select(v.alias("v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 4).cast("double").alias("total"),
+    )

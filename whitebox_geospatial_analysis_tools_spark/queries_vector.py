@@ -363,3 +363,84 @@ def q_union_area(spark, sf):
     from .operators.overlay import union_area
 
     return union_area(spark)
+
+
+# -- WKT export (§2.1; ExportWellKnownText.java) ------------------------------
+# POLYGON((...)) text with rings closed (first vertex repeated) and %.6f
+# coordinates — built entirely with Catalyst array/string functions.
+@Q.register(
+    "wkt_export",
+    f"WITH vtx AS (SELECT * FROM {vertices_sql_values()} t(poly_id, ring, vi, nv, x, y)), "
+    "ringtxt AS (SELECT poly_id, ring, "
+    "'(' || STRING_AGG(printf('%.6f %.6f', x, y), ', ' ORDER BY vi) || ', ' || "
+    "MIN(CASE WHEN vi = 0 THEN printf('%.6f %.6f', x, y) END) || ')' AS t "
+    "FROM vtx GROUP BY 1, 2) "
+    "SELECT poly_id, 'POLYGON(' || STRING_AGG(t, ', ' ORDER BY ring) || ')' AS wkt "
+    "FROM ringtxt GROUP BY 1 ORDER BY poly_id",
+)
+def q_wkt_export(spark, sf):
+    from .sources.polygons import polygons_df
+
+    df = polygons_df(spark)
+    ring_txt = (
+        "transform(rings, ring -> concat('(', "
+        "array_join(transform(ring, p -> format_string('%.6f %.6f', p[0], p[1])), ', '), "
+        "', ', format_string('%.6f %.6f', ring[0][0], ring[0][1]), ')'))"
+    )
+    return df.select(
+        "poly_id",
+        F.expr(f"concat('POLYGON(', array_join({ring_txt}, ', '), ')')").alias("wkt"),
+    ).orderBy("poly_id")
+
+
+# -- vector buffer (§2.11; BufferVector.java:359): circular point buffers as
+# 16-gon polygons (the standard segmented-circle buffer approximation) -------
+_BUF_R = "2.5e0"
+_BUF_SEGS = 16
+
+
+@Q.register(
+    "buffer_points",
+    f"""WITH {Q.pts_cte().replace('{{sf}}', '')},
+q AS (SELECT doc_id, lon, lat FROM pts WHERE doc_id % 211 = 0),
+k AS (SELECT * FROM range(0, {_BUF_SEGS}) t(i)),
+v AS (
+  SELECT q.doc_id,
+    q.lon + {_BUF_R} * COS(2e0 * PI() * k.i / {_BUF_SEGS}e0) AS x,
+    q.lat + {_BUF_R} * SIN(2e0 * PI() * k.i / {_BUF_SEGS}e0) AS y,
+    k.i FROM q CROSS JOIN k
+),
+e AS (SELECT doc_id, x, y,
+  LEAD(x) OVER w AS x2, LEAD(y) OVER w AS y2,
+  FIRST_VALUE(x) OVER w AS fx, FIRST_VALUE(y) OVER w AS fy
+  FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY i
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT doc_id, CAST({_BUF_SEGS} AS BIGINT) AS n_vertices,
+  CAST(ROUND(SUM(x * COALESCE(y2, fy) - COALESCE(x2, fx) * y) / 2e0, 6) AS DOUBLE) AS buf_area
+FROM e GROUP BY 1 ORDER BY doc_id""",
+)
+def q_buffer_points(spark, sf):
+    pts = Q._points(spark, sf).where(F.col("doc_id") % 211 == 0)
+    v = (
+        pts.select("doc_id", "lon", "lat")
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(_BUF_SEGS - 1))))
+        .selectExpr(
+            "doc_id", "i",
+            f"lon + {_BUF_R} * COS(2e0 * PI() * i / {_BUF_SEGS}e0) AS x",
+            f"lat + {_BUF_R} * SIN(2e0 * PI() * i / {_BUF_SEGS}e0) AS y",
+        )
+    )
+    shoelace = F.expr(
+        "aggregate(sequence(0, size(vs) - 1), 0e0, (a, j) -> "
+        "a + vs[j].x * vs[(j + 1) % size(vs)].y - vs[(j + 1) % size(vs)].x * vs[j].y)"
+    ) / 2.0
+    return (
+        v.groupBy("doc_id")
+        .agg(F.expr("array_sort(collect_list(struct(i, x, y)))").alias("vs"))
+        .select(
+            "doc_id",
+            F.lit(_BUF_SEGS).cast("bigint").alias("n_vertices"),
+            F.round(shoelace, 6).cast("double").alias("buf_area"),
+        )
+        .orderBy("doc_id")
+    )
