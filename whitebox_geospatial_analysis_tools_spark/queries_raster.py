@@ -607,7 +607,7 @@ SELECT COUNT(*) AS n_buffer FROM hit""",
 )
 def q_raster_buffer(spark, sf):
     cells = R.explode_cells(R.synth_raster(spark, 60, 90))
-    tgt = cells.where(F.col("value") > 140.0).select(
+    tgt = cells.where(F.col("value") > 95.0).select(
         F.col("row").alias("trow"), F.col("col").alias("tcol")
     )
     live = cells.where(F.col("value") != _ND)
@@ -1748,4 +1748,96 @@ def q_mosaic_feather(spark, sf):
     return m.select(v.alias("v")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("v"), 4).cast("double").alias("total"),
+    )
+
+
+# -- cost-distance accumulation (§2.11; CostAccumulation.java, 635) -----------
+# least accumulated cost from source cells, step = avg(cell costs) * dist.
+# Oracle: Jacobi relaxation to the same shortest-path fixpoint (path sums
+# accumulate in path order in both engines).
+_CDK = 120
+
+
+@Q.register(
+    "cost_distance",
+    f"""WITH RECURSIVE
+rasd AS (SELECT r.r AS row, c.c AS col, {_DVAL} AS value
+         FROM range(0, {_DROWS}) r(r), range(0, {_DCOLS}) c(c)),
+live AS (SELECT row, col, value / 16e0 AS cost, value > 95e0 AS src
+         FROM rasd WHERE value != {NODATA!r}e0),
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) t(dr, dc)),
+ce AS (
+  SELECT a.row, a.col, b.row AS nr, b.col AS nc,
+    (a.cost + b.cost) / 2e0 * CASE WHEN a.row != b.row AND a.col != b.col
+      THEN 1.4142135623730951e0 ELSE 1e0 END AS step
+  FROM live a JOIN offs o ON TRUE
+  JOIN live b ON b.row = a.row + o.dr AND b.col = a.col + o.dc
+  UNION ALL SELECT row, col, row, col, 0e0 FROM live
+),
+it(it, row, col, f) AS (
+  SELECT 0, row, col, CASE WHEN src THEN 0e0 ELSE 1e18 END FROM live
+  UNION ALL
+  SELECT u.it + 1, e.nr, e.nc, MIN(u.f + e.step)
+  FROM it u JOIN ce e ON e.row = u.row AND e.col = u.col
+  WHERE u.it < {_CDK} GROUP BY 1, 2, 3
+)
+SELECT row, col, CAST(ROUND(f, 6) AS DOUBLE) AS cdist
+FROM it WHERE it = {_CDK} AND f < 1e17 ORDER BY row, col""",
+)
+def q_cost_distance(spark, sf):
+    from .operators.cost import cost_distance
+
+    cells = (
+        R.explode_cells(R.synth_raster(spark, _DROWS, _DCOLS))
+        .where(F.col("value") != _ND)
+        .select(
+            "row", "col",
+            (F.col("value") / 16.0).alias("cost"),
+            (F.col("value") > 95.0).alias("is_src"),
+        )
+    )
+    out = cost_distance(cells, tile=16)
+    return (
+        out.where(F.col("cdist") < 1e17)
+        .select("row", "col", F.round("cdist", 6).cast("double").alias("cdist"))
+        .orderBy("row", "col")
+    )
+
+
+# -- horizon angle, east azimuth (§2.11; HorizonAngle.java / Viewshed family) -
+@Q.register(
+    "horizon_angle",
+    f"WITH {_RASF}, live AS (SELECT * FROM ras WHERE {_NDF}) "
+    "SELECT a.row, a.col, "
+    "(FLOOR(DEGREES(ATAN(MAX((b.value - a.value) / (b.col - a.col)))) * 1e6 + 0.5e0) / 1e6) AS horizon_deg "
+    "FROM live a JOIN live b ON b.row = a.row AND b.col > a.col "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_horizon_angle(spark, sf):
+    """Per-row scan kernel: max elevation-angle toward the east horizon —
+    one applyInPandas per raster row (the distributed form of the
+    reference's per-profile scan)."""
+    import numpy as np
+    import pandas as pd
+
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("col")
+        cols = pdf["col"].to_numpy()
+        z = pdf["value"].to_numpy()
+        n = len(z)
+        rows_out = []
+        for i in range(n - 1):
+            r = (z[i + 1:] - z[i]) / (cols[i + 1:] - cols[i])
+            mx = r.max()
+            deg = np.degrees(np.arctan(mx))
+            rows_out.append((int(key[0]), int(cols[i]),
+                             float(np.floor(deg * 1e6 + 0.5) / 1e6)))
+        return pd.DataFrame(rows_out, columns=["row", "col", "horizon_deg"])
+
+    return (
+        live.groupBy("row")
+        .applyInPandas(kernel, "row long, col long, horizon_deg double")
+        .orderBy("row", "col")
     )
