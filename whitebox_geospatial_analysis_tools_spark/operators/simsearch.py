@@ -50,12 +50,24 @@ def cosine_topk(emb: DataFrame, k: int = 3, query_pred: str = "vec_id < 20") -> 
 
     Ranking uses round(cos, 6) + id tie-break so the order is stable against
     last-ulp engine differences.  At scale the corpus side stays partitioned
-    and the (small) query side broadcasts — shuffle-free map-side join."""
+    and the (small) query side broadcasts — shuffle-free map-side join.
+
+    Self-norms are PRE-PROJECTED per row (not inlined per pair): 1/3 the
+    flops, and the per-pair codegen method stays under janino's 64KB limit
+    (the 192-term inline form silently fell back to interpreted mode).
+    cos = dot / sqrt(naa) / sqrt(nbb) — identical value and op order to the
+    oracle's /sqrt(dot(a,a))/sqrt(dot(b,b))."""
     q = emb.where(query_pred).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"),
+        F.expr(dot_expr("embedding", "embedding", SPARK_AT)).alias("_nq"),
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
-    cos = F.expr(f"round({cosine_expr('qv', 'cv', SPARK_AT)}, 6)")
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"),
+        F.expr(dot_expr("embedding", "embedding", SPARK_AT)).alias("_nc"),
+    )
+    cos = F.expr(
+        f"round({dot_expr('qv', 'cv', SPARK_AT)} / sqrt(_nq) / sqrt(_nc), 6)"
+    )
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).select(
         "q_id", "c_id", cos.alias("cos")
     )
@@ -71,9 +83,17 @@ def cosine_topk(emb: DataFrame, k: int = 3, query_pred: str = "vec_id < 20") -> 
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold), brute force
     (exactness oracle for the LSH path)."""
-    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("av"))
-    b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("bv"))
-    cos = F.expr(f"round({cosine_expr('av', 'bv', SPARK_AT)}, 6)")
+    a = emb.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("av"),
+        F.expr(dot_expr("embedding", "embedding", SPARK_AT)).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("bv"),
+        F.expr(dot_expr("embedding", "embedding", SPARK_AT)).alias("_nb"),
+    )
+    cos = F.expr(
+        f"round({dot_expr('av', 'bv', SPARK_AT)} / sqrt(_na) / sqrt(_nb), 6)"
+    )
     return (
         a.join(b, F.col("d1") < F.col("d2"))
         .select("d1", "d2", cos.alias("cos"))
@@ -126,9 +146,17 @@ def lsh_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     standard LSH contract — measured in tests, not hidden.)"""
     b = lsh_buckets(emb)
     e = emb.join(b, "vec_id")
-    a = e.select(F.col("bucket"), F.col("vec_id").alias("d1"), F.col("embedding").alias("av"))
-    c = e.select(F.col("bucket"), F.col("vec_id").alias("d2"), F.col("embedding").alias("bv"))
-    cos = F.expr(f"round({cosine_expr('av', 'bv', SPARK_AT)}, 6)")
+    a = e.select(
+        F.col("bucket"), F.col("vec_id").alias("d1"), F.col("embedding").alias("av"),
+        F.expr(dot_expr("embedding", "embedding", SPARK_AT)).alias("_na"),
+    )
+    c = e.select(
+        F.col("bucket"), F.col("vec_id").alias("d2"), F.col("embedding").alias("bv"),
+        F.expr(dot_expr("embedding", "embedding", SPARK_AT)).alias("_nb"),
+    )
+    cos = F.expr(
+        f"round({dot_expr('av', 'bv', SPARK_AT)} / sqrt(_na) / sqrt(_nb), 6)"
+    )
     return (
         a.join(c, "bucket")
         .where(F.col("d1") < F.col("d2"))
