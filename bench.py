@@ -40,10 +40,15 @@ HEADLINE = [
     "raster_stats",      # tile-table array-aggregate partials
     "focal_mean",        # halo-join + numpy stencil
     "slope",             # 3x3 terrain derivative
-    "euclidean_allocation",  # nearest-target labeling
+    "euclidean_allocation",  # nearest-target labeling (block-pyramid ring join)
     "feature_metrics",   # vector ring-array metrics
     "sessionize",        # gap-rule sessionization window
     "adaptive_cells",    # hot-cell subdivision (skew path)
+    # round-2 additions (new operator families)
+    "intersect_area",    # Sutherland-Hodgman polygon overlay
+    "flow_accum",        # tile-local accumulation + condensed boundary solve
+    "stream_order",      # junction-cut links + Strahler/Shreve/main-stem
+    "utm_roundtrip",     # CRS forward+inverse staged transform
 ]
 
 

@@ -607,7 +607,7 @@ SELECT COUNT(*) AS n_buffer FROM hit""",
 )
 def q_raster_buffer(spark, sf):
     cells = R.explode_cells(R.synth_raster(spark, 60, 90))
-    tgt = cells.where(F.col("value") > 95.0).select(
+    tgt = cells.where(F.col("value") > 140.0).select(
         F.col("row").alias("trow"), F.col("col").alias("tcol")
     )
     live = cells.where(F.col("value") != _ND)
