@@ -312,6 +312,15 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                     with np.errstate(invalid="ignore", divide="ignore"):
                         out = np.sqrt((s2 - s * s / cnt) / (cnt - 1.0))
                     out = np.where(cnt < 2, np.nan, out)
+            elif stat == "sigma":
+                # edge-preserving sigma filter (FilterLeeSigma family):
+                # mean of window cells within a fixed band of the center
+                band = 20.0
+                inb = np.abs(stack - centerv[None]) <= band
+                cnt = (inb & ~np.isnan(stack)).sum(axis=0).astype(np.float64)
+                s = np.nansum(np.where(inb & ~np.isnan(stack), stack, 0.0), axis=0)
+                out = s / cnt
+                out = np.where(cnt < 1, np.nan, out)
             elif stat == "olympic":
                 # FilterOlympic: mean excluding one min and one max
                 cnt = (~np.isnan(stack)).sum(axis=0).astype(np.float64)

@@ -1841,3 +1841,49 @@ def q_horizon_angle(spark, sf):
         .applyInPandas(kernel, "row long, col long, horizon_deg double")
         .orderBy("row", "col")
     )
+
+
+# -- edge-preserving sigma filter (§2.5; FilterLeeSigma family) ---------------
+@Q.register(
+    "focal_sigma",
+    f"WITH {_RASF}, {_NBR2}, live AS (SELECT row, col, av, bv FROM nbr2 "
+    f"WHERE bv != {NODATA!r}e0 AND ABS(bv - av) <= 20e0) "
+    "SELECT row, col, SUM(bv) / COUNT(*) AS value "
+    "FROM live GROUP BY 1, 2 ORDER BY row, col",
+)
+def q_focal_sigma(spark, sf):
+    return _explode_focal(spark, "sigma")
+
+
+# -- Brovey pan-sharpen (§2.13; PanSharpening.java Brovey transform) ----------
+# R' = pan * R / (R + G + B) over three synthetic bands + a pan band.
+@Q.register(
+    "pan_sharpen",
+    f"""WITH {_RAS}, {_RAS2}, {_RAS3}, {_RAS4}
+SELECT r.row, r.col,
+  CAST(ROUND(p.value * r.value / (r.value + g.value + b.value), 6) AS DOUBLE) AS r_sharp,
+  CAST(ROUND(p.value * g.value / (r.value + g.value + b.value), 6) AS DOUBLE) AS g_sharp,
+  CAST(ROUND(p.value * b.value / (r.value + g.value + b.value), 6) AS DOUBLE) AS b_sharp
+FROM ras r JOIN ras2 g USING (row, col) JOIN ras3 b USING (row, col)
+JOIN ras4 p USING (row, col)
+WHERE r.value != {NODATA!r}e0 AND g.value != {NODATA!r}e0
+  AND b.value != {NODATA!r}e0 AND p.value != {NODATA!r}e0
+ORDER BY r.row, r.col""",
+)
+def q_pan_sharpen(spark, sf):
+    r = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "r")
+    g = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "g")
+    b = R.explode_cells(_dem(spark, 2)).withColumnRenamed("value", "b")
+    p = R.explode_cells(_dem(spark, 3)).withColumnRenamed("value", "p")
+    j = (
+        r.join(g, ["row", "col"]).join(b, ["row", "col"]).join(p, ["row", "col"])
+        .where((F.col("r") != _ND) & (F.col("g") != _ND)
+               & (F.col("b") != _ND) & (F.col("p") != _ND))
+    )
+    tot = F.col("r") + F.col("g") + F.col("b")
+    return j.select(
+        "row", "col",
+        F.round(F.col("p") * F.col("r") / tot, 6).cast("double").alias("r_sharp"),
+        F.round(F.col("p") * F.col("g") / tot, 6).cast("double").alias("g_sharp"),
+        F.round(F.col("p") * F.col("b") / tot, 6).cast("double").alias("b_sharp"),
+    ).orderBy("row", "col")

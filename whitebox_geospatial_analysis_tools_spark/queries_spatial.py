@@ -395,3 +395,36 @@ def q_utm_roundtrip(spark, sf):
         F.round(F.degrees("lam2") + 180.0, 6).cast("double").alias("lon2"),
         F.round(F.degrees("phi2") + 90.0, 6).cast("double").alias("lat2"),
     ).orderBy("doc_id")
+
+
+# -- Voronoi assignment (§2.9 TIN/Voronoi slice): each point labeled with its
+# nearest site — the point-layer Voronoi tessellation (the raster form is
+# euclidean_allocation; both are the same nearest-target join family) -------
+@Q.register(
+    "voronoi_assign",
+    f"""{_PTS}, sites AS (SELECT doc_id AS s_id, lon AS sx, lat AS sy FROM pts WHERE doc_id % 397 = 0),
+d AS (
+  SELECT p.doc_id, s.s_id,
+    (p.lon - s.sx) * (p.lon - s.sx) + (p.lat - s.sy) * (p.lat - s.sy) AS d2,
+    ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY
+      (p.lon - s.sx) * (p.lon - s.sx) + (p.lat - s.sy) * (p.lat - s.sy), s.s_id) AS rn
+  FROM pts p CROSS JOIN sites s
+)
+SELECT doc_id, s_id AS site FROM d WHERE rn = 1 ORDER BY doc_id""",
+)
+def q_voronoi_assign(spark, sf):
+    pts = Q._points(spark, sf)
+    sites = pts.where(F.col("doc_id") % 397 == 0).select(
+        F.col("doc_id").alias("s_id"),
+        F.col("lon").alias("sx"), F.col("lat").alias("sy"),
+    )
+    d2 = (F.col("lon") - F.col("sx")) * (F.col("lon") - F.col("sx")) + (
+        F.col("lat") - F.col("sy")
+    ) * (F.col("lat") - F.col("sy"))
+    return (
+        pts.crossJoin(F.broadcast(sites))
+        .select("doc_id", "s_id", d2.alias("_d2"))
+        .groupBy("doc_id")
+        .agg(F.expr("min_by(s_id, struct(_d2, s_id))").alias("site"))
+        .orderBy("doc_id")
+    )
