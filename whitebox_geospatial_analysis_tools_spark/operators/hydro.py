@@ -697,3 +697,166 @@ def stream_network(pointers: DataFrame, threshold: int = 5, *,
         )
         .orderBy("link")
     )
+
+
+# ---------------------------------------------------------------------------
+# FD8 multiple-flow-direction accumulation
+# ---------------------------------------------------------------------------
+def fd8_weights(tiles: DataFrame) -> DataFrame:
+    """(row, col, ws array<double>[8]): FD8 outflow fractions per D8
+    neighbor — positive downslope gradients normalized to sum 1 (Freeman
+    1991 with p=1; HydroTools/src/plugins/FlowAccumFD8.java semantics).
+    One halo-strip stencil pass; cells with no downslope neighbor (pits)
+    get all-zero weights."""
+    schema = "row long, col long, ws array<double>"
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        asm = _assemble_pad(pdf)
+        if asm is None:
+            return pd.DataFrame({
+                "row": pd.Series([], dtype="int64"),
+                "col": pd.Series([], dtype="int64"),
+                "ws": pd.Series([], dtype=object),
+            })
+        c, pad = asm
+        h, w = int(c.h), int(c.w)
+        centerv = pad[1:h + 1, 1:w + 1]
+        s = np.zeros((8, h, w))
+        for j, (dr, dc, dist) in enumerate(D8_OFFS):
+            nb = pad[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+            with np.errstate(invalid="ignore"):
+                g = (centerv - nb) / dist
+            s[j] = np.where(np.isnan(g), 0.0, np.maximum(g, 0.0))
+        tot = s.sum(axis=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ws = np.where(tot > 0.0, s / tot, 0.0)
+        valid = ~np.isnan(centerv)
+        rr, cc = np.nonzero(valid)
+        return pd.DataFrame({
+            "row": int(c.row0) + rr,
+            "col": int(c.col0) + cc,
+            "ws": [ws[:, r, q].tolist() for r, q in zip(rr, cc)],
+        })
+
+    contrib = _halo_contributions(tiles)
+    return contrib.groupBy("dst_row", "dst_col").applyInPandas(kernel, schema)
+
+
+def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
+              decimals: int = 4) -> DataFrame:
+    """(row, col, accum): FD8 fractional accumulation —
+    a(c) = 1 + sum over upslope neighbors of w(u->c) * a(u).
+
+    Iterative tile-local solves: the static weight table is one stencil
+    pass; each round runs an exact Kahn accumulation per tile given the
+    current cross-tile inflows, then exchanges the (border-sized) outflow
+    masses.  Inflows grow monotonically and every flow path is finite, so
+    the iteration reaches the exact fixpoint in tile-graph-depth rounds.
+    Output rounds to `decimals` (parent-sum association differs between
+    engines; error ~1e-13 relative)."""
+    spark = tiles.sparkSession
+    _scratch.release(spark, "fd8")
+    wdf = _scratch.track(
+        spark,
+        fd8_weights(tiles).withColumn(
+            "_tr", (F.col("row") / tile).cast("long")
+        ).withColumn("_tc", (F.col("col") / tile).cast("long")).persist(),
+        "fd8",
+    )
+    wdf.count()
+    ext = None  # (row, col, ext) — cross-tile inflow masses
+
+    schema = "row long, col long, acc double, x_row long, x_col long, kind int"
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * tile, tc * tile
+        rr = pdf["row"].to_numpy(np.int64)
+        cc = pdf["col"].to_numpy(np.int64)
+        n = len(rr)
+        ws = np.asarray([list(x) for x in pdf["ws"]], dtype=np.float64)  # (n, 8)
+        extv = (
+            pdf["ext"].fillna(0.0).to_numpy(np.float64)
+            if "ext" in pdf.columns else np.zeros(n)
+        )
+        lr, lc = rr - r0, cc - c0
+        h, w = int(lr.max()) + 1, int(lc.max()) + 1
+        gid = np.full((h, w), -1, dtype=np.int64)
+        gid[lr, lc] = np.arange(n)
+        # in-tile targets per direction (local index or -1)
+        tgt = np.full((n, 8), -1, dtype=np.int64)
+        for j, (dr, dc, _) in enumerate(D8_OFFS):
+            t_lr, t_lc = lr + dr, lc + dc
+            m = (ws[:, j] > 0.0) & (t_lr >= 0) & (t_lr < min(tile, h)) \
+                & (t_lc >= 0) & (t_lc < min(tile, w))
+            tgt[m, j] = gid[t_lr[m], t_lc[m]]
+            tgt[m & (tgt[:, j] < 0), j] = -1
+        internal = tgt >= 0
+        indeg = np.bincount(tgt[internal].ravel(), minlength=n)
+        acc = 1.0 + extv
+        processed = np.zeros(n, dtype=bool)
+        frontier = np.flatnonzero(indeg == 0)
+        while frontier.size:
+            processed[frontier] = True
+            dec = np.zeros(n, dtype=np.int64)
+            for j in range(8):
+                fe = frontier[internal[frontier, j]]
+                if fe.size:
+                    t = tgt[fe, j]
+                    np.add.at(acc, t, ws[fe, j] * acc[fe])
+                    dec += np.bincount(t, minlength=n)
+            indeg = indeg - dec
+            frontier = np.flatnonzero((indeg == 0) & ~processed)
+        parts = [pd.DataFrame({
+            "row": rr, "col": cc, "acc": acc,
+            "x_row": np.full(n, -1, dtype=np.int64),
+            "x_col": np.full(n, -1, dtype=np.int64),
+            "kind": np.zeros(n, dtype=np.int32),
+        })]
+        # cross-tile outflow masses
+        for j, (dr, dc, _) in enumerate(D8_OFFS):
+            m = (ws[:, j] > 0.0) & ~internal[:, j]
+            if m.any():
+                parts.append(pd.DataFrame({
+                    "row": rr[m], "col": cc[m],
+                    "acc": ws[m, j] * acc[m],
+                    "x_row": rr[m] + dr, "x_col": cc[m] + dc,
+                    "kind": np.ones(m.sum(), dtype=np.int32),
+                }))
+        return pd.concat(parts, ignore_index=True)
+
+    out = None
+    for _ in range(max_rounds):
+        inp = wdf if ext is None else wdf.join(
+            F.broadcast(ext), ["row", "col"], "left"
+        )
+        res = (
+            inp.groupBy("_tr", "_tc").applyInPandas(kernel, schema)
+            .localCheckpoint()
+        )
+        new_ext = (
+            res.where(F.col("kind") == 1)
+            .groupBy(F.col("x_row").alias("row"), F.col("x_col").alias("col"))
+            .agg(F.sum("acc").alias("ext"))
+        )
+        if ext is None:
+            changed = new_ext.limit(1).count()
+        else:
+            changed = (
+                new_ext.alias("n")
+                .join(ext.alias("o"), ["row", "col"], "full_outer")
+                .where(
+                    F.col("n.ext").isNull() | F.col("o.ext").isNull()
+                    | (F.col("n.ext") != F.col("o.ext"))
+                )
+                .limit(1).count()
+            )
+        out = res
+        ext = new_ext.localCheckpoint()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("fd8_accum did not converge; raise max_rounds")
+    return out.where(F.col("kind") == 0).select(
+        "row", "col", F.round("acc", decimals).cast("double").alias("accum")
+    )

@@ -1887,3 +1887,72 @@ def q_pan_sharpen(spark, sf):
         F.round(F.col("p") * F.col("g") / tot, 6).cast("double").alias("g_sharp"),
         F.round(F.col("p") * F.col("b") / tot, 6).cast("double").alias("b_sharp"),
     ).orderBy("row", "col")
+
+
+# -- FD8 multiple-flow-direction accumulation (§2.12; FlowAccumFD8.java) ------
+# fractional downslope mass splitting (Freeman p=1); oracle = Jacobi
+# relaxation of a(c) = 1 + sum w(u->c) a(u) (converges at DAG depth);
+# parent-sum association differs between engines -> round(4).
+_F8K = 100
+_F8_DIRS = [(-1, -1, "s0"), (-1, 0, "s1"), (-1, 1, "s2"), (0, -1, "s3"),
+            (0, 1, "s4"), (1, -1, "s5"), (1, 0, "s6"), (1, 1, "s7")]
+
+
+def _fd8_oracle() -> str:
+    sq2 = "1.4142135623730951e0"
+    nmap = {
+        "s0": ("n0", sq2), "s1": ("n1", "1e0"), "s2": ("n2", sq2),
+        "s3": ("n3", "1e0"), "s4": ("n4", "1e0"),
+        "s5": ("n5", sq2), "s6": ("n6", "1e0"), "s7": ("n7", sq2),
+    }
+    svals = ", ".join(
+        f"CASE WHEN {n} IS NULL THEN 0e0 ELSE GREATEST((cv - {n}) / {d}, 0e0) END AS {s}"
+        for s, (n, d) in nmap.items()
+    )
+    stot = " + ".join(s for s, _ in nmap.items())
+    edges = " UNION ALL ".join(
+        f"SELECT row, col, row + {dr} AS nr, col + {dc} AS nc, "
+        f"CASE WHEN tot > 0e0 THEN {s} / tot ELSE 0e0 END AS w "
+        f"FROM sw WHERE tot > 0e0 AND {s} > 0e0"
+        for dr, dc, s in _F8_DIRS
+    )
+    return (
+        f"rasf8 AS (SELECT r.r AS row, c.c AS col, {_DVAL} AS value "
+        f"FROM range(0, {_DROWS}) r(r), range(0, {_DCOLS}) c(c)), "
+        f"livef8 AS (SELECT row, col, NULLIF(value, {NODATA!r}e0) AS v FROM rasf8), "
+        "w9f8 AS (SELECT a.row, a.col, a.v AS cv, "
+        "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col - 1 THEN b.v END) AS n0, "
+        "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col     THEN b.v END) AS n1, "
+        "MAX(CASE WHEN b.row = a.row - 1 AND b.col = a.col + 1 THEN b.v END) AS n2, "
+        "MAX(CASE WHEN b.row = a.row     AND b.col = a.col - 1 THEN b.v END) AS n3, "
+        "MAX(CASE WHEN b.row = a.row     AND b.col = a.col + 1 THEN b.v END) AS n4, "
+        "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col - 1 THEN b.v END) AS n5, "
+        "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col     THEN b.v END) AS n6, "
+        "MAX(CASE WHEN b.row = a.row + 1 AND b.col = a.col + 1 THEN b.v END) AS n7 "
+        "FROM livef8 a JOIN livef8 b ON b.row BETWEEN a.row - 1 AND a.row + 1 "
+        "AND b.col BETWEEN a.col - 1 AND a.col + 1 AND b.v IS NOT NULL "
+        "WHERE a.v IS NOT NULL GROUP BY 1, 2, 3), "
+        f"swpre AS (SELECT row, col, {svals} FROM w9f8), "
+        f"sw AS (SELECT *, {stot} AS tot FROM swpre), "
+        f"wef8 AS MATERIALIZED ({edges}), "
+        "eplus AS MATERIALIZED (SELECT row, col, nr, nc, w FROM wef8 "
+        "UNION ALL SELECT row, col, row, col, -1e0 FROM sw), "
+        "accf8(it, row, col, a) AS (SELECT 0, row, col, 1e0 FROM sw "
+        "UNION ALL SELECT u.it + 1, e.nr, e.nc, "
+        "1e0 + COALESCE(SUM(CASE WHEN e.w >= 0e0 THEN e.w * u.a END), 0e0) "
+        "FROM accf8 u JOIN eplus e ON e.row = u.row AND e.col = u.col "
+        f"WHERE u.it < {_F8K} GROUP BY 1, 2, 3)"
+    )
+
+
+@Q.register(
+    "fd8_accum",
+    f"WITH RECURSIVE {_fd8_oracle()} "
+    f"SELECT row, col, CAST(ROUND(a, 4) AS DOUBLE) AS accum "
+    f"FROM accf8 WHERE it = {_F8K} ORDER BY row, col",
+)
+def q_fd8_accum(spark, sf):
+    from .operators.hydro import fd8_accum
+
+    dem = R.synth_raster(spark, _DROWS, _DCOLS)
+    return fd8_accum(dem, tile=16).orderBy("row", "col")
