@@ -1,0 +1,67 @@
+"""Grep-enforceable plan discipline (VERDICT r1 'done' criterion for the
+scale-killer sweep): no crossJoin against an unbounded side, and no
+partitionless Window.orderBy over data-sized input, anywhere in the engine.
+
+Every allowed occurrence is an explicit allowlist entry with the reason it
+is bounded; adding a new crossJoin/global window fails this test until it
+is justified here.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "whitebox_geospatial_analysis_tools_spark"
+
+# crossJoin call sites allowed WITHOUT F.broadcast on the argument:
+# (filename, line-content regex) -> why it is bounded
+CROSSJOIN_ALLOW = [
+    (r"queries_vector\.py", r"wsum\.crossJoin\(dsum\)",
+     "two 1-row aggregate scalars (Moran's I normalization)"),
+    (r"operators/overlay\.py", r"sa\.crossJoin\(ca\)\.crossJoin\(ia\)",
+     "three 1-row aggregate scalars (union area inclusion-exclusion)"),
+    (r"queries_raster\.py", r"spark\.range\(120\)\.selectExpr.*crossJoin\(",
+     "bounded range x range grid generator (resample target grid)"),
+    (r"queries_raster\.py", r"\.crossJoin\(spark\.range\(1, 118\)",
+     "bounded range x range grid generator (bilinear target grid)"),
+]
+
+# partitionless Window.orderBy sites allowed: input is a BOUNDED table
+WINDOW_ALLOW = [
+    (r"operators/stats\.py", r'Window\.orderBy\("bin"\)',
+     "histogram bin table (bounded by value-range / bin width)"),
+    (r"operators/stats\.py", r'Window\.orderBy\("_bkt"\)',
+     "percentile bucket counts (<= buckets rows)"),
+    (r"queries_raster\.py", r'Window\.orderBy\("bin"\)',
+     "histogram bin table (equalization/matching CDFs)"),
+    (r"queries_raster\.py", r'Window\.orderBy\("step"\)',
+     "quantile step table (bounded level count)"),
+]
+
+
+def _scan(pattern: str, allow):
+    bad = []
+    for p in PKG.rglob("*.py"):
+        rel = str(p.relative_to(PKG.parent)).replace("\\", "/")
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if re.search(pattern, line) and not line.lstrip().startswith("#"):
+                if "broadcast" in line.lower() and "crossJoin" in pattern:
+                    continue
+                if any(
+                    re.search(fpat, rel) and re.search(lpat, line)
+                    for fpat, lpat, _ in allow
+                ):
+                    continue
+                bad.append(f"{rel}:{i}: {line.strip()}")
+    return bad
+
+
+def test_no_unbounded_crossjoin():
+    bad = _scan(r"\.crossJoin\(", CROSSJOIN_ALLOW)
+    assert not bad, "unallowlisted crossJoin sites:\n" + "\n".join(bad)
+
+
+def test_no_partitionless_data_window():
+    bad = _scan(r"Window\.orderBy\(", WINDOW_ALLOW)
+    assert not bad, "unallowlisted global Window.orderBy sites:\n" + "\n".join(bad)

@@ -163,3 +163,76 @@ def idw_at_cell_centers(df: DataFrame) -> DataFrame:
         )
         .orderBy("tile_id")
     )
+
+
+def kriging_at_cell_centers(df: DataFrame, *, k: int = 6, vrange: float = 12.0,
+                            sill: float = 1.0) -> DataFrame:
+    """Ordinary kriging at occupied tile centers (Kriging.java semantics,
+    spherical variogram, fixed parameters, k nearest neighbors).
+
+    Candidates come from the same 3x3 k-ring equi-join as IDW; the per-center
+    k x k Lagrange system solves in an Arrow-batched kernel (numpy linalg) —
+    dimension-bounded work per center, never per input point.  The matrix
+    solve is not SQL-expressible, so this operator's registered query has no
+    DuckDB oracle (driver records the weaker rows-only check); unbiasedness
+    (weights sum to 1) and exact interpolation at sample sites are asserted
+    in tests/test_kriging.py instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pts = df.select(
+        F.col("tile_id").alias("p_tile"), F.col("lon").alias("p_lon"),
+        F.col("lat").alias("p_lat"), F.col("val").alias("p_val"),
+        F.col("doc_id").alias("p_id"),
+    )
+    centers = (
+        df.select("tile_x", "tile_y", "tile_id").distinct()
+        .withColumn("cx", (F.col("tile_x") + 0.5) * exprs.TILE_SIZE)
+        .withColumn("cy", (F.col("tile_y") + 0.5) * exprs.TILE_SIZE)
+    )
+    cand = explode_k_ring(centers, 1).join(
+        pts, F.col("nbr_tile_id") == F.col("p_tile"), "inner"
+    ).select("tile_id", "cx", "cy", "p_id", "p_lon", "p_lat", "p_val")
+
+    def gamma(h: "np.ndarray") -> "np.ndarray":
+        hn = np.minimum(h / vrange, 1.0)
+        return sill * (1.5 * hn - 0.5 * hn ** 3)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tid = int(key[0])
+        cx, cy = float(pdf["cx"].iloc[0]), float(pdf["cy"].iloc[0])
+        px = pdf["p_lon"].to_numpy()
+        py = pdf["p_lat"].to_numpy()
+        pv = pdf["p_val"].to_numpy()
+        pid = pdf["p_id"].to_numpy()
+        d = np.sqrt((px - cx) ** 2 + (py - cy) ** 2)
+        order = np.lexsort((pid, d))[:k]
+        if len(order) < 2:
+            return pd.DataFrame({
+                "tile_id": pd.Series([], dtype="int64"),
+                "krig": pd.Series([], dtype="float64"),
+                "n_used": pd.Series([], dtype="int64"),
+            })
+        sx, sy, sv = px[order], py[order], pv[order]
+        n = len(order)
+        hh = np.sqrt((sx[:, None] - sx[None, :]) ** 2 + (sy[:, None] - sy[None, :]) ** 2)
+        A = np.ones((n + 1, n + 1))
+        A[:n, :n] = gamma(hh)
+        A[n, n] = 0.0
+        b = np.ones(n + 1)
+        b[:n] = gamma(d[order])
+        try:
+            lam = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            lam, *_ = np.linalg.lstsq(A, b, rcond=None)
+        est = float(np.dot(lam[:n], sv))
+        return pd.DataFrame({
+            "tile_id": [tid], "krig": [round(est, 6)], "n_used": [n],
+        })
+
+    return (
+        cand.groupBy("tile_id")
+        .applyInPandas(kernel, "tile_id long, krig double, n_used long")
+        .orderBy("tile_id")
+    )

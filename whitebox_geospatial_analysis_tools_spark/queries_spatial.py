@@ -428,3 +428,12 @@ def q_voronoi_assign(spark, sf):
         .agg(F.expr("min_by(s_id, struct(_d2, s_id))").alias("site"))
         .orderBy("doc_id")
     )
+
+
+# -- ordinary kriging (§2.9; Kriging.java): spherical variogram, k-nearest —
+# the Lagrange solve is not SQL-expressible, so no DuckDB oracle (driver
+# records a rows-only check); unbiasedness + exact-interpolation properties
+# are asserted in tests/test_kriging.py.
+@Q.register("kriging")
+def q_kriging(spark, sf):
+    return zonal.kriging_at_cell_centers(Q._points(spark, sf))
