@@ -1956,3 +1956,48 @@ def q_fd8_accum(spark, sf):
 
     dem = R.synth_raster(spark, _DROWS, _DCOLS)
     return fd8_accum(dem, tile=16).orderBy("row", "col")
+
+
+# -- RGB -> HSI color transform (§2.13; RgbToIhs.java) ------------------------
+# standard intensity/saturation/hue formulas over three synthetic bands;
+# acos is transcendental -> half-up round(6) on both sides.
+_HSI_NUM = "(0.5e0 * ((r.value - g.value) + (r.value - b.value)))"
+_HSI_DEN = ("SQRT((r.value - g.value) * (r.value - g.value) "
+            "+ (r.value - b.value) * (g.value - b.value))")
+
+
+@Q.register(
+    "rgb_to_hsi",
+    f"""WITH {_RAS}, {_RAS2}, ras3 AS (SELECT r.r AS row, c.c AS col, {_VAL2} AS value
+FROM range(0, {ROWS}) r(r), range(0, {COLS}) c(c))
+SELECT r.row, r.col,
+  (FLOOR(((r.value + g.value + b.value) / 3e0) * 1e6 + 0.5e0) / 1e6) AS i,
+  (FLOOR((1e0 - 3e0 * LEAST(r.value, g.value, b.value) / (r.value + g.value + b.value)) * 1e6 + 0.5e0) / 1e6) AS s,
+  (FLOOR((CASE WHEN {_HSI_DEN} = 0e0 THEN 0e0
+    WHEN b.value > g.value THEN 360e0 - DEGREES(ACOS(LEAST(GREATEST({_HSI_NUM} / {_HSI_DEN}, -1e0), 1e0)))
+    ELSE DEGREES(ACOS(LEAST(GREATEST({_HSI_NUM} / {_HSI_DEN}, -1e0), 1e0))) END) * 1e6 + 0.5e0) / 1e6) AS h
+FROM ras r JOIN ras2 g USING (row, col) JOIN ras3 b USING (row, col)
+WHERE r.value != {NODATA!r}e0 AND g.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0
+ORDER BY r.row, r.col""",
+)
+def q_rgb_to_hsi(spark, sf):
+    r = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "rv")
+    g = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "gv")
+    b = R.explode_cells(_dem(spark, 2)).withColumnRenamed("value", "bv")
+    j = (
+        r.join(g, ["row", "col"]).join(b, ["row", "col"])
+        .where((F.col("rv") != _ND) & (F.col("gv") != _ND) & (F.col("bv") != _ND))
+    )
+    num = "(0.5e0 * ((rv - gv) + (rv - bv)))"
+    den = "SQRT((rv - gv) * (rv - gv) + (rv - bv) * (gv - bv))"
+    rnd6 = "FLOOR(({}) * 1e6 + 0.5e0) / 1e6"
+    return j.select(
+        "row", "col",
+        F.expr(rnd6.format("(rv + gv + bv) / 3e0")).alias("i"),
+        F.expr(rnd6.format("1e0 - 3e0 * LEAST(rv, gv, bv) / (rv + gv + bv)")).alias("s"),
+        F.expr(rnd6.format(
+            f"CASE WHEN {den} = 0e0 THEN 0e0 "
+            f"WHEN bv > gv THEN 360e0 - DEGREES(ACOS(LEAST(GREATEST({num} / {den}, -1e0), 1e0))) "
+            f"ELSE DEGREES(ACOS(LEAST(GREATEST({num} / {den}, -1e0), 1e0))) END"
+        )).alias("h"),
+    ).orderBy("row", "col")
