@@ -29,3 +29,32 @@ def test_stream_matches_batch(spark, tmp_path):
     g = {(r.win_start, r.tile_id): r.n_pages for r in got.collect()}
     b = {(r.win_start, r.tile_id): r.n_pages for r in batch.collect()}
     assert g == b and sum(g.values()) == 5000
+
+
+def test_stateful_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-tile running totals survive micro-batch
+    boundaries; the last emission per tile equals the batch count, and at
+    least one tile emits more than once (state genuinely crossed batches)."""
+    src = str(tmp_path / "pages2")
+    ckpt = str(tmp_path / "ckpt2")
+    synth_pages(spark, 4000).repartition(6).write.parquet(src)
+
+    stream = ingest.stateful_tile_totals(
+        ingest.geocode_stream(ingest.read_pages_stream(spark, src, max_files_per_trigger=2))
+    )
+    assert stream.isStreaming
+    ingest.run_update_mode(stream, ckpt, "tile_totals_stream")
+    got = spark.table("tile_totals_stream").toPandas()
+
+    batch = (
+        ingest.geocode_stream(spark.read.parquet(src))
+        .groupBy("tile_id").agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    finals = got.groupby("tile_id")["n_total"].max()
+    want = dict(zip(batch["tile_id"], batch["n"]))
+    assert dict(finals) == want
+    assert (got.groupby("tile_id").size() > 1).any()  # state crossed batches
+    assert got.groupby("tile_id")["n_total"].apply(
+        lambda s: s.is_monotonic_increasing or len(s) == 1
+    ).all()

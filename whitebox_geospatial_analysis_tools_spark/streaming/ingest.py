@@ -65,3 +65,49 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_tile_totals(points: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-tile
+    page totals maintained across micro-batches — the engine-brief's
+    'custom stateful operators' surface.  State = one BIGINT per tile; each
+    trigger emits the updated cumulative count (update output mode).
+
+    The same shape carries any cross-batch streaming state (first-seen
+    dedup, per-key quotas, sessionization carry-over) at 10^12-row scale:
+    state is partitioned by key, checkpointed with the query, and never
+    collected to the driver."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"tile_id": [key[0]], "n_total": [total]})
+
+    return (
+        points.groupBy("tile_id")
+        .applyInPandasWithState(
+            fn,
+            "tile_id long, n_total long",
+            "n_total long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_update_mode(stream_df: DataFrame, checkpoint_dir: str,
+                    sink_table: str) -> None:
+    """Drain the source through an update-mode memory sink (stateful ops)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
