@@ -860,3 +860,86 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
     return out.where(F.col("kind") == 0).select(
         "row", "col", F.round("acc", decimals).cast("double").alias("accum")
     )
+
+
+# ---------------------------------------------------------------------------
+# D-infinity flow pointer (Tarboton 1997)
+# ---------------------------------------------------------------------------
+# facet table: (cardinal dr,dc), (diagonal dr,dc), ac (base angle, multiples
+# of pi/2 counterclockwise from east), af (+-1) — angle = af * r + ac * pi/2
+_DINF_FACETS = [
+    ((0, 1), (-1, 1), 0, 1),
+    ((-1, 0), (-1, 1), 1, -1),
+    ((-1, 0), (-1, -1), 1, 1),
+    ((0, -1), (-1, -1), 2, -1),
+    ((0, -1), (1, -1), 2, 1),
+    ((1, 0), (1, -1), 3, -1),
+    ((1, 0), (1, 1), 3, 1),
+    ((0, 1), (1, 1), 4, -1),
+]
+
+
+def flow_pointer_dinf(tiles: DataFrame) -> DataFrame:
+    """(row, col, angle, slope): D-infinity steepest-descent direction
+    (radians counterclockwise from east, facet-continuous) and its slope
+    (FlowPointerDinf semantics, Tarboton 1997 8-facet construction).
+
+    Full 3x3 window required; pits/flats (max facet slope <= 0) get
+    angle = -1.  First facet in table order wins slope ties, mirroring the
+    D8 kernel's scan-order tie rule; transcendental outputs round half-up
+    to 6 decimals (shared oracle idiom)."""
+    schema = "row long, col long, angle double, slope double"
+    qpi = np.pi / 4.0
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        asm = _assemble_pad(pdf)
+        if asm is None:
+            return pd.DataFrame({
+                "row": pd.Series([], dtype="int64"),
+                "col": pd.Series([], dtype="int64"),
+                "angle": pd.Series([], dtype="float64"),
+                "slope": pd.Series([], dtype="float64"),
+            })
+        c, pad = asm
+        h, w = int(c.h), int(c.w)
+        cv = pad[1:h + 1, 1:w + 1]
+
+        def nb(dr, dc):
+            return pad[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+
+        s_all = np.full((8, h, w), -np.inf)
+        a_all = np.zeros((8, h, w))
+        with np.errstate(invalid="ignore"):
+            for k, ((r1, c1), (r2, c2), ac, af) in enumerate(_DINF_FACETS):
+                e1, e2 = nb(r1, c1), nb(r2, c2)
+                s1 = cv - e1
+                s2 = e1 - e2
+                r = np.arctan2(s2, s1)
+                s = np.sqrt(s1 * s1 + s2 * s2)
+                low = r < 0.0
+                high = r > qpi
+                r = np.where(low, 0.0, np.where(high, qpi, r))
+                s = np.where(low, s1, np.where(high, (cv - e2) / _SQRT2, s))
+                s_all[k] = np.where(np.isnan(s), -np.inf, s)
+                a_all[k] = af * r + ac * (np.pi / 2.0)
+        best = np.argmax(s_all, axis=0)  # first max in facet order
+        ii, jj = np.ogrid[:h, :w]
+        smax = s_all[best, ii, jj]
+        angle = np.where(smax > 0.0, a_all[best, ii, jj], -1.0)
+        slope = np.where(smax > 0.0, smax, 0.0)
+        full = ~np.isnan(pad[0:h + 2, 0:w + 2])
+        ok = np.ones((h, w), dtype=bool)
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                ok &= full[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+        rr, cc = np.nonzero(ok)
+        rnd = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        return pd.DataFrame({
+            "row": int(c.row0) + rr,
+            "col": int(c.col0) + cc,
+            "angle": rnd(angle[rr, cc]),
+            "slope": rnd(slope[rr, cc]),
+        })
+
+    contrib = _halo_contributions(tiles)
+    return contrib.groupBy("dst_row", "dst_col").applyInPandas(kernel, schema)

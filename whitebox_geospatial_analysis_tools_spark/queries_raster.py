@@ -2001,3 +2001,48 @@ def q_rgb_to_hsi(spark, sf):
             f"ELSE DEGREES(ACOS(LEAST(GREATEST({num} / {den}, -1e0), 1e0))) END"
         )).alias("h"),
     ).orderBy("row", "col")
+
+
+# -- D-infinity flow pointer (§2.12; FlowPointerDinf.java, Tarboton 1997) -----
+_DINF_SQL_FACETS = [
+    ("n4", "n2", 0, 1), ("n1", "n2", 1, -1), ("n1", "n0", 1, 1),
+    ("n3", "n0", 2, -1), ("n3", "n5", 2, 1), ("n6", "n5", 3, -1),
+    ("n6", "n7", 3, 1), ("n4", "n7", 4, -1),
+]
+
+
+def _dinf_oracle_select() -> str:
+    sq2 = "1.4142135623730951e0"
+    cols = []
+    for k, (e1, e2, ac, af) in enumerate(_DINF_SQL_FACETS):
+        s1, s2 = f"(cv - {e1})", f"({e1} - {e2})"
+        rr = f"ATAN2({s2}, {s1})"
+        r = f"(CASE WHEN {rr} < 0e0 THEN 0e0 WHEN {rr} > PI() / 4e0 THEN PI() / 4e0 ELSE {rr} END)"
+        s = (f"(CASE WHEN {rr} < 0e0 THEN {s1} "
+             f"WHEN {rr} > PI() / 4e0 THEN (cv - {e2}) / {sq2} "
+             f"ELSE SQRT({s1} * {s1} + {s2} * {s2}) END)")
+        cols.append(f"{s} AS s{k}")
+        cols.append(f"({af} * {r} + {ac} * PI() / 2e0) AS a{k}")
+    mx = "GREATEST(" + ", ".join(f"s{k}" for k in range(8)) + ")"
+    angle_case = "CASE WHEN " + f"{mx} <= 0e0 THEN -1e0 " + " ".join(
+        f"WHEN s{k} = {mx} THEN a{k}" for k in range(8)
+    ) + " END"
+    return (
+        "fct AS (SELECT row, col, " + ", ".join(cols) + " FROM w9 "
+        "WHERE cv IS NOT NULL AND n0 IS NOT NULL AND n1 IS NOT NULL "
+        "AND n2 IS NOT NULL AND n3 IS NOT NULL AND n4 IS NOT NULL "
+        "AND n5 IS NOT NULL AND n6 IS NOT NULL AND n7 IS NOT NULL) "
+        f"SELECT row, col, (FLOOR(({angle_case}) * 1e6 + 0.5e0) / 1e6) AS angle, "
+        f"(FLOOR((CASE WHEN {mx} <= 0e0 THEN 0e0 ELSE {mx} END) * 1e6 + 0.5e0) / 1e6) AS slope "
+        "FROM fct ORDER BY row, col"
+    )
+
+
+@Q.register(
+    "flow_dinf",
+    f"WITH {_HYD_BASE}, {_dinf_oracle_select()}",
+)
+def q_flow_dinf(spark, sf):
+    from .operators.hydro import flow_pointer_dinf
+
+    return flow_pointer_dinf(_hydem(spark)).orderBy("row", "col")
