@@ -123,7 +123,7 @@ def pointer_edges(pointers: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 _FLOW_SCHEMA = (
     "row long, col long, acc long, x_row long, x_col long, "
-    "p_row long, p_col long, kind int"
+    "p_row long, p_col long, pdist double, kind int"
 )
 # kind 0: per-cell row — acc = tile-local accumulation; (p_row,p_col) = the
 #         pit this cell drains to when its path TERMINATES in-tile, else
@@ -182,16 +182,27 @@ def _tile_flow_kernel(tile: int):
             else:
                 frontier = np.array([], dtype=np.int64)
 
-        # --- terminal of each cell's within-tile path: pointer jumping
+        # --- terminal of each cell's within-tile path + path distance:
+        # weighted pointer jumping (terminals are zero-weight self-loops)
+        step = np.where(
+            has, np.where((t_r != rr) & (t_c != cc), _SQRT2, 1.0), 0.0
+        )
         nxt = np.arange(n, dtype=np.int64)
         nxt[internal] = tgt[internal]
+        dd = np.where(internal, step, 0.0)
         dest = nxt
         while True:
             nd = dest[dest]
             if np.array_equal(nd, dest):
                 break
+            dd = dd + dd[dest]
             dest = nd
+        dd = dd + dd[dest]  # flush the final hop's accumulated weights
         d_exits = cross[dest]  # terminal cell has an out-of-tile edge
+        # path distance up to the NEXT TILE's entry cell (exit crossing step
+        # included) or to the in-tile pit
+        xstep = np.where(cross, step, 0.0)
+        pdist = dd + xstep[dest]
 
         on_border = (
             (rr % tile == 0) | (rr % tile == tile - 1)
@@ -207,6 +218,7 @@ def _tile_flow_kernel(tile: int):
             "x_col": np.where(d_exits, t_c[dest], null),
             "p_row": np.where(d_exits, null, rr[dest]),
             "p_col": np.where(d_exits, null, cc[dest]),
+            "pdist": pdist,
             "kind": np.zeros(n, dtype=np.int32),
         }))
         # kind 1: cross-tile out-edges with tile-local mass
@@ -216,6 +228,7 @@ def _tile_flow_kernel(tile: int):
                 "row": rr[xs], "col": cc[xs], "acc": accum[xs],
                 "x_row": t_r[xs], "x_col": t_c[xs],
                 "p_row": np.full(xs.size, null), "p_col": np.full(xs.size, null),
+                "pdist": np.zeros(xs.size),
                 "kind": np.full(xs.size, 1, dtype=np.int32),
             }))
         # kind 2: border-cell transit map
@@ -230,6 +243,7 @@ def _tile_flow_kernel(tile: int):
                 "x_col": np.where(be, t_c[bd], null),
                 "p_row": np.where(be, null, rr[bd]),
                 "p_col": np.where(be, null, cc[bd]),
+                "pdist": pdist[bs],
                 "kind": np.full(bs.size, 2, dtype=np.int32),
             }))
         return pd.concat(parts, ignore_index=True)
@@ -943,3 +957,74 @@ def flow_pointer_dinf(tiles: DataFrame) -> DataFrame:
 
     contrib = _halo_contributions(tiles)
     return contrib.groupBy("dst_row", "dst_col").applyInPandas(kernel, schema)
+
+
+def flowpath_length(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
+    """(row, col, fp_len): downslope D8 flow-path length from each cell to
+    its terminal pit (DownslopeFlowpathLength.java semantics; steps 1 /
+    sqrt(2)).
+
+    One tile-kernel pass: within-tile path distances via weighted pointer
+    jumping; cross-tile remainders resolve on the driver by chasing the
+    border transit map (acyclic), broadcast back as an entry -> distance
+    lookup.  Distances accumulate in path order in both engines; round(6)
+    guards the cross-engine association at tile joins."""
+    spark = pointers.sparkSession
+    _scratch.release(spark, "flowpath")
+    cells = _with_tiles(pointers, tile)
+    pass_a = _scratch.track(
+        spark,
+        cells.groupBy("_tr", "_tc").applyInPandas(
+            _tile_flow_kernel(tile), _FLOW_SCHEMA
+        ).persist(),
+        "flowpath",
+    )
+    transit = pass_a.where(F.col("kind") == 2).limit(_MAX_DRIVER_ROWS + 1).toPandas()
+    if len(transit) > _MAX_DRIVER_ROWS:
+        raise RuntimeError("flowpath transit map exceeds driver guard")
+    nxt_of: dict[tuple[int, int], tuple] = {}
+    for r, c, xr, xc, pdv in zip(
+        transit["row"], transit["col"], transit["x_row"], transit["x_col"],
+        transit["pdist"],
+    ):
+        nxt_of[(int(r), int(c))] = (
+            (int(xr), int(xc)) if xr >= 0 else None, float(pdv)
+        )
+    tot: dict[tuple[int, int], float] = {}
+
+    def resolve(e):
+        path = []
+        cur = e
+        acc = 0.0
+        # iterative chase with memo (paths are acyclic)
+        chain = []
+        while cur not in tot:
+            nxt, pdv = nxt_of[cur]
+            chain.append((cur, pdv))
+            if nxt is None:
+                tot[cur] = pdv
+                break
+            cur = nxt
+        base = tot[cur if cur in tot else chain[-1][0]]
+        # unwind: distance of earlier nodes = own pdist + downstream total
+        for node, pdv in reversed(chain):
+            if node in tot:
+                continue
+            nxt, _ = nxt_of[node]
+            tot[node] = pdv + (tot[nxt] if nxt is not None else 0.0)
+        return tot[e]
+
+    entries = list(nxt_of)
+    lut = [(e[0], e[1], resolve(e)) for e in entries]
+    done = pass_a.where((F.col("kind") == 0) & (F.col("x_row") < 0)).select(
+        "row", "col", F.round("pdist", 6).cast("double").alias("fp_len")
+    )
+    pend = pass_a.where((F.col("kind") == 0) & (F.col("x_row") >= 0))
+    if not lut:
+        return done
+    lut_df = spark.createDataFrame(lut, "x_row long, x_col long, rest double")
+    resolved = pend.join(F.broadcast(lut_df), ["x_row", "x_col"], "inner").select(
+        "row", "col",
+        F.round(F.col("pdist") + F.col("rest"), 6).cast("double").alias("fp_len"),
+    )
+    return done.unionByName(resolved)

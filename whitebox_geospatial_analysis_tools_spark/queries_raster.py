@@ -2046,3 +2046,39 @@ def q_flow_dinf(spark, sf):
     from .operators.hydro import flow_pointer_dinf
 
     return flow_pointer_dinf(_hydem(spark)).orderBy("row", "col")
+
+
+# -- downslope flow-path length (§2.12; DownslopeFlowpathLength.java) ---------
+# distance along the D8 path to the terminal pit; oracle iterates
+# d_{k+1}(c) = step(c) + d_k(target(c)) (pits: zero-step self edges) to the
+# exact fixpoint; engine accumulates via weighted pointer jumping -> last-ulp
+# association differs, round(6).
+_FPK = 80
+
+
+@Q.register(
+    "flowpath_length",
+    f"""WITH RECURSIVE {_HYD_BASE},
+fe AS (SELECT row, col,
+  row + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1
+       WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1 ELSE 1 END AS nr,
+  col + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 1
+       WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN 0 ELSE 1 END AS nc,
+  CASE CAST(log2(code) AS INT) WHEN 0 THEN 1.4142135623730951e0 WHEN 2 THEN 1.4142135623730951e0
+       WHEN 5 THEN 1.4142135623730951e0 WHEN 7 THEN 1.4142135623730951e0 ELSE 1e0 END AS step
+  FROM d8 WHERE code > 0
+  UNION ALL SELECT row, col, row, col, 0e0 FROM d8 WHERE code = 0),
+fp(it, row, col, d) AS (
+  SELECT 0, row, col, 0e0 FROM d8
+  UNION ALL
+  SELECT u.it + 1, f.row, f.col, f.step + u.d
+  FROM fp u JOIN fe f ON f.nr = u.row AND f.nc = u.col
+  WHERE u.it < {_FPK}
+)
+SELECT row, col, CAST(ROUND(d, 6) AS DOUBLE) AS fp_len
+FROM fp WHERE it = {_FPK} ORDER BY row, col""",
+)
+def q_flowpath_length(spark, sf):
+    from .operators.hydro import flow_pointer_d8, flowpath_length
+
+    return flowpath_length(flow_pointer_d8(_hydem(spark))).orderBy("row", "col")
