@@ -1028,3 +1028,169 @@ def flowpath_length(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
         F.round(F.col("pdist") + F.col("rest"), 6).cast("double").alias("fp_len"),
     )
     return done.unionByName(resolved)
+
+
+# ---------------------------------------------------------------------------
+# upslope (longest) flow-path length
+# ---------------------------------------------------------------------------
+_MAXD_SCHEMA = (
+    "row long, col long, mx double, x_row long, x_col long, pdist double, kind int"
+)
+
+
+def _tile_maxdist_kernel(tile: int):
+    """Tile-local LONGEST upstream path (max-aggregation Kahn) + the same
+    cross-edge / transit outputs as the accumulation kernel.  Because a D8
+    cell has one outflow, all mass entering at a border cell follows a
+    single path, so the condensed entry DAG carries max-distances with the
+    additive per-entry path length."""
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * tile, tc * tile
+        rr = pdf["row"].to_numpy(np.int64)
+        cc = pdf["col"].to_numpy(np.int64)
+        code = pdf["code"].to_numpy(np.int64)
+        ext = (
+            pdf["ext"].fillna(0.0).to_numpy(np.float64)
+            if "ext" in pdf.columns else np.zeros(len(rr))
+        )
+        n = len(rr)
+        lr, lc = rr - r0, cc - c0
+        h, w = int(lr.max()) + 1, int(lc.max()) + 1
+        gid = np.full((h, w), -1, dtype=np.int64)
+        gid[lr, lc] = np.arange(n)
+        has, t_r, t_c = _decode_targets(rr, cc, code)
+        t_lr, t_lc = t_r - r0, t_c - c0
+        inb = has & (t_lr >= 0) & (t_lr < min(tile, h)) & (t_lc >= 0) & (t_lc < min(tile, w))
+        tgt = np.full(n, -1, dtype=np.int64)
+        tgt[inb] = gid[t_lr[inb], t_lc[inb]]
+        internal = tgt >= 0
+        cross = has & ~internal
+        step = np.where(has, np.where((t_r != rr) & (t_c != cc), _SQRT2, 1.0), 0.0)
+
+        indeg = np.bincount(tgt[internal], minlength=n)
+        mx = ext.copy()
+        processed = np.zeros(n, dtype=bool)
+        frontier = np.flatnonzero(indeg == 0)
+        while frontier.size:
+            processed[frontier] = True
+            fe = frontier[internal[frontier]]
+            if fe.size:
+                t = tgt[fe]
+                np.maximum.at(mx, t, mx[fe] + step[fe])
+                indeg = indeg - np.bincount(t, minlength=n)
+                frontier = np.flatnonzero((indeg == 0) & ~processed)
+            else:
+                frontier = np.array([], dtype=np.int64)
+
+        # within-tile path distance to exit/pit (for the condensed DAG)
+        nxt = np.arange(n, dtype=np.int64)
+        nxt[internal] = tgt[internal]
+        dd = np.where(internal, step, 0.0)
+        dest = nxt
+        while True:
+            nd = dest[dest]
+            if np.array_equal(nd, dest):
+                break
+            dd = dd + dd[dest]
+            dest = nd
+        xstep = np.where(cross, step, 0.0)
+        pdist = dd + xstep[dest]
+        d_exits = cross[dest]
+        null = np.int64(-1)
+        on_border = (
+            (rr % tile == 0) | (rr % tile == tile - 1)
+            | (cc % tile == 0) | (cc % tile == tile - 1)
+        )
+        parts = [pd.DataFrame({
+            "row": rr, "col": cc, "mx": mx,
+            "x_row": np.full(n, null), "x_col": np.full(n, null),
+            "pdist": np.zeros(n), "kind": np.zeros(n, dtype=np.int32),
+        })]
+        xs = np.flatnonzero(cross)
+        if xs.size:
+            parts.append(pd.DataFrame({
+                "row": rr[xs], "col": cc[xs], "mx": mx[xs] + step[xs],
+                "x_row": t_r[xs], "x_col": t_c[xs],
+                "pdist": np.zeros(xs.size), "kind": np.full(xs.size, 1, dtype=np.int32),
+            }))
+        bs = np.flatnonzero(on_border)
+        if bs.size:
+            bd = dest[bs]
+            be = cross[bd]
+            parts.append(pd.DataFrame({
+                "row": rr[bs], "col": cc[bs], "mx": np.zeros(bs.size),
+                "x_row": np.where(be, t_r[bd], null),
+                "x_col": np.where(be, t_c[bd], null),
+                "pdist": pdist[bs], "kind": np.full(bs.size, 2, dtype=np.int32),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    return kernel
+
+
+def upslope_max_length(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
+    """(row, col, up_len): longest upstream D8 flow-path length into each
+    cell (UpslopeFlowpathLength.java semantics; steps 1 / sqrt(2)).
+
+    Same 2-pass condensed design as flow_accum with MAX in place of SUM:
+    the condensed entry DAG's edge weight is each entry's single-path
+    within-tile length (D8 outflow is unique)."""
+    spark = pointers.sparkSession
+    _scratch.release(spark, "upslope")
+    cells = _with_tiles(pointers, tile)
+    pass_a = _scratch.track(
+        spark,
+        cells.groupBy("_tr", "_tc").applyInPandas(
+            _tile_maxdist_kernel(tile), _MAXD_SCHEMA
+        ).persist(),
+        "upslope",
+    )
+    small = pass_a.where(F.col("kind") >= 1).limit(_MAX_DRIVER_ROWS + 1).toPandas()
+    if len(small) > _MAX_DRIVER_ROWS:
+        raise RuntimeError("upslope condensed graph exceeds driver guard")
+    xedges = small[small["kind"] == 1]
+    transit = small[small["kind"] == 2]
+    base: dict[tuple[int, int], float] = {}
+    for xr, xc, m in zip(xedges["x_row"], xedges["x_col"], xedges["mx"]):
+        k = (int(xr), int(xc))
+        base[k] = max(base.get(k, 0.0), float(m))
+    fwd = {
+        (int(r), int(c)): (((int(xr), int(xc)) if xr >= 0 else None), float(pdv))
+        for r, c, xr, xc, pdv in zip(
+            transit["row"], transit["col"], transit["x_row"], transit["x_col"],
+            transit["pdist"],
+        )
+    }
+    entries = list(base)
+    indeg = {e: 0 for e in entries}
+    for e in entries:
+        t, _ = fwd.get(e, (None, 0.0))
+        if t is not None and t in indeg:
+            indeg[t] += 1
+    mmax = dict(base)
+    stack = [e for e in entries if indeg[e] == 0]
+    while stack:
+        e = stack.pop()
+        t, pdv = fwd.get(e, (None, 0.0))
+        if t is not None and t in indeg:
+            cand = mmax[e] + pdv
+            if cand > mmax.get(t, 0.0):
+                mmax[t] = cand
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                stack.append(t)
+    if mmax:
+        ext_df = spark.createDataFrame(
+            [(r, c, m) for (r, c), m in mmax.items() if m > 0],
+            "row long, col long, ext double",
+        )
+        cells_b = cells.join(F.broadcast(ext_df), ["row", "col"], "left")
+    else:
+        cells_b = cells
+    pass_b = cells_b.groupBy("_tr", "_tc").applyInPandas(
+        _tile_maxdist_kernel(tile), _MAXD_SCHEMA
+    )
+    return pass_b.where(F.col("kind") == 0).select(
+        "row", "col", F.round("mx", 6).cast("double").alias("up_len")
+    )

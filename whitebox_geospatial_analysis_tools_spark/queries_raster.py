@@ -2082,3 +2082,32 @@ def q_flowpath_length(spark, sf):
     from .operators.hydro import flow_pointer_d8, flowpath_length
 
     return flowpath_length(flow_pointer_d8(_hydem(spark))).orderBy("row", "col")
+
+
+# -- upslope (longest) flow-path length (§2.12; UpslopeFlowpathLength.java) ---
+@Q.register(
+    "upslope_length",
+    f"""WITH RECURSIVE {_HYD_BASE},
+feu AS (SELECT row, col,
+  row + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1
+       WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1 ELSE 1 END AS nr,
+  col + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 1
+       WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN 0 ELSE 1 END AS nc,
+  CASE CAST(log2(code) AS INT) WHEN 0 THEN 1.4142135623730951e0 WHEN 2 THEN 1.4142135623730951e0
+       WHEN 5 THEN 1.4142135623730951e0 WHEN 7 THEN 1.4142135623730951e0 ELSE 1e0 END AS step
+  FROM d8 WHERE code > 0
+  UNION ALL SELECT row, col, row, col, 0e0 FROM d8),
+upl(it, row, col, u) AS (
+  SELECT 0, row, col, 0e0 FROM d8
+  UNION ALL
+  SELECT x.it + 1, f.nr, f.nc, MAX(x.u + f.step)
+  FROM upl x JOIN feu f ON f.row = x.row AND f.col = x.col
+  WHERE x.it < {_FPK} GROUP BY 1, 2, 3
+)
+SELECT row, col, CAST(ROUND(u, 6) AS DOUBLE) AS up_len
+FROM upl WHERE it = {_FPK} ORDER BY row, col""",
+)
+def q_upslope_length(spark, sf):
+    from .operators.hydro import flow_pointer_d8, upslope_max_length
+
+    return upslope_max_length(flow_pointer_d8(_hydem(spark))).orderBy("row", "col")
