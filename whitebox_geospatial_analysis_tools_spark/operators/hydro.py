@@ -606,6 +606,9 @@ def stream_network(pointers: DataFrame, threshold: int = 5, *,
 
     spark = pointers.sparkSession
     _scratch.release(spark, "streamnet")
+    # the pointer raster feeds flow_accum (2 kernel passes), the stream-edge
+    # build, and several condensed-graph collects — persist it once
+    pointers = _scratch.track(spark, pointers.persist(), "streamnet")
     acc = flow_accum(pointers, tile=tile)
     # persist the small stream tables: stream_network issues several driver
     # actions (condensed-graph collects), and without these caches each one
