@@ -444,3 +444,66 @@ def q_buffer_points(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# -- full k-means loop (§2.13; kMeansClassification.java): 3 deterministic
+# Lloyd iterations — centroids round(6) BETWEEN iterations on both sides so
+# every assignment decision compares identical doubles ---------------------
+_KM_ITERS = 3
+
+
+def _km_oracle() -> str:
+    parts = [
+        f"seeds0 AS (SELECT * FROM (VALUES {_SEED_SQL}) s(sid, sx, sy))",
+    ]
+    prev = "seeds0"
+    for it in range(_KM_ITERS):
+        a, c = f"asg{it}", f"seeds{it + 1}"
+        parts.append(
+            f"{a} AS (SELECT doc_id, lon, lat, sid FROM ("
+            "SELECT p.doc_id, p.lon, p.lat, s.sid, "
+            "ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY "
+            "(p.lon - s.sx) * (p.lon - s.sx) + (p.lat - s.sy) * (p.lat - s.sy), s.sid) AS rn "
+            f"FROM pts p CROSS JOIN {prev} s) WHERE rn = 1)"
+        )
+        parts.append(
+            f"{c} AS (SELECT sid, ROUND(SUM(lon) / COUNT(*), 6) AS sx, "
+            f"ROUND(SUM(lat) / COUNT(*), 6) AS sy, COUNT(*) AS n FROM {a} GROUP BY 1)"
+        )
+        prev = c
+    return ", ".join(parts)
+
+
+@Q.register(
+    "kmeans_iterated",
+    f"{_PTS}, {_km_oracle()} "
+    f"SELECT sid, n, CAST(sx AS DOUBLE) AS cx, CAST(sy AS DOUBLE) AS cy "
+    f"FROM seeds{_KM_ITERS} ORDER BY sid",
+)
+def q_kmeans_iterated(spark, sf):
+    pts = Q._points(spark, sf).select("doc_id", "lon", "lat")
+    cents = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(_SEEDS)], "sid int, sx double, sy double"
+    )
+    out = None
+    for _ in range(_KM_ITERS):
+        d2 = (F.col("lon") - F.col("sx")) * (F.col("lon") - F.col("sx")) + (
+            F.col("lat") - F.col("sy")
+        ) * (F.col("lat") - F.col("sy"))
+        assigned = (
+            pts.crossJoin(F.broadcast(cents))
+            .select("doc_id", "lon", "lat", d2.alias("_d2"), "sid")
+            .groupBy("doc_id", "lon", "lat")
+            .agg(F.expr("min_by(sid, struct(_d2, sid))").alias("sid"))
+        )
+        out = assigned.groupBy("sid").agg(
+            F.round(F.sum("lon") / F.count(F.lit(1)), 6).alias("sx"),
+            F.round(F.sum("lat") / F.count(F.lit(1)), 6).alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        cents = out.select("sid", "sx", "sy")
+    return out.select(
+        "sid", "n",
+        F.col("sx").cast("double").alias("cx"),
+        F.col("sy").cast("double").alias("cy"),
+    ).orderBy("sid")
