@@ -162,3 +162,65 @@ def trace_rings(lab: DataFrame) -> DataFrame:
 def raster_to_polygons(cells: DataFrame, cols: int) -> DataFrame:
     """Full vectorize: patch labels -> traced rings."""
     return trace_rings(clump(cells, cols))
+
+
+# ---------------------------------------------------------------------------
+# Zhang-Suen line thinning (skeletonization)
+# ---------------------------------------------------------------------------
+# neighborhood bit order k=0..7: N, NE, E, SE, S, SW, W, NW (classic p2..p9)
+_ZS_OFFS = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
+
+
+def _zs_luts() -> tuple[list[int], list[int]]:
+    """Deletion lookup tables over the 8-bit neighborhood mask for the two
+    Zhang-Suen sub-iterations (the conditions depend only on the mask)."""
+    lut1, lut2 = [], []
+    for m in range(256):
+        p = [(m >> k) & 1 for k in range(8)]  # p2..p9
+        b = sum(p)
+        a = sum(1 for k in range(8) if p[k] == 0 and p[(k + 1) % 8] == 1)
+        base = 2 <= b <= 6 and a == 1
+        # sub-iteration 1: p2*p4*p6 == 0 and p4*p6*p8 == 0  (N,E,S / E,S,W)
+        d1 = base and (p[0] * p[2] * p[4] == 0) and (p[2] * p[4] * p[6] == 0)
+        # sub-iteration 2: p2*p4*p8 == 0 and p2*p6*p8 == 0  (N,E,W / N,S,W)
+        d2 = base and (p[0] * p[2] * p[6] == 0) and (p[0] * p[4] * p[6] == 0)
+        lut1.append(1 if d1 else 0)
+        lut2.append(1 if d2 else 0)
+    return lut1, lut2
+
+
+def line_thinning(cells: DataFrame, *, pairs: int = 8) -> DataFrame:
+    """LineThinning.java (Zhang-Suen skeletonization) over a binary cell set
+    (row, col): a FIXED number of sub-iteration pairs (both engine and
+    oracle run the same count, past convergence for the test shapes).
+
+    Each sub-iteration is two narrow shuffles: an 8-offset exploded
+    self-join builds every cell's neighborhood bitmask, and a 256-entry
+    broadcast LUT decides deletion — all Catalyst, no Python."""
+    lut1, lut2 = _zs_luts()
+    offs = F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"), F.lit(1 << k).alias("bit"))
+        for k, (dr, dc) in enumerate(_ZS_OFFS)
+    ])
+    s = cells.select("row", "col")
+    for i in range(pairs * 2):
+        lut = lut1 if i % 2 == 0 else lut2
+        lut_arr = F.array(*[F.lit(v) for v in lut])
+        probe = (
+            s.withColumn("_o", F.explode(offs))
+            .select(
+                (F.col("row") - F.col("_o.dr")).alias("row"),
+                (F.col("col") - F.col("_o.dc")).alias("col"),
+                F.col("_o.bit").alias("bit"),
+            )
+        )
+        mask = probe.groupBy("row", "col").agg(F.sum("bit").alias("_m"))
+        s = (
+            s.join(mask, ["row", "col"], "left")
+            .withColumn("_m", F.coalesce("_m", F.lit(0)))
+            .where(F.element_at(lut_arr, F.col("_m").cast("int") + 1) == 0)
+            .select("row", "col")
+        )
+        if i % 4 == 3:
+            s = s.localCheckpoint()  # bound the 16-stage lineage
+    return s

@@ -2111,3 +2111,56 @@ def q_upslope_length(spark, sf):
     from .operators.hydro import flow_pointer_d8, upslope_max_length
 
     return upslope_max_length(flow_pointer_d8(_hydem(spark))).orderBy("row", "col")
+
+
+# -- Zhang-Suen line thinning (§2.5; LineThinning.java) -----------------------
+# fixed 8 sub-iteration pairs on both sides (past convergence for these
+# shapes); deletion decisions via a shared 256-entry neighborhood-mask LUT.
+_ZS_PAIRS = 8
+
+
+def _zs_oracle() -> str:
+    from .operators.vectorize import _ZS_OFFS, _zs_luts
+
+    lut1, lut2 = _zs_luts()
+    offs_vals = ", ".join(
+        f"({dr}, {dc}, {1 << k})" for k, (dr, dc) in enumerate(_ZS_OFFS)
+    )
+    parts = [
+        f"zoffs AS (SELECT * FROM (VALUES {offs_vals}) o(dr, dc, bit))",
+        "zs0 AS MATERIALIZED (SELECT row, col FROM ras WHERE value > 100e0 "
+        f"AND value != {NODATA!r}e0)",
+    ]
+    for i in range(_ZS_PAIRS * 2):
+        lut = lut1 if i % 2 == 0 else lut2
+        lut_lit = "[" + ", ".join(str(v) for v in lut) + "]"
+        parts.append(
+            f"zpr{i} AS (SELECT s.row - o.dr AS row, s.col - o.dc AS col, o.bit "
+            f"FROM zs{i} s CROSS JOIN zoffs o)"
+        )
+        parts.append(
+            f"zmk{i} AS MATERIALIZED (SELECT s.row, s.col, "
+            f"COALESCE(SUM(p.bit), 0) AS m FROM zs{i} s "
+            f"LEFT JOIN zpr{i} p ON p.row = s.row AND p.col = s.col GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"zs{i + 1} AS MATERIALIZED (SELECT row, col FROM zmk{i} "
+            f"WHERE list_extract({lut_lit}, CAST(m AS INT) + 1) = 0)"
+        )
+    return ", ".join(parts)
+
+
+@Q.register(
+    "line_thinning",
+    f"WITH {_RASF}, {_zs_oracle()} "
+    f"SELECT row, col FROM zs{_ZS_PAIRS * 2} ORDER BY row, col",
+)
+def q_line_thinning(spark, sf):
+    from .operators.vectorize import line_thinning
+
+    cells = (
+        R.explode_cells(_demf(spark))
+        .where((F.col("value") > 100.0) & (F.col("value") != _ND))
+        .select("row", "col")
+    )
+    return line_thinning(cells, pairs=_ZS_PAIRS).orderBy("row", "col")
