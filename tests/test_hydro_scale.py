@@ -226,3 +226,30 @@ def test_fill_depressions_multi_tile(spark):
             nan_adj |= ~padv[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
     interior = m & ~nan_adj & (best_nbr != np.inf)
     assert (best_nbr[interior] <= g[interior]).all()
+
+
+def test_flowpath_and_upslope_tile_invariance(spark):
+    from whitebox_geospatial_analysis_tools_spark.operators.hydro import (
+        flow_pointer_d8, flowpath_length, upslope_max_length,
+    )
+
+    ptr = flow_pointer_d8(R.synth_raster(spark, 96, 128)).persist()
+    for op in (flowpath_length, upslope_max_length):
+        a = op(ptr, tile=32).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+        b = op(ptr, tile=256).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+        assert len(a) == len(b) > 0
+        # values agree to the rounding policy (tile joins change association)
+        va = a.iloc[:, 2].to_numpy()
+        vb = b.iloc[:, 2].to_numpy()
+        assert np.abs(va - vb).max() <= 1e-6 + 1e-9
+    ptr.unpersist()
+
+
+def test_fd8_tile_invariance(spark):
+    from whitebox_geospatial_analysis_tools_spark.operators.hydro import fd8_accum
+
+    dem = R.synth_raster(spark, 96, 128)
+    a = fd8_accum(dem, tile=32).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    b = fd8_accum(dem, tile=256).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert np.abs(a["accum"].to_numpy() - b["accum"].to_numpy()).max() <= 1e-4 + 1e-9
