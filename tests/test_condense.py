@@ -1,0 +1,89 @@
+"""Distributed condensed-graph fallbacks (VERDICT r2 next-round #3).
+
+Each driver-solve guard is lowered below the condensed-graph size so the
+operators take the distributed path (operators/condense.py), and the output
+is asserted IDENTICAL to the driver-solve path on the same input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whitebox_geospatial_analysis_tools_spark.operators import clump as clump_mod
+from whitebox_geospatial_analysis_tools_spark.operators import hydro
+from whitebox_geospatial_analysis_tools_spark.operators import raster as R
+
+ROWS, COLS = 96, 256  # wide enough that super-groups at tile*8 split
+
+
+@pytest.fixture(scope="module")
+def ptr(spark):
+    p = hydro.flow_pointer_d8(R.synth_raster(spark, ROWS, COLS)).persist()
+    yield p
+    p.unpersist()
+
+
+def _sorted(df):
+    pdf = df.toPandas()
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def _both(op, monkeypatch, guard_attr=("_MAX_DRIVER_ROWS",), guard_val=8):
+    want = _sorted(op())
+    for g in guard_attr:
+        monkeypatch.setattr(hydro, g, guard_val)
+    got = _sorted(op())
+    return want, got
+
+
+def test_flow_accum_distributed(spark, ptr, monkeypatch):
+    want, got = _both(lambda: hydro.flow_accum(ptr, tile=16), monkeypatch)
+    assert len(want) == len(got) > 0
+    assert want.equals(got)
+
+
+def test_watershed_distributed(spark, ptr, monkeypatch):
+    want, got = _both(lambda: hydro.watershed(ptr, tile=16), monkeypatch)
+    assert len(want) == len(got) > 0
+    assert want.equals(got)
+
+
+def test_flowpath_distributed(spark, ptr, monkeypatch):
+    want, got = _both(lambda: hydro.flowpath_length(ptr, tile=16), monkeypatch)
+    assert len(want) == len(got) > 0
+    # rounding happens after the chain sum in both paths; association of the
+    # float adds along the chain is identical (same per-hop pdist splits)
+    assert (want["row"].equals(got["row"]) and want["col"].equals(got["col"]))
+    assert np.abs(want["fp_len"].to_numpy() - got["fp_len"].to_numpy()).max() <= 1e-6
+
+
+def test_upslope_distributed(spark, ptr, monkeypatch):
+    want, got = _both(lambda: hydro.upslope_max_length(ptr, tile=16), monkeypatch)
+    assert len(want) == len(got) > 0
+    assert (want["row"].equals(got["row"]) and want["col"].equals(got["col"]))
+    assert np.abs(want["up_len"].to_numpy() - got["up_len"].to_numpy()).max() <= 1e-6
+
+
+def test_stream_network_distributed(spark, ptr, monkeypatch):
+    want, got = _both(
+        lambda: hydro.stream_network(ptr, threshold=5, tile=16), monkeypatch,
+        guard_val=4,
+    )
+    assert len(want) == len(got) > 0
+    assert want.equals(got)
+
+
+def test_clump_distributed(spark, monkeypatch):
+    cells = (
+        R.explode_cells(R.synth_raster(spark, 96, 128))
+        .where(F.col("value") != R.NODATA)
+        .select("row", "col",
+                F.expr("CAST(FLOOR(value / 50e0) AS BIGINT)").alias("cls"))
+    )
+    want = _sorted(clump_mod.clump(cells, 128, tile=32))
+    monkeypatch.setattr(clump_mod, "_MAX_DRIVER_PAIRS", 1)
+    got = _sorted(clump_mod.clump(cells, 128, tile=32))
+    assert len(want) == len(got) > 0
+    assert want.equals(got)

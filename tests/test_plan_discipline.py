@@ -43,6 +43,8 @@ CROSSJOIN_ALLOW = [
      "1-row min/max/total aggregates (stretch/equalize/CDF scalars)"),
     (r"queries_raster\.py", r"crossJoin\(F\.broadcast\(lv\)\)",
      "fixed 3-row contour level list"),
+    (r"operators/distance\.py", r"crossJoin\(F\.broadcast\(bounds\)\)",
+     "1-row target bounding-box aggregate (uncovered-block radius fallback)"),
 ]
 
 # partitionless Window.orderBy sites allowed: input is a BOUNDED table

@@ -141,13 +141,15 @@ def clump(cells: DataFrame, cols: int, *, connectivity: int = 4,
             (F.col("col") + F.col("_o.dc")).alias("nc"),
             ((F.col("row") + F.col("_o.dr")) / tile).cast("long").alias("_ntr"),
             ((F.col("col") + F.col("_o.dc")) / tile).cast("long").alias("_ntc"),
+            (F.col("row") / tile).cast("long").alias("_tr"),
+            (F.col("col") / tile).cast("long").alias("_tc"),
         )
+        # keep only probes that LEAVE the source tile (truncated-long vs
+        # fractional-double compare kept ~every border probe before — ADVICE r2)
         .where(
-            (F.col("_ntr") != (F.col("nr") - F.col("_o.dr")) / tile)
-            | (F.col("_ntc") != (F.col("nc") - F.col("_o.dc")) / tile)
+            (F.col("_ntr") != F.col("_tr")) | (F.col("_ntc") != F.col("_tc"))
         )
     )
-    # (the where above keeps only probes that LEAVE the source tile)
     tgt = border.select(
         F.col("row").alias("nr"), F.col("col").alias("nc"),
         F.col("cls").alias("ncls"), F.col("plabel").alias("nplabel"),
@@ -177,14 +179,17 @@ def _driver_merge_relabel(lab, pairs, *, keep_cols):
     driver with min-id roots, broadcast the remap, relabel `lab`.
 
     lab must carry a `plabel` column; pairs carries (plabel, nplabel).
-    Guarded: at cluster scale the same merge runs as log-round label
-    propagation over the condensed graph."""
+    Beyond the guard, the merge runs distributed as hook+shortcut min-label
+    rounds over the pair-sized frame (operators/condense.py merge_labels)."""
     spark = lab.sparkSession
     pdf_pairs = pairs.limit(_MAX_DRIVER_PAIRS + 1).toPandas()
     if len(pdf_pairs) > _MAX_DRIVER_PAIRS:
-        raise RuntimeError(
-            "equivalence graph exceeds driver merge guard; "
-            "raise tile= or run the distributed condensed merge"
+        from .condense import merge_labels
+
+        mapdf = merge_labels(pairs).where(F.col("plabel") != F.col("glabel"))
+        return (
+            lab.join(mapdf, "plabel", "left")
+            .select(*keep_cols, F.coalesce("glabel", "plabel").alias("label"))
         )
     parent: dict[int, int] = {}
 

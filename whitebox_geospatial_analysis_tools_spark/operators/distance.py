@@ -84,12 +84,32 @@ def nearest_target(cells: DataFrame, targets: DataFrame, *,
     )
     # smallest covering level per block -> base-ring radius bound:
     # any cell of the block is within (3 * 2^l + 1) * B of some target
-    radius = (
+    covered = (
         probes.join(anc, ["_tbr", "_tbc", "_lvl"], "left_semi")
         .groupBy("_br", "_bc").agg(F.min("_lvl").alias("_l"))
         .select(
             "_br", "_bc",
             (F.expr("CAST(3 * shiftleft(1L, _l) + 2 AS INT)")).alias("_r"),
+        )
+    )
+    # blocks no pyramid ring covered (possible when the target extent sits
+    # > 3 * 2^max_levels blocks away) fall back to a radius reaching the full
+    # target bounding box instead of silently dropping out (ADVICE r2) —
+    # same coalesce-to-full-extent policy as knn_join pass 3
+    bounds = tb.agg(
+        F.min("_tbr").alias("_r0"), F.max("_tbr").alias("_r1"),
+        F.min("_tbc").alias("_c0"), F.max("_tbc").alias("_c1"),
+    )
+    full_r = F.greatest(
+        F.abs(F.col("_br") - F.col("_r0")), F.abs(F.col("_br") - F.col("_r1")),
+        F.abs(F.col("_bc") - F.col("_c0")), F.abs(F.col("_bc") - F.col("_c1")),
+    ) + 1
+    radius = (
+        cblocks.join(covered, ["_br", "_bc"], "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "_br", "_bc",
+            F.coalesce(F.col("_r"), full_r.cast("int")).alias("_r"),
         )
     )
 
