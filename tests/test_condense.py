@@ -75,6 +75,31 @@ def test_stream_network_distributed(spark, ptr, monkeypatch):
     assert want.equals(got)
 
 
+def test_stream_network_tier2(spark, monkeypatch):
+    """Stream cells exceed the guard but the link tables fit: distributed
+    labeling + driver link solve (the middle tier) matches tier 1."""
+    from whitebox_geospatial_analysis_tools_spark.queries_raster import (
+        VALLEY_VAL, _VCOLS, _VROWS, _VT,
+    )
+
+    ptr = hydro.flow_pointer_d8(
+        R.synth_raster(spark, _VROWS, _VCOLS, value_sql=VALLEY_VAL)
+    ).persist()
+    try:
+        want = _sorted(hydro.stream_network(ptr, _VT, tile=16))
+        acc = hydro.flow_accum(ptr, tile=16)
+        n_stream = acc.where(F.col("accum") >= _VT).count()
+        # guard window that skips tier 1 (node+edge rows > 2G) but keeps the
+        # link tables under guard (len(want) links + dag rows <= 2G)
+        g2 = len(want) + 2  # links alone < 2*g2; dag pairs ~ junction count
+        assert 2 * g2 < n_stream, "fixture too small to separate the tiers"
+        monkeypatch.setattr(hydro, "_MAX_DRIVER_ROWS", g2)
+        got = _sorted(hydro.stream_network(ptr, _VT, tile=16))
+        assert want.equals(got)
+    finally:
+        ptr.unpersist()
+
+
 def test_clump_distributed(spark, monkeypatch):
     cells = (
         R.explode_cells(R.synth_raster(spark, 96, 128))
