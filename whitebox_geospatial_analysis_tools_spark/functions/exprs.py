@@ -33,8 +33,11 @@ def D(x: float) -> str:
     Plain decimal literals (``1000.0``) are DECIMAL in Spark SQL — silently
     truncating every downstream computation to 6-decimal scale — so every
     shared formula uses exponent notation, which is DOUBLE in both engines.
+    (repr already emits an exponent for |x| < 1e-4 / >= 1e16 — appending
+    ``e0`` there would produce invalid SQL, so only append when absent.)
     """
-    return f"{x!r}e0"
+    r = repr(float(x))
+    return r if "e" in r or "E" in r else r + "e0"
 
 
 M = 2147483648  # 2^31

@@ -27,7 +27,25 @@ TOKEN_HASH = (
     "+ ascii(substr(tok, length(tok), 1)) * 31) % 2147483648)"
 )
 
-SIMHASH_BITS = 24
+# 60-bit simhash in 4 x 15-bit bands (VERDICT r2 wrong #4: 256-bucket bands
+# made candidate volume O(n^2/256) at web scale; 32768 buckets per band keeps
+# the banded self-join linear far deeper).  60 not 64: the recomposed
+# fingerprint must fit a SIGNED BIGINT in both engines.  Pigeonhole: a pair
+# within hamming <= 3 agrees exactly on at least one of the 4 bands.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15 -> 32768 buckets per band
+MAX_BUCKET = 50  # hot-bucket cap shared by the minhash and simhash paths
+
+
+def simhash_bit_sql(j: int) -> str:
+    """Shared (Spark = DuckDB) 0/1 bit-j expression over token hash ``h``:
+    multiplicative rehash per bit, top-bit test — pure nonnegative integer
+    arithmetic, no engine-specific intdiv operator."""
+    return (
+        f"(CASE WHEN (h * {2654435761 + 2 * j}) % 2147483648 "
+        f">= 1073741824 THEN 1 ELSE 0 END)"
+    )
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
@@ -199,13 +217,15 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash over tokens: per bit j, sign of sum over tokens of
-    (2*bit_j(h(tok)) - 1); fingerprint recomposed as an integer."""
+    (2*bit_j(h(tok)) - 1); fingerprint recomposed as a 60-bit BIGINT.
+    bit_j comes from a per-bit multiplicative rehash of the shared token
+    hash (simhash_bit_sql) so all 60 bits carry entropy."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.length("tok") > 0)
     h = toks.withColumn("h", F.expr(TOKEN_HASH))
     aggs = [
-        F.sum(F.expr(f"2 * ((h div {1 << j}) % 2) - 1")).alias(f"s{j}")
+        F.sum(F.expr(f"2 * {simhash_bit_sql(j)} - 1")).alias(f"s{j}")
         for j in range(bits)
     ]
     g = h.groupBy("doc_id").agg(*aggs)
@@ -213,33 +233,94 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return g.select("doc_id", F.expr(f"({recompose})").alias("simhash")).orderBy("doc_id")
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2,
-                       bits: int = SIMHASH_BITS) -> DataFrame:
-    """Near-duplicate pairs by simhash hamming distance <= 2.
-
-    Scale path: 24 bits split into 3 8-bit bands.  Any pair within hamming
-    2 agrees EXACTLY on at least one band (pigeonhole), so a band-bucket
-    equi-join yields a complete candidate set — never an all-pairs cross
-    join.  Candidates are then verified with bit_count(xor)."""
+def _simhash_bands(docs: DataFrame, bits: int, n_bands: int) -> DataFrame:
+    """(doc_id, simhash, band, key): one row per band, key = that band's
+    bit-slice of the fingerprint."""
+    band_bits = bits // n_bands
     s = simhash(docs, bits)
-    banded = s.select(
-        "doc_id", "simhash",
-        F.expr("simhash % 256").alias("b0"),             # bits 0-7
-        F.expr("(simhash div 256) % 256").alias("b1"),   # bits 8-15
-        F.expr("(simhash div 65536) % 256").alias("b2"),  # bits 16-23
+    keys = F.array(*[
+        F.expr(f"(simhash div {1 << (band_bits * k)}) % {1 << band_bits}")
+        for k in range(n_bands)
+    ])
+    return s.select(
+        "doc_id", "simhash", F.posexplode(keys).alias("band", "key")
     )
-    cands = None
-    for b in ("b0", "b1", "b2"):
-        a = banded.select(F.col(b).alias("k"), F.col("doc_id").alias("d1"),
-                          F.col("simhash").alias("h1"))
-        c = banded.select(F.col(b).alias("k"), F.col("doc_id").alias("d2"),
-                          F.col("simhash").alias("h2"))
-        p = a.join(c, "k").where(F.col("d1") < F.col("d2")).select("d1", "d2", "h1", "h2")
-        cands = p if cands is None else cands.unionByName(p)
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       bits: int = SIMHASH_BITS,
+                       n_bands: int = SIMHASH_BANDS,
+                       max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Near-duplicate pairs by simhash hamming distance <= max_hamming.
+
+    Scale path: 60 bits in 4 x 15-bit bands.  Any pair within hamming 3
+    agrees EXACTLY on at least one band (pigeonhole), so a band-bucket
+    equi-join yields a complete candidate set — never an all-pairs cross
+    join.  Buckets larger than max_bucket are dropped (hot-bucket guard,
+    mirroring lsh_candidate_pairs; the forgone volume is surfaced by
+    simhash_bucket_stats — no silent cap).  Candidates verify with
+    bit_count(xor)."""
+    bl = _simhash_bands(docs, bits, n_bands)
+    ok = (
+        bl.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= max_bucket)
+        .select("band", "key")
+    )
+    sl = bl.join(ok, ["band", "key"], "left_semi")
+    a = sl.select("band", "key", F.col("doc_id").alias("d1"),
+                  F.col("simhash").alias("h1"))
+    c = sl.select("band", "key", F.col("doc_id").alias("d2"),
+                  F.col("simhash").alias("h2"))
+    cands = (
+        a.join(c, ["band", "key"]).where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "h1", "h2").distinct()
+    )
     return (
-        cands.distinct()
+        cands
         .withColumn("hamming", F.expr("bit_count(h1 ^ h2)").cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
         .orderBy("d1", "d2")
+    )
+
+
+def simhash_bucket_stats(docs: DataFrame, bits: int = SIMHASH_BITS,
+                         n_bands: int = SIMHASH_BANDS,
+                         max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Per-band bucket-population accounting for the simhash banding: how
+    many buckets, the largest bucket, how many buckets the hot-bucket cap
+    drops and how many candidate pairs that forgoes.  Surfaces the cap's
+    cost instead of truncating silently."""
+    bl = _simhash_bands(docs, bits, n_bands)
+    per = bl.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn"))
+    return (
+        per.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bn").alias("max_bucket_n"),
+            F.sum(F.when(F.col("bn") > max_bucket, 1).otherwise(0)).alias("n_hot"),
+            F.sum(
+                F.when(F.col("bn") > max_bucket,
+                       F.col("bn") * (F.col("bn") - 1) / 2).otherwise(0)
+            ).cast("long").alias("pairs_dropped"),
+        )
+        .orderBy("band")
+    )
+
+
+def lsh_bucket_stats(docs: DataFrame, bands: int = 4,
+                     max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Same accounting for the minhash-LSH buckets (lsh_candidate_pairs)."""
+    sig = minhash_signatures(docs, bands)
+    per = sig.groupBy("band", "minh").agg(F.count(F.lit(1)).alias("bn"))
+    return (
+        per.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bn").alias("max_bucket_n"),
+            F.sum(F.when(F.col("bn") > max_bucket, 1).otherwise(0)).alias("n_hot"),
+            F.sum(
+                F.when(F.col("bn") > max_bucket,
+                       F.col("bn") * (F.col("bn") - 1) / 2).otherwise(0)
+            ).cast("long").alias("pairs_dropped"),
+        )
+        .orderBy("band")
     )

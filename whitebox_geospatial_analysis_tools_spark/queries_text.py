@@ -159,7 +159,7 @@ def q_ngram_jaccard(spark, sf):
 def _simhash_sql() -> str:
     bits = textops.SIMHASH_BITS
     sums = ", ".join(
-        f"SUM(2 * ((h // {1 << j}) % 2) - 1) AS s{j}" for j in range(bits)
+        f"SUM(2 * {textops.simhash_bit_sql(j)} - 1) AS s{j}" for j in range(bits)
     )
     recompose = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
@@ -175,17 +175,62 @@ def q_simhash(spark, sf):
     return textops.simhash(_docs(spark, sf))
 
 
+def _simhash_bands_sql() -> str:
+    """(doc_id, simhash, band, key) long table — banding mirror."""
+    bb, nb = textops.BAND_BITS, textops.SIMHASH_BANDS
+    keys = " ".join(
+        f"WHEN {k} THEN (simhash // {1 << (bb * k)}) % {1 << bb}"
+        for k in range(nb)
+    )
+    return f"""s AS ({_simhash_sql().replace(' ORDER BY doc_id', '')}),
+bnum AS (SELECT * FROM (VALUES {', '.join(f'({k})' for k in range(nb))}) t(band)),
+bl AS (SELECT doc_id, simhash, band, CASE band {keys} END AS key FROM s, bnum)"""
+
+
 def _simhash_pairs_sql() -> str:
-    return f"""WITH s AS ({_simhash_sql().replace(' ORDER BY doc_id', '')})
-SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    return f"""WITH {_simhash_bands_sql()},
+ok AS (SELECT band, key FROM bl GROUP BY 1, 2 HAVING COUNT(*) <= {textops.MAX_BUCKET}),
+sl AS (SELECT bl.* FROM bl JOIN ok USING (band, key)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.simhash AS h1, c.simhash AS h2
+         FROM sl a JOIN sl c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= 3
 ORDER BY 1, 2"""
 
 
 @Q.register("simhash_near_dup", _simhash_pairs_sql())
 def q_simhash_pairs(spark, sf):
     return textops.simhash_near_pairs(_docs(spark, sf))
+
+
+_BUCKET_STATS_TAIL = f"""
+SELECT band, COUNT(*) AS n_buckets, MAX(bn) AS max_bucket_n,
+       CAST(SUM(CASE WHEN bn > {textops.MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       CAST(SUM(CASE WHEN bn > {textops.MAX_BUCKET} THEN bn * (bn - 1) / 2 ELSE 0 END) AS BIGINT) AS pairs_dropped
+FROM per GROUP BY 1 ORDER BY 1"""
+
+
+@Q.register(
+    "simhash_bucket_stats",
+    f"WITH {_simhash_bands_sql()}, "
+    "per AS (SELECT band, key, COUNT(*) AS bn FROM bl GROUP BY 1, 2)"
+    + _BUCKET_STATS_TAIL,
+)
+def q_simhash_bucket_stats(spark, sf):
+    return textops.simhash_bucket_stats(_docs(spark, sf))
+
+
+@Q.register(
+    "lsh_bucket_stats",
+    f"""WITH {_SHINGLE_CTE},
+b AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(band)),
+hh AS (SELECT doc_id, band, md5(band || ':' || shingle) AS h FROM sh, b),
+sig AS (SELECT doc_id, band, MIN(h) AS minh FROM hh GROUP BY 1, 2),
+per AS (SELECT band, minh, COUNT(*) AS bn FROM sig GROUP BY 1, 2)"""
+    + _BUCKET_STATS_TAIL,
+)
+def q_lsh_bucket_stats(spark, sf):
+    return textops.lsh_bucket_stats(_docs(spark, sf))
 
 
 # -- embeddings ---------------------------------------------------------------
@@ -223,15 +268,29 @@ def q_embed_lsh_buckets(spark, sf):
     return simsearch.lsh_buckets(_emb(spark, sf))
 
 
+def _lsh_tables_sql() -> str:
+    """Multi-table sign-sketch long table (tbl, bucket) mirror."""
+    parts = [
+        f"SELECT vec_id, embedding, "
+        f"{simsearch.dot_expr('embedding', 'embedding', simsearch.DUCK_AT)} AS n, "
+        f"{t} AS tbl, "
+        f"{simsearch.lsh_bucket_expr('embedding', simsearch.DUCK_AT, t)} AS bucket "
+        "FROM embeddings"
+        for t in range(simsearch.N_TABLES)
+    ]
+    return " UNION ALL ".join(parts)
+
+
 @Q.register(
     "embed_lsh_near_dup",
-    f"""WITH bk AS (SELECT vec_id, {simsearch.lsh_bucket_expr('embedding', simsearch.DUCK_AT)} AS bucket
-                   FROM embeddings),
-e AS (SELECT b.bucket, b.vec_id, embedding FROM embeddings x JOIN bk b ON x.vec_id = b.vec_id),
-p AS (SELECT a.vec_id AS d1, c.vec_id AS d2,
-             round({simsearch.cosine_expr('a.embedding', 'c.embedding', simsearch.DUCK_AT)}, 6) AS cos
-      FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
-SELECT DISTINCT d1, d2, cos FROM p WHERE cos >= 0.35e0 ORDER BY 1, 2""",
+    f"""WITH el AS ({_lsh_tables_sql()}),
+ok AS (SELECT tbl, bucket FROM el GROUP BY 1, 2 HAVING COUNT(*) <= {simsearch.MAX_BUCKET}),
+sl AS (SELECT el.* FROM el JOIN ok USING (tbl, bucket)),
+p AS (SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2,
+             round({simsearch.dot_expr('a.embedding', 'c.embedding', simsearch.DUCK_AT)}
+                   / sqrt(a.n) / sqrt(c.n), 6) AS cos
+      FROM sl a JOIN sl c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT d1, d2, cos FROM p WHERE cos >= 0.35e0 ORDER BY 1, 2""",
 )
 def q_embed_lsh_near_dup(spark, sf):
     return simsearch.lsh_near_dup(_emb(spark, sf))
