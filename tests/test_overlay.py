@@ -104,3 +104,35 @@ def test_hole_partial_clip():
     cell = (xs[1] - xs[0]) * (ys[1] - ys[0])
     approx = mask.sum() * cell
     assert abs(a - approx) < 1.0  # grid-resolution tolerance
+
+
+def test_concave_fan_decomposition():
+    """The star fan is an exact disjoint convex decomposition: triangle
+    areas sum to the star's shoelace area, every triangle is CCW, and
+    pairwise triangle intersections (within a star) have zero area."""
+    import numpy as np
+
+    from whitebox_geospatial_analysis_tools_spark.operators.overlay import (
+        _shoelace_seq, sh_clip,
+    )
+    from whitebox_geospatial_analysis_tools_spark.sources.polygons import (
+        concave_triangles, make_concave_clip_layer,
+    )
+
+    layer = make_concave_clip_layer()
+    tris: dict[int, list] = {}
+    for cid, _t, tri in concave_triangles():
+        tris.setdefault(cid, []).append(tri)
+    for i in range(layer.n):
+        cid = int(layer.poly_id[i])
+        star = layer.rings[i][0]
+        star_area = _shoelace_seq(star)
+        assert star_area > 0  # CCW boundary
+        parts = tris[cid]
+        areas = [_shoelace_seq(t) for t in parts]
+        assert all(a > 0 for a in areas)  # CCW triangles
+        assert abs(sum(areas) - star_area) < 1e-9 * max(1.0, star_area)
+        for a in range(len(parts)):
+            for b in range(a + 1, len(parts)):
+                inter = _shoelace_seq(sh_clip(parts[a], parts[b]))
+                assert abs(inter) < 1e-9

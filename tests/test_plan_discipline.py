@@ -45,6 +45,8 @@ CROSSJOIN_ALLOW = [
      "fixed 3-row contour level list"),
     (r"operators/distance\.py", r"crossJoin\(F\.broadcast\(bounds\)\)",
      "1-row target bounding-box aggregate (uncovered-block radius fallback)"),
+    (r"queries_vector\.py", r"spark\.range\(_DG_N\)\.selectExpr.*crossJoin\(",
+     "bounded range x range grid generator (dissolve parcel layer)"),
 ]
 
 # partitionless Window.orderBy sites allowed: input is a BOUNDED table

@@ -38,7 +38,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.polygons import make_clip_layer, make_polygon_layer
+from ..sources.polygons import (
+    concave_triangles, make_clip_layer, make_concave_clip_layer,
+    make_polygon_layer,
+)
 
 
 def sh_clip(ring: np.ndarray, clip: np.ndarray) -> np.ndarray:
@@ -228,6 +231,120 @@ def difference_areas(spark: SparkSession) -> DataFrame:
             F.expr("FLOOR((_sa - COALESCE(_ia, 0e0)) * 1e6 + 0.5e0) / 1e6").alias("area"),
         )
         .orderBy("poly_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# general (concave-clip) overlay via convex decomposition
+# ---------------------------------------------------------------------------
+# The reference's JTS overlay (Intersect.java:291-299,
+# SymmetricDifference.java:281-323) handles arbitrary polygon x polygon.
+# Here the concave clip layer is star-shaped, so the fan from each star's
+# center is an exact disjoint convex decomposition; overlay measures against
+# a concave clip = sum of the SH kernel over its triangles.  Decomposition is
+# layer prep (small side, done once); the pair stream stays one Arrow-batched
+# mapInPandas — the same data-parallel shape as the convex path, with no
+# stateful Greiner-Hormann traversal to distribute.
+
+
+def _concave_df(spark: SparkSession) -> DataFrame:
+    layer = make_concave_clip_layer()
+    tris: dict[int, list] = {}
+    for cid, _t, tri in concave_triangles():
+        tris.setdefault(cid, []).append([[float(x), float(y)] for x, y in tri])
+    rows = [
+        (
+            int(layer.poly_id[i]),
+            tris[int(layer.poly_id[i])],
+            [[float(x), float(y)] for x, y in layer.rings[i][0]],
+            [float(v) for v in layer.bbox[i]],
+        )
+        for i in range(layer.n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "clip_id long, tris array<array<array<double>>>, "
+        "boundary array<array<double>>, cbbox array<double>",
+    )
+
+
+def _concave_pairs(spark: SparkSession) -> DataFrame:
+    s = _subjects_df(spark)
+    c = _concave_df(spark)
+    return s.join(
+        F.broadcast(c),
+        (F.expr("bbox[0] <= cbbox[2]") & F.expr("bbox[2] >= cbbox[0]")
+         & F.expr("bbox[1] <= cbbox[3]") & F.expr("bbox[3] >= cbbox[1]")),
+        "inner",
+    )
+
+
+def _concave_pair_raw(spark: SparkSession) -> DataFrame:
+    """(poly_id, clip_id, n_vertices, _raw): even-odd intersection area of
+    each bbox-candidate subject x star pair, summed over fan triangles in
+    (ring, triangle) order."""
+    pairs = _concave_pairs(spark)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                nv = 0
+                raw = 0.0
+                for ri, ring in enumerate(r.rings):
+                    rv = np.asarray([[p[0], p[1]] for p in ring])
+                    for tri in r.tris:
+                        pts = sh_clip(rv, np.asarray([[p[0], p[1]] for p in tri]))
+                        nv += len(pts)
+                        a = _shoelace_seq(pts)
+                        raw += a if ri == 0 else -a
+                out.append((r.poly_id, r.clip_id, nv, raw))
+            yield pd.DataFrame(out, columns=["poly_id", "clip_id", "n_vertices", "_raw"])
+
+    return pairs.mapInPandas(
+        kernel, "poly_id long, clip_id long, n_vertices long, _raw double"
+    )
+
+
+def concave_intersect_areas(spark: SparkSession) -> DataFrame:
+    """(poly_id, clip_id, n_vertices, area): positive-area subject ∩ star
+    pairs (general-overlay Intersect measure, concave clip side)."""
+    raw = _concave_pair_raw(spark)
+    return (
+        raw.where(F.col("_raw") > 1e-9)
+        .select(
+            "poly_id", "clip_id", "n_vertices",
+            F.expr("FLOOR(_raw * 1e6 + 0.5e0) / 1e6").alias("area"),
+        )
+    )
+
+
+def sym_difference_areas(spark: SparkSession) -> DataFrame:
+    """(poly_id, clip_id, area): |subject Δ star| = |A| + |B| - 2|A ∩ B| per
+    bbox-candidate pair (SymmetricDifference.java:281-323 area measure,
+    concave clip side)."""
+    raw = _concave_pair_raw(spark)
+    sa = subject_areas(spark)
+    c = _concave_df(spark)
+
+    def ckernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (r.clip_id,
+                 _shoelace_seq(np.asarray([[p[0], p[1]] for p in r.boundary])))
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(out, columns=["clip_id", "_ca"])
+
+    ca = c.mapInPandas(ckernel, "clip_id long, _ca double")
+    return (
+        raw.join(F.broadcast(sa), "poly_id")
+        .join(F.broadcast(ca), "clip_id")
+        .select(
+            "poly_id", "clip_id",
+            F.expr("FLOOR((_sa + _ca - 2e0 * _raw) * 1e6 + 0.5e0) / 1e6").alias("area"),
+        )
+        .orderBy("poly_id", "clip_id")
     )
 
 

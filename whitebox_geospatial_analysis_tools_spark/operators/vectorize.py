@@ -164,6 +164,45 @@ def raster_to_polygons(cells: DataFrame, cols: int) -> DataFrame:
     return trace_rings(clump(cells, cols))
 
 
+def dissolve_geometric(cells: DataFrame, cols: int) -> DataFrame:
+    """Geometric Dissolve / Fuse (Scripts/Dissolve.groovy:81-202 union via
+    buffer(0); VectorTools/src/plugins/Fuse.java): union of TOUCHING
+    same-key polygons, not just the attribute rollup.
+
+    cells: (row, col, grp) — the parcel layer decomposed to unit cells
+    (each parcel an axis-aligned polygon of cells; the decomposition is the
+    layer contract, the same way the engine rasterizes vector layers).
+    Union of touching parcels = 4-connected components per key (the 2-pass
+    tile clump) with boundary rings assembled by trace_rings.
+
+    Returns per key: (grp, n_polys, area, n_rings, perimeter) —
+      n_polys   dissolved (multi)polygon part count,
+      area      exact union area (cell count; overlaps collapse by clump),
+      n_rings   shell + hole rings over all parts (hole-preserving union,
+                cross-checked by the oracle's Euler-characteristic count
+                rings = 2 - (V - E + F) per component),
+      perimeter boundary length in cell-edge units.
+    """
+    lab = clump(cells.select("row", "col", F.col("grp").alias("cls")), cols)
+    rings = trace_rings(lab)
+    comp_rings = rings.groupBy("label").agg(F.count(F.lit(1)).alias("n_rings"))
+    segs = boundary_segments(lab).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_seg")
+    )
+    comp = lab.groupBy("cls", "label").agg(F.count(F.lit(1)).alias("n_cells"))
+    j = comp.join(comp_rings, "label").join(segs, "label")
+    return (
+        j.groupBy(F.col("cls").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_polys"),
+            F.sum("n_cells").alias("area"),
+            F.sum("n_rings").alias("n_rings"),
+            F.sum("n_seg").alias("perimeter"),
+        )
+        .orderBy("grp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Zhang-Suen line thinning (skeletonization)
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import queries as Q
+from .functions import exprs as _X
 from .operators import raster as R
 from .operators import vector as V
 from .operators.raster import cell_value_sql
@@ -74,6 +75,63 @@ def q_feature_metrics(spark, sf):
 )
 def q_dissolve_stats(spark, sf):
     return V.dissolve_stats(spark)
+
+
+# -- geometric dissolve / Fuse (§2.4/§2.7; Scripts/Dissolve.groovy:81-202,
+# VectorTools/src/plugins/Fuse.java): union of TOUCHING same-key parcels.
+# Parcel layer = 4x4-cell blocks keyed by an LCG of the block id; same-key
+# adjacent blocks dissolve into polyominoes (with hole rings).  Ring counts
+# are oracled via the Euler characteristic of each component's cell complex:
+# rings = shells + holes = 2 - (V - E + F).
+_DG_N, _DG_B, _DG_K = 48, 4, 5
+_DG_BC = _DG_N // _DG_B
+_DG_GRP = (
+    f"(((CAST(FLOOR(row / {_DG_B}e0) AS BIGINT) * {_DG_BC} "
+    f"+ CAST(FLOOR(col / {_DG_B}e0) AS BIGINT)) * {_X.A} + {_X.C}) % {_X.M}) % {_DG_K}"
+)
+
+
+@Q.register(
+    "dissolve_geom",
+    f"""WITH RECURSIVE cells AS (SELECT r.r AS row, c.c AS col
+  FROM range(0, {_DG_N}) r(r), range(0, {_DG_N}) c(c)),
+base AS MATERIALIZED (SELECT row, col, {_DG_GRP} AS grp, row * {_DG_N} + col AS id FROM cells),
+adj AS (SELECT a.id AS id, b.id AS nid FROM base a JOIN base b
+  ON a.grp = b.grp AND ABS(a.row - b.row) + ABS(a.col - b.col) <= 1),
+reach(id, rid) AS (SELECT id, id FROM base UNION
+  SELECT r.id, a.nid FROM reach r JOIN adj a ON a.id = r.rid),
+lab AS (SELECT id, MIN(rid) AS label FROM reach GROUP BY 1),
+bl AS MATERIALIZED (SELECT b.row, b.col, b.grp, l.label FROM base b JOIN lab l USING (id)),
+nbr4 AS (SELECT a.row, a.col, COUNT(*) AS nsame FROM bl a JOIN bl b
+  ON b.label = a.label AND ABS(a.row - b.row) + ABS(a.col - b.col) = 1 GROUP BY 1, 2),
+segc AS (SELECT bl.label, 4 - COALESCE(n.nsame, 0) AS nseg
+  FROM bl LEFT JOIN nbr4 n ON n.row = bl.row AND n.col = bl.col),
+co AS (SELECT DISTINCT label, col + o.dx AS x, row + o.dy AS y
+  FROM bl, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) o(dx, dy)),
+ed AS (SELECT DISTINCT label, x, y, o FROM (
+  SELECT label, col AS x, row AS y, 0 AS o FROM bl
+  UNION ALL SELECT label, col, row + 1, 0 FROM bl
+  UNION ALL SELECT label, col, row, 1 FROM bl
+  UNION ALL SELECT label, col + 1, row, 1 FROM bl) u),
+comp AS MATERIALIZED (SELECT label, MIN(grp) AS grp, COUNT(*) AS f FROM bl GROUP BY 1),
+vv AS (SELECT label, COUNT(*) AS v FROM co GROUP BY 1),
+ee AS (SELECT label, COUNT(*) AS e FROM ed GROUP BY 1),
+rg AS (SELECT c.label, 2 - (v.v - e.e + c.f) AS n_rings
+  FROM comp c JOIN vv v USING (label) JOIN ee e USING (label)),
+pe AS (SELECT label, CAST(SUM(nseg) AS BIGINT) AS nseg FROM segc GROUP BY 1)
+SELECT c.grp, COUNT(*) AS n_polys, CAST(SUM(c.f) AS BIGINT) AS area,
+       CAST(SUM(r.n_rings) AS BIGINT) AS n_rings, CAST(SUM(pe.nseg) AS BIGINT) AS perimeter
+FROM comp c JOIN rg r USING (label) JOIN pe USING (label)
+GROUP BY 1 ORDER BY 1""",
+)
+def q_dissolve_geom(spark, sf):
+    from .operators.vectorize import dissolve_geometric
+
+    g = spark.range(_DG_N).selectExpr("id AS row").crossJoin(
+        spark.range(_DG_N).selectExpr("id AS col")
+    )
+    cells = g.select("row", "col", F.expr(_DG_GRP).alias("grp"))
+    return dissolve_geometric(cells, _DG_N)
 
 
 @Q.register(
@@ -347,6 +405,111 @@ def q_difference_area(spark, sf):
     from .operators.overlay import difference_areas
 
     return difference_areas(spark)
+
+
+# ---------------------------------------------------------------------------
+# general (CONCAVE-clip) overlay: star clip layer decomposed into fan
+# triangles (sources/polygons.py) — the SAME staged SH oracle, 3 stages per
+# triangle, areas summed over the fan (disjoint convex parts are additive).
+# ---------------------------------------------------------------------------
+def _sh_tri_ctes() -> str:
+    from .sources.polygons import concave_tri_edges_sql_values
+
+    parts = [
+        f"sv AS (SELECT * FROM {vertices_sql_values()} t(poly_id, ring, vi, nv, x, y))",
+        f"te AS (SELECT * FROM {concave_tri_edges_sql_values()} t(clip_id, tri, k, ax, ay, bx, by))",
+        "t0 AS (SELECT v.poly_id, c.clip_id, c.tri, v.ring, v.vi AS seq, v.x, v.y "
+        "FROM sv v CROSS JOIN (SELECT DISTINCT clip_id, tri FROM te) c)",
+    ]
+    for k in range(3):
+        prev, cur = f"t{k}", f"t{k + 1}"
+        parts.append(
+            f"{cur}_e AS (SELECT s.poly_id, s.clip_id, s.tri, s.ring, s.seq, s.x, s.y, "
+            "COALESCE(LEAD(s.x) OVER w, FIRST_VALUE(s.x) OVER w) AS qx, "
+            "COALESCE(LEAD(s.y) OVER w, FIRST_VALUE(s.y) OVER w) AS qy, "
+            f"e.ax, e.ay, e.bx, e.by FROM {prev} s "
+            f"JOIN te e ON e.clip_id = s.clip_id AND e.tri = s.tri AND e.k = {k} "
+            "WINDOW w AS (PARTITION BY s.poly_id, s.clip_id, s.tri, s.ring ORDER BY s.seq "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"
+        )
+        parts.append(
+            f"{cur}_d AS (SELECT *, "
+            "(bx - ax) * (y - ay) - (by - ay) * (x - ax) AS dp, "
+            "(bx - ax) * (qy - ay) - (by - ay) * (qx - ax) AS dq "
+            f"FROM {cur}_e)"
+        )
+        parts.append(
+            f"{cur} AS (SELECT poly_id, clip_id, tri, ring, "
+            "ROW_NUMBER() OVER (PARTITION BY poly_id, clip_id, tri, ring ORDER BY ord) - 1 AS seq, "
+            "x, y FROM ("
+            "SELECT poly_id, clip_id, tri, ring, seq * 2 AS ord, "
+            "x + (dp / (dp - dq)) * (qx - x) AS x, "
+            "y + (dp / (dp - dq)) * (qy - y) AS y "
+            f"FROM {cur}_d WHERE (dq >= 0e0 AND dp < 0e0) OR (dq < 0e0 AND dp >= 0e0) "
+            "UNION ALL "
+            f"SELECT poly_id, clip_id, tri, ring, seq * 2 + 1, qx, qy FROM {cur}_d "
+            "WHERE dq >= 0e0))"
+        )
+    parts.append(
+        "t_fin AS (SELECT poly_id, clip_id, tri, ring, seq, x, y, "
+        "COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS qx, "
+        "COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS qy "
+        "FROM t3 WINDOW w AS (PARTITION BY poly_id, clip_id, tri, ring ORDER BY seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"
+    )
+    parts.append(
+        "tri_area AS (SELECT poly_id, clip_id, tri, ring, COUNT(*) AS nv, "
+        "SUM(x * qy - qx * y) / 2e0 AS a FROM t_fin GROUP BY 1, 2, 3, 4)"
+    )
+    parts.append(
+        "cpair AS (SELECT poly_id, clip_id, CAST(SUM(nv) AS BIGINT) AS n_vertices, "
+        "SUM(CASE WHEN ring = 0 THEN a ELSE -a END) AS raw_area "
+        "FROM tri_area GROUP BY 1, 2)"
+    )
+    return ", ".join(parts)
+
+
+@Q.register(
+    "concave_intersect_area",
+    f"WITH {_sh_tri_ctes()} "
+    "SELECT poly_id, clip_id, n_vertices, "
+    "FLOOR(raw_area * 1e6 + 0.5e0) / 1e6 AS area "
+    "FROM cpair WHERE raw_area > 1e-9 ORDER BY poly_id, clip_id",
+)
+def q_concave_intersect_area(spark, sf):
+    from .operators.overlay import concave_intersect_areas
+
+    return concave_intersect_areas(spark).orderBy("poly_id", "clip_id")
+
+
+def _sym_diff_sql() -> str:
+    from .sources.polygons import (
+        concave_bbox_sql_values, concave_boundary_edges_sql_values,
+    )
+
+    return (
+        f"WITH {_sh_tri_ctes()}, {_SUBJ_AREA_CTE}, "
+        f"cb AS (SELECT * FROM {concave_bbox_sql_values()} t(clip_id, cxmin, cymin, cxmax, cymax)), "
+        f"be AS (SELECT * FROM {concave_boundary_edges_sql_values()} t(clip_id, ax, ay, bx, by)), "
+        "star_a AS (SELECT clip_id, SUM(ax * by - bx * ay) / 2e0 AS ca FROM be GROUP BY 1), "
+        f"sb AS (SELECT poly_id, xmin, ymin, xmax, ymax FROM {bbox_sql_values()} "
+        "t(poly_id, category, xmin, ymin, xmax, ymax)), "
+        "cand AS (SELECT s.poly_id, c.clip_id FROM sb s JOIN cb c "
+        "ON s.xmin <= c.cxmax AND s.xmax >= c.cxmin AND s.ymin <= c.cymax AND s.ymax >= c.cymin) "
+        "SELECT d.poly_id, d.clip_id, "
+        "FLOOR((sa.sa + st.ca - 2e0 * COALESCE(p.raw_area, 0e0)) * 1e6 + 0.5e0) / 1e6 AS area "
+        "FROM cand d JOIN subj_area sa ON sa.poly_id = d.poly_id "
+        "JOIN star_a st ON st.clip_id = d.clip_id "
+        "LEFT JOIN cpair p ON p.poly_id = d.poly_id AND p.clip_id = d.clip_id "
+        "ORDER BY d.poly_id, d.clip_id"
+    )
+
+
+@Q.register("sym_difference_area", _sym_diff_sql())
+def q_sym_difference_area(spark, sf):
+    from .operators.overlay import sym_difference_areas
+
+    return sym_difference_areas(spark)
 
 
 @Q.register(

@@ -206,6 +206,118 @@ def clip_edges_sql_values() -> str:
     return f"(VALUES {', '.join(rows)})"
 
 
+# ---------------------------------------------------------------------------
+# concave clip layer: deterministic star decagons (general-overlay operand)
+# ---------------------------------------------------------------------------
+# Ten-vertex 5-point stars: CONCAVE simple polygons, star-shaped about their
+# center, so the FAN (center, v_k, v_{k+1}) is an exact convex decomposition
+# into 10 pairwise-disjoint CCW triangles.  General (concave) boolean overlay
+# then reduces to the proven Sutherland-Hodgman kernel per triangle with
+# additive areas — the data-parallel alternative to a stateful
+# Greiner-Hormann traversal, with identical area/containment measures for
+# simple polygons.  Stars are pairwise disjoint (outer radius < half the
+# 45-degree spacing), mirroring the convex clip layer's derivation contract.
+N_CONCAVE = 32
+_CONCAVE_SEED = 44
+
+
+@lru_cache(maxsize=1)
+def make_concave_clip_layer() -> PolygonLayer:
+    rng = np.random.default_rng(_CONCAVE_SEED)
+    poly_ids, cats, bboxes, rings_all = [], [], [], []
+    e_poly, e_x1, e_y1, e_x2, e_y2 = [], [], [], [], []
+    for p in range(N_CONCAVE):
+        gx, gy = p % 8, p // 8
+        cx = gx * 45.0 + 22.5 + (rng.random() - 0.5) * 8.0
+        cy = gy * 45.0 + 22.5 + (rng.random() - 0.5) * 8.0
+        theta = rng.random() * 2.0 * np.pi
+        r_out = 12.0 + rng.random() * 6.0
+        r_in = 4.0 + rng.random() * 3.0
+        ang = theta + np.arange(10) * (np.pi / 5.0)
+        rad = np.where(np.arange(10) % 2 == 0, r_out, r_in)
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        poly_ids.append(p)
+        cats.append(f"star{p % 3}")
+        bboxes.append([ring[:, 0].min(), ring[:, 1].min(),
+                       ring[:, 0].max(), ring[:, 1].max()])
+        # rings[0] = boundary; the fan center rides along as a 1-point
+        # second "ring" so triangulation is reproducible from the layer
+        rings_all.append([ring, np.array([[cx, cy]])])
+        x1, y1, x2, y2 = _ring_edges(ring)
+        e_poly.append(np.full(10, p, dtype=np.int64))
+        e_x1.append(x1)
+        e_y1.append(y1)
+        e_x2.append(x2)
+        e_y2.append(y2)
+    return PolygonLayer(
+        poly_id=np.asarray(poly_ids, dtype=np.int64),
+        category=np.asarray(cats, dtype=object),
+        bbox=np.asarray(bboxes, dtype=np.float64),
+        edge_poly=np.concatenate(e_poly),
+        x1=np.concatenate(e_x1),
+        y1=np.concatenate(e_y1),
+        x2=np.concatenate(e_x2),
+        y2=np.concatenate(e_y2),
+        rings=rings_all,
+    )
+
+
+def concave_triangles() -> list[tuple[int, int, np.ndarray]]:
+    """Fan decomposition: (clip_id, tri, (3,2) CCW triangle vertices)."""
+    layer = make_concave_clip_layer()
+    out = []
+    for i in range(layer.n):
+        ring = layer.rings[i][0]
+        c = layer.rings[i][1][0]
+        n = len(ring)
+        for t in range(n):
+            tri = np.array([c, ring[t], ring[(t + 1) % n]])
+            out.append((int(layer.poly_id[i]), t, tri))
+    return out
+
+
+def concave_tri_edges_sql_values() -> str:
+    """Fan-triangle directed edges as DuckDB VALUES:
+    (clip_id, tri, k, ax, ay, bx, by), k = 0..2 in CCW ring order."""
+    rows = []
+    for cid, t, tri in concave_triangles():
+        nxt = np.roll(tri, -1, axis=0)
+        for k in range(3):
+            rows.append(
+                f"({cid},{t},{k},"
+                f"CAST({tri[k, 0]!r} AS DOUBLE),CAST({tri[k, 1]!r} AS DOUBLE),"
+                f"CAST({nxt[k, 0]!r} AS DOUBLE),CAST({nxt[k, 1]!r} AS DOUBLE))"
+            )
+    return f"(VALUES {', '.join(rows)})"
+
+
+def concave_bbox_sql_values() -> str:
+    layer = make_concave_clip_layer()
+    rows = ", ".join(
+        f"({int(p)},CAST({b[0]!r} AS DOUBLE),CAST({b[1]!r} AS DOUBLE),"
+        f"CAST({b[2]!r} AS DOUBLE),CAST({b[3]!r} AS DOUBLE))"
+        for p, b in zip(layer.poly_id, layer.bbox)
+    )
+    return f"(VALUES {rows})"
+
+
+def concave_boundary_edges_sql_values() -> str:
+    """Star boundary directed edges (for exact star areas in the oracle):
+    (clip_id, ax, ay, bx, by)."""
+    layer = make_concave_clip_layer()
+    rows = []
+    for i in range(layer.n):
+        ring = layer.rings[i][0]
+        nxt = np.roll(ring, -1, axis=0)
+        for k in range(len(ring)):
+            rows.append(
+                f"({int(layer.poly_id[i])},"
+                f"CAST({ring[k, 0]!r} AS DOUBLE),CAST({ring[k, 1]!r} AS DOUBLE),"
+                f"CAST({nxt[k, 0]!r} AS DOUBLE),CAST({nxt[k, 1]!r} AS DOUBLE))"
+            )
+    return f"(VALUES {', '.join(rows)})"
+
+
 def polygons_df(spark):
     """Polygon layer as a Spark DataFrame (small; always broadcast-joined).
 
