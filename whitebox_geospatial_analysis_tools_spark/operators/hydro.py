@@ -618,6 +618,181 @@ def fill_depressions(cells: DataFrame, rows: int, cols: int, *,
 
 
 # ---------------------------------------------------------------------------
+# depression breaching (constrained-window, BreachDepressions.java)
+# ---------------------------------------------------------------------------
+BREACH_EPS = 2.0 ** -12  # dyadic decrement: carved channels strictly descend
+
+
+def breach_depressions(cells: DataFrame, *, max_length: int = 8,
+                       tile: int = TILE, eps: float = BREACH_EPS) -> DataFrame:
+    """(row, col, breached): constrained depression breaching —
+    HydroTools/src/plugins/BreachDepressions.java semantics (per-pit search
+    within a maximum breach length, carve the least-cost channel), the
+    recommended DEM conditioning path where filling would flatten flow paths.
+
+    For each pit p (cell with no lower 8-neighbor, not draining off-grid), a
+    bounded Dijkstra over the <= max_length-step window finds the target cell
+    with dem < elev(p) - steps*eps minimizing (total carve depth, steps, row,
+    col); the path cells are carved to elev(p) - k*eps (k = path position),
+    a strictly descending channel.  Overlapping carves merge with MIN.  Pits
+    with no target inside the window stay (compose with fill_depressions for
+    the standard hybrid conditioning).
+
+    Distributed shape: ONE tile kernel pass with a max_length-cell halo
+    (the search is local by construction, so tile output is identical to the
+    global sequential algorithm — tile-size invariance is tested), then a
+    (row, col) min-merge of carve assignments back onto the DEM.  All
+    arithmetic is dyadic-exact (dem multiples of 2^-10, eps = 2^-12), so
+    tie-breaks are deterministic across engines and tilings.
+    """
+    import heapq
+
+    spark = cells.sparkSession
+    m = int(max_length)
+    base = cells.select(
+        "row", "col", F.col("dem").cast("double").alias("dem"),
+        (F.col("row") / tile).cast("long").alias("_tr"),
+        (F.col("col") / tile).cast("long").alias("_tc"),
+    )
+    own = base.withColumn("is_ext", F.lit(False))
+    dirs = []
+    for dtr in (-1, 0, 1):
+        for dtc in (-1, 0, 1):
+            if (dtr, dtc) != (0, 0):
+                dirs.append((dtr, dtc))
+    offs_arr = F.array(*[
+        F.struct(F.lit(a).alias("dtr"), F.lit(b).alias("dtc")) for a, b in dirs
+    ])
+    rm = F.col("row") % tile
+    cm = F.col("col") % tile
+    near = (
+        (rm < m) | (rm >= tile - m) | (cm < m) | (cm >= tile - m)
+    )
+    halo = (
+        base.where(near)
+        .withColumn("_o", F.explode(offs_arr))
+        .where(
+            ((F.col("_o.dtr") == 0)
+             | ((F.col("_o.dtr") == -1) & (rm < m))
+             | ((F.col("_o.dtr") == 1) & (rm >= tile - m)))
+            & ((F.col("_o.dtc") == 0)
+               | ((F.col("_o.dtc") == -1) & (cm < m))
+               | ((F.col("_o.dtc") == 1) & (cm >= tile - m)))
+        )
+        .select(
+            "row", "col", "dem",
+            (F.col("_tr") + F.col("_o.dtr")).alias("_tr"),
+            (F.col("_tc") + F.col("_o.dtc")).alias("_tc"),
+            F.lit(True).alias("is_ext"),
+        )
+        .where((F.col("_tr") >= 0) & (F.col("_tc") >= 0))
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * tile - m, tc * tile - m
+        H = W = tile + 2 * m
+        dem = np.full((H, W), np.nan)
+        is_own = np.zeros((H, W), dtype=bool)
+        lr = pdf["row"].to_numpy(np.int64) - r0
+        lc = pdf["col"].to_numpy(np.int64) - c0
+        keep = (lr >= 0) & (lr < H) & (lc >= 0) & (lc < W)
+        lr, lc = lr[keep], lc[keep]
+        dem[lr, lc] = pdf["dem"].to_numpy(np.float64)[keep]
+        np.logical_or.at(is_own, (lr, lc), ~pdf["is_ext"].to_numpy()[keep])
+        valid = ~np.isnan(dem)
+        # pits among OWN cells: every 8-neighbor present and none lower
+        pad = np.full((H + 2, W + 2), np.nan)
+        pad[1:-1, 1:-1] = dem
+        all_nb = np.ones((H, W), dtype=bool)
+        any_lower = np.zeros((H, W), dtype=bool)
+        for dr, dc in [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]:
+            nb = pad[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+            all_nb &= ~np.isnan(nb)
+            with np.errstate(invalid="ignore"):
+                any_lower |= nb < dem
+        # cells at the raster boundary (not merely at the halo margin) drain
+        # off-grid: their missing neighbors are genuine, so all_nb False
+        pits = valid & is_own & all_nb & ~any_lower
+        carves: dict[tuple[int, int], float] = {}
+        offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+        for pr, pc in zip(*np.nonzero(pits)):
+            p = dem[pr, pc]
+            # bounded Dijkstra: state (cost, steps, r, c); carve depth at a
+            # visited cell k steps out = max(0, dem - (p - k*eps))
+            best: dict[tuple[int, int], tuple[float, int]] = {(pr, pc): (0.0, 0)}
+            pred: dict[tuple[int, int], tuple[int, int]] = {}
+            heap = [(0.0, 0, int(pr), int(pc))]
+            target = None  # (cost, steps, r, c)
+            while heap:
+                cost, steps, r, c = heapq.heappop(heap)
+                if best.get((r, c), (np.inf, 0)) < (cost, steps):
+                    continue
+                if target is not None and (cost, steps) >= target[:2]:
+                    break
+                if steps >= m:
+                    continue
+                for dr, dc in offs:
+                    nr, nc = r + dr, c + dc
+                    if not (0 <= nr < H and 0 <= nc < W) or np.isnan(dem[nr, nc]):
+                        continue
+                    need = p - (steps + 1) * eps
+                    if dem[nr, nc] < need:
+                        cand = (cost, steps + 1, nr, nc)
+                        if target is None or cand < target:
+                            target = cand
+                            # pred of the target hop is pinned separately:
+                            # (nr, nc) may later be relaxed as an ordinary
+                            # cell and overwrite pred[(nr, nc)]
+                            tpred = (r, c)
+                        continue
+                    ncost = cost + (dem[nr, nc] - need)
+                    prevb = best.get((nr, nc))
+                    if prevb is None or (ncost, steps + 1) < prevb:
+                        best[(nr, nc)] = (ncost, steps + 1)
+                        pred[(nr, nc)] = (r, c)
+                        heapq.heappush(heap, (ncost, steps + 1, nr, nc))
+            if target is None:
+                continue
+            # carve the path (exclusive of pit and target); settled cells'
+            # pred entries are final (standard Dijkstra), the target's own
+            # hop comes from tpred
+            _, tsteps, tr_, tc_ = target
+            path = [(tr_, tc_)]
+            cur = tpred
+            while cur != (int(pr), int(pc)):
+                path.append(cur)
+                cur = pred[cur]
+            path.reverse()  # pit-adjacent first; last element is the target
+            for k, (r, c) in enumerate(path[:-1], start=1):
+                v = p - k * eps
+                old = carves.get((r, c))
+                if old is None or v < old:
+                    carves[(r, c)] = v
+        rows = [(r0 + r, c0 + c, v) for (r, c), v in carves.items()]
+        return pd.DataFrame(rows, columns=["row", "col", "carved"]) if rows else \
+            pd.DataFrame({"row": pd.Series([], dtype="int64"),
+                          "col": pd.Series([], dtype="int64"),
+                          "carved": pd.Series([], dtype="float64")})
+
+    carve_df = (
+        own.unionByName(halo)
+        .groupBy("_tr", "_tc")
+        .applyInPandas(kernel, "row long, col long, carved double")
+        .groupBy("row", "col")
+        .agg(F.min("carved").alias("carved"))
+    )
+    return (
+        cells.select("row", "col", F.col("dem").cast("double").alias("dem"))
+        .join(carve_df, ["row", "col"], "left")
+        .select(
+            "row", "col",
+            F.least(F.col("dem"), F.coalesce("carved", F.col("dem"))).alias("breached"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # stream network measures (StreamNetworkAnalysisTools)
 # ---------------------------------------------------------------------------
 def _links_meta(all_links, dag_pairs):

@@ -1066,6 +1066,23 @@ def q_fill_depressions(spark, sf):
     return fill_depressions(cells, _DROWS, _DCOLS, tile=16).orderBy("row", "col")
 
 
+# BreachDepressions (§2.12; HydroTools/src/plugins/BreachDepressions.java):
+# constrained-window breach conditioning.  The per-pit least-cost carve is
+# not SQL-expressible (bounded Dijkstra + path reconstruction), so like
+# kriging this entry has no DuckDB oracle; the sequential numpy oracle +
+# tile-invariance + drains properties live in tests/test_breach.py.
+@Q.register("breach_depressions")
+def q_breach_depressions(spark, sf):
+    from .operators.hydro import breach_depressions
+
+    cells = (
+        R.explode_cells(R.synth_raster(spark, _DROWS, _DCOLS))
+        .where(F.col("value") != _ND)
+        .withColumnRenamed("value", "dem")
+    )
+    return breach_depressions(cells, tile=16).orderBy("row", "col")
+
+
 # -- stream network measures (§2.12; StreamOrder/Magnitude/LinkLength/
 # FindMainStem) — link DAG orders via K unrolled Jacobi stages (monotone,
 # converge at DAG depth), main stem via K unrolled upstream-walk stages.
