@@ -39,8 +39,8 @@ CROSSJOIN_ALLOW = [
      "1-row aggregate scalars / <=buckets-row boundary tables"),
     (r"operators/vector\.py", r"crossJoin\(F\.broadcast\(e\)\)",
      "fixed polygon-layer edge table (the small dim side by design)"),
-    (r"queries_raster\.py", r"crossJoin\(F\.broadcast\((mm|total|t|m)\)\)",
-     "1-row min/max/total aggregates (stretch/equalize/CDF scalars)"),
+    (r"queries_raster\.py", r"crossJoin\(F\.broadcast\((mm|total|t|m|vz)\)\)",
+     "1-row min/max/total aggregates (stretch/equalize/CDF/viewpoint scalars)"),
     (r"queries_raster\.py", r"crossJoin\(F\.broadcast\(lv\)\)",
      "fixed 3-row contour level list"),
     (r"operators/distance\.py", r"crossJoin\(F\.broadcast\(bounds\)\)",

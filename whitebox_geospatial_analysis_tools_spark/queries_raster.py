@@ -1873,6 +1873,110 @@ def q_horizon_angle(spark, sf):
     )
 
 
+# -- full viewshed (§2.11; TerrainAnalysisTools/src/plugins/Viewshed.java) ----
+# Exact R3 line-of-sight on the valley DEM from a fixed viewpoint: a target
+# is visible iff no intermediate ray sample (bilinear terrain at k/K of the
+# way, K = chebyshev distance) subtends a larger elevation angle — compared
+# cross-multiplied so both engines evaluate the identical IEEE expression.
+# All Catalyst (explode + four corner equi-joins); the brute per-target plan
+# IS the oracle algorithm at test scale; the documented 100x scale path is
+# the reference's wavefront sweep with per-ray running maxima.
+_VS_R, _VS_C, _VS_H = 40, 30, 2.0
+_VS_PR = f"{_VS_R}e0 + CAST(k * (row - {_VS_R}) AS DOUBLE) / kk"
+_VS_PC = f"{_VS_C}e0 + CAST(k * (col - {_VS_C}) AS DOUBLE) / kk"
+_VS_ZS = (
+    "(1e0 - fr) * (1e0 - fc) * z00v + (1e0 - fr) * fc * z01v "
+    "+ fr * (1e0 - fc) * z10v + fr * fc * z11v"
+)
+_VS_BLK = "(zs - zv) * kk > (zt - zv) * k"
+
+
+@Q.register(
+    "viewshed",
+    f"""WITH vras AS (SELECT r.r AS row, c.c AS col, {VALLEY_VAL.format(row='r.r', col='c.c')} AS value
+  FROM range(0, {_VROWS}) r(r), range(0, {_VCOLS}) c(c)),
+vz AS (SELECT value + {_VS_H!r}e0 AS zv FROM vras WHERE row = {_VS_R} AND col = {_VS_C}),
+tgt AS (SELECT row, col, value AS zt,
+        GREATEST(ABS(row - {_VS_R}), ABS(col - {_VS_C})) AS kk
+  FROM vras WHERE NOT (row = {_VS_R} AND col = {_VS_C})),
+smp AS (SELECT row, col, zt, kk, s.k, {_VS_PR} AS pr, {_VS_PC} AS pc
+  FROM tgt JOIN range(1, {max(_VROWS, _VCOLS)}) s(k) ON s.k < kk),
+bil AS (SELECT row, col, zt, kk, k,
+        CAST(FLOOR(pr) AS BIGINT) AS r0, pr - CAST(FLOOR(pr) AS BIGINT) AS fr,
+        CAST(FLOOR(pc) AS BIGINT) AS c0, pc - CAST(FLOOR(pc) AS BIGINT) AS fc
+  FROM smp),
+zsam AS (SELECT b.row, b.col, b.zt, b.kk, b.k,
+        COALESCE(z00.value, 0e0) AS z00v, COALESCE(z01.value, 0e0) AS z01v,
+        COALESCE(z10.value, 0e0) AS z10v, COALESCE(z11.value, 0e0) AS z11v,
+        b.fr, b.fc
+  FROM bil b
+  LEFT JOIN vras z00 ON z00.row = b.r0 AND z00.col = b.c0
+  LEFT JOIN vras z01 ON z01.row = b.r0 AND z01.col = b.c0 + 1
+  LEFT JOIN vras z10 ON z10.row = b.r0 + 1 AND z10.col = b.c0
+  LEFT JOIN vras z11 ON z11.row = b.r0 + 1 AND z11.col = b.c0 + 1),
+zval AS (SELECT row, col, zt, kk, k, {_VS_ZS} AS zs, (SELECT zv FROM vz) AS zv FROM zsam),
+blk AS (SELECT row, col, BOOL_OR({_VS_BLK}) AS b FROM zval GROUP BY 1, 2)
+SELECT t.row, t.col, COALESCE(b.b, FALSE) = FALSE AS visible
+FROM tgt t LEFT JOIN blk b USING (row, col) ORDER BY 1, 2""",
+)
+def q_viewshed(spark, sf):
+    dem = R.explode_cells(R.synth_raster(spark, _VROWS, _VCOLS, value_sql=VALLEY_VAL))
+    at_vp = (F.col("row") == _VS_R) & (F.col("col") == _VS_C)
+    vz = dem.where(at_vp).select((F.col("value") + F.lit(_VS_H)).alias("zv"))
+    tgt = dem.where(~at_vp).select(
+        "row", "col", F.col("value").alias("zt"),
+        F.greatest(
+            F.abs(F.col("row") - _VS_R), F.abs(F.col("col") - _VS_C)
+        ).alias("kk"),
+    )
+    smp = (
+        tgt.withColumn(
+            "k",
+            F.explode(
+                F.when(F.col("kk") > 1, F.sequence(F.lit(1), F.col("kk") - 1))
+                .otherwise(F.array())
+            ),
+        )
+        .withColumn("pr", F.expr(_VS_PR))
+        .withColumn("pc", F.expr(_VS_PC))
+        .select(
+            "row", "col", "zt", "kk", "k",
+            F.expr("CAST(FLOOR(pr) AS BIGINT)").alias("r0"),
+            F.expr("pr - CAST(FLOOR(pr) AS BIGINT)").alias("fr"),
+            F.expr("CAST(FLOOR(pc) AS BIGINT)").alias("c0"),
+            F.expr("pc - CAST(FLOOR(pc) AS BIGINT)").alias("fc"),
+        )
+    )
+
+    def corner(name, dr, dc):
+        z = dem.select(
+            (F.col("row") - dr).alias("_jr"), (F.col("col") - dc).alias("_jc"),
+            F.col("value").alias(f"{name}_raw"),
+        )
+        return z
+
+    j = smp
+    for name, dr, dc in (("z00", 0, 0), ("z01", 0, 1), ("z10", 1, 0), ("z11", 1, 1)):
+        j = j.join(
+            corner(name, dr, dc),
+            (F.col("r0") == F.col("_jr")) & (F.col("c0") == F.col("_jc")),
+            "left",
+        ).withColumn(f"{name}v", F.coalesce(f"{name}_raw", F.lit(0.0))) \
+         .drop("_jr", "_jc", f"{name}_raw")
+    zval = (
+        j.withColumn("zs", F.expr(_VS_ZS))
+        .crossJoin(F.broadcast(vz))
+    )
+    blk = zval.groupBy("row", "col").agg(
+        F.expr(f"BOOL_OR({_VS_BLK})").alias("b")
+    )
+    return (
+        tgt.join(blk, ["row", "col"], "left")
+        .select("row", "col", F.expr("COALESCE(b, FALSE) = FALSE").alias("visible"))
+        .orderBy("row", "col")
+    )
+
+
 # -- edge-preserving sigma filter (§2.5; FilterLeeSigma family) ---------------
 @Q.register(
     "focal_sigma",
