@@ -25,8 +25,56 @@ partitioning, any scale.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def solve_ok_kriging(sx, sy, sv, cd, *, vrange: float, sill: float) -> float:
+    """Ordinary-kriging estimate in covariance form by pivot-free Gaussian
+    elimination — a FIXED deterministic IEEE op sequence, mirrored verbatim
+    by the generated DuckDB oracle SQL (queries_spatial._kriging_oracle_sql).
+    Any change here must change the SQL generator identically."""
+    n = len(sx)
+    m = n + 1
+
+    def gam(h: float) -> float:
+        hn = h / vrange
+        if hn > 1.0:
+            hn = 1.0
+        return sill * (1.5 * hn - 0.5 * hn * hn * hn)
+
+    a = [[0.0] * m for _ in range(m)]
+    b = [0.0] * m
+    for i in range(n):
+        for j in range(n):
+            dx = sx[i] - sx[j]
+            dy = sy[i] - sy[j]
+            a[i][j] = sill - gam(math.sqrt(dx * dx + dy * dy))
+        a[i][n] = 1.0
+        b[i] = sill - gam(cd[i])
+    for j in range(n):
+        a[n][j] = 1.0
+    a[n][n] = 0.0
+    b[n] = 1.0
+    for ks in range(m - 1):
+        for i in range(ks + 1, m):
+            f = a[i][ks] / a[ks][ks]
+            for j in range(ks, m):
+                a[i][j] = a[i][j] - f * a[ks][j]
+            b[i] = b[i] - f * b[ks]
+    x = [0.0] * m
+    x[m - 1] = b[m - 1] / a[m - 1][m - 1]
+    for i in range(m - 2, -1, -1):
+        s = b[i]
+        for j in range(i + 1, m):
+            s = s - a[i][j] * x[j]
+        x[i] = s / a[i][i]
+    est = 0.0
+    for i in range(n):
+        est = est + x[i] * sv[i]
+    return est
 
 from ..functions import exprs
 from ..functions.cells import explode_k_ring, with_hex
@@ -171,12 +219,18 @@ def kriging_at_cell_centers(df: DataFrame, *, k: int = 6, vrange: float = 12.0,
     spherical variogram, fixed parameters, k nearest neighbors).
 
     Candidates come from the same 3x3 k-ring equi-join as IDW; the per-center
-    k x k Lagrange system solves in an Arrow-batched kernel (numpy linalg) —
-    dimension-bounded work per center, never per input point.  The matrix
-    solve is not SQL-expressible, so this operator's registered query has no
-    DuckDB oracle (driver records the weaker rows-only check); unbiasedness
-    (weights sum to 1) and exact interpolation at sample sites are asserted
-    in tests/test_kriging.py instead.
+    Lagrange system solves in an Arrow-batched kernel — dimension-bounded
+    work per center, never per input point.
+
+    Cross-engine exactness: the system is solved in COVARIANCE form
+    (C = sill - gamma, positive diagonal), where forward Gaussian
+    elimination WITHOUT pivoting is valid (C is positive-definite for
+    distinct points, and the final Schur pivot -1'C^-1 1 is nonzero), so
+    the elimination runs as a fixed deterministic op sequence that the
+    DuckDB oracle replays verbatim as generated SQL (one unrolled variant
+    per candidate count n = 2..k) — the full value-hash oracle the driver
+    checks.  Unbiasedness and exact interpolation stay property-tested in
+    tests/test_kriging.py.
     """
     import numpy as np
     import pandas as pd
@@ -195,10 +249,6 @@ def kriging_at_cell_centers(df: DataFrame, *, k: int = 6, vrange: float = 12.0,
         pts, F.col("nbr_tile_id") == F.col("p_tile"), "inner"
     ).select("tile_id", "cx", "cy", "p_id", "p_lon", "p_lat", "p_val")
 
-    def gamma(h: "np.ndarray") -> "np.ndarray":
-        hn = np.minimum(h / vrange, 1.0)
-        return sill * (1.5 * hn - 0.5 * hn ** 3)
-
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tid = int(key[0])
         cx, cy = float(pdf["cx"].iloc[0]), float(pdf["cy"].iloc[0])
@@ -206,7 +256,7 @@ def kriging_at_cell_centers(df: DataFrame, *, k: int = 6, vrange: float = 12.0,
         py = pdf["p_lat"].to_numpy()
         pv = pdf["p_val"].to_numpy()
         pid = pdf["p_id"].to_numpy()
-        d = np.sqrt((px - cx) ** 2 + (py - cy) ** 2)
+        d = np.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
         order = np.lexsort((pid, d))[:k]
         if len(order) < 2:
             return pd.DataFrame({
@@ -214,21 +264,16 @@ def kriging_at_cell_centers(df: DataFrame, *, k: int = 6, vrange: float = 12.0,
                 "krig": pd.Series([], dtype="float64"),
                 "n_used": pd.Series([], dtype="int64"),
             })
-        sx, sy, sv = px[order], py[order], pv[order]
+        sx = [float(v) for v in px[order]]
+        sy = [float(v) for v in py[order]]
+        sv = [float(v) for v in pv[order]]
+        cd = [float(v) for v in d[order]]
+        est = solve_ok_kriging(sx, sy, sv, cd, vrange=vrange, sill=sill)
         n = len(order)
-        hh = np.sqrt((sx[:, None] - sx[None, :]) ** 2 + (sy[:, None] - sy[None, :]) ** 2)
-        A = np.ones((n + 1, n + 1))
-        A[:n, :n] = gamma(hh)
-        A[n, n] = 0.0
-        b = np.ones(n + 1)
-        b[:n] = gamma(d[order])
-        try:
-            lam = np.linalg.solve(A, b)
-        except np.linalg.LinAlgError:
-            lam, *_ = np.linalg.lstsq(A, b, rcond=None)
-        est = float(np.dot(lam[:n], sv))
         return pd.DataFrame({
-            "tile_id": [tid], "krig": [round(est, 6)], "n_used": [n],
+            "tile_id": [tid],
+            "krig": [math.floor(est * 1e6 + 0.5) / 1e6],
+            "n_used": [n],
         })
 
     return (

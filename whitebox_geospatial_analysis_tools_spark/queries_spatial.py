@@ -439,10 +439,105 @@ def q_voronoi_assign(spark, sf):
     ).orderBy("doc_id")
 
 
-# -- ordinary kriging (§2.9; Kriging.java): spherical variogram, k-nearest —
-# the Lagrange solve is not SQL-expressible, so no DuckDB oracle (driver
-# records a rows-only check); unbiasedness + exact-interpolation properties
-# are asserted in tests/test_kriging.py.
-@Q.register("kriging")
+# -- ordinary kriging (§2.9; Kriging.java): spherical variogram, k-nearest.
+# The covariance-form Lagrange system is solved by PIVOT-FREE Gaussian
+# elimination (valid: C positive-definite, Schur pivot nonzero), a fixed
+# deterministic IEEE op sequence — so the DuckDB oracle replays the exact
+# solve as generated SQL, one unrolled elimination per candidate count
+# n = 2..6 (closing the last no-oracle query, VERDICT r2 #10).  The SQL
+# generator below and operators/zonal.solve_ok_kriging must stay in lockstep.
+_KG_K, _KG_RANGE, _KG_SILL = 6, "12e0", "1e0"
+
+
+def _kg_gam(h: str) -> str:
+    hn = f"LEAST({h} / {_KG_RANGE}, 1e0)"
+    return f"({_KG_SILL} * (1.5e0 * {hn} - 0.5e0 * {hn} * {hn} * {hn}))"
+
+
+def _kg_variant(n: int) -> tuple[str, str]:
+    """CTE chain solving the (n+1)x(n+1) system for tiles with n candidates;
+    returns (ctes, final_cte_name)."""
+    m = n + 1
+    p = f"kg{n}"
+    # initial matrix/rhs columns from the pivoted sample columns
+    cols = [f"{_KG_SILL} - {_kg_gam(f'SQRT((s{i + 1}x - s{j + 1}x) * (s{i + 1}x - s{j + 1}x) + (s{i + 1}y - s{j + 1}y) * (s{i + 1}y - s{j + 1}y))')} AS a{i}_{j}"
+            for i in range(n) for j in range(n)]
+    cols += [f"1e0 AS a{i}_{n}" for i in range(n)]
+    cols += [f"1e0 AS a{n}_{j}" for j in range(n)]
+    cols += [f"0e0 AS a{n}_{n}"]
+    cols += [f"{_KG_SILL} - {_kg_gam(f'd{i + 1}')} AS b{i}" for i in range(n)]
+    cols += [f"1e0 AS b{n}"]
+    vals = ", ".join(f"s{i + 1}v" for i in range(n))
+    ctes = [
+        f"{p}_s0 AS (SELECT tile_id, n, {vals}, {', '.join(cols)} "
+        f"FROM piv WHERE n = {n})"
+    ]
+    # forward elimination without pivoting (rows <= ks final after stage ks)
+    for ks in range(m - 1):
+        upd, keep = [], []
+        for i in range(m):
+            for j in range(m):
+                if i > ks and j >= ks:
+                    f = f"(a{i}_{ks} / a{ks}_{ks})"
+                    upd.append(f"a{i}_{j} - {f} * a{ks}_{j} AS a{i}_{j}")
+                else:
+                    keep.append(f"a{i}_{j}")
+            if i > ks:
+                f = f"(a{i}_{ks} / a{ks}_{ks})"
+                upd.append(f"b{i} - {f} * b{ks} AS b{i}")
+            else:
+                keep.append(f"b{i}")
+        ctes.append(
+            f"{p}_s{ks + 1} AS (SELECT tile_id, n, {vals}, "
+            f"{', '.join(keep + upd)} FROM {p}_s{ks})"
+        )
+    # back substitution
+    prev = f"{p}_s{m - 1}"
+    ctes.append(
+        f"{p}_x{m - 1} AS (SELECT *, b{m - 1} / a{m - 1}_{m - 1} AS x{m - 1} FROM {prev})"
+    )
+    for i in range(m - 2, -1, -1):
+        terms = "".join(f" - a{i}_{j} * x{j}" for j in range(i + 1, m))
+        ctes.append(
+            f"{p}_x{i} AS (SELECT *, (b{i}{terms}) / a{i}_{i} AS x{i} FROM {p}_x{i + 1})"
+        )
+    est = " + ".join(f"x{i} * s{i + 1}v" for i in range(n))
+    ctes.append(
+        f"{p}_out AS (SELECT tile_id, FLOOR(({est}) * 1e6 + 0.5e0) / 1e6 AS krig, "
+        f"n AS n_used FROM {p}_x0)"
+    )
+    return ", ".join(ctes), f"{p}_out"
+
+
+def _kriging_oracle_sql() -> str:
+    piv_cols = []
+    for i in range(1, _KG_K + 1):
+        for c, src in (("x", "lon"), ("y", "lat"), ("v", "val")):
+            piv_cols.append(f"MAX(CASE WHEN rnk = {i} THEN {src} END) AS s{i}{c}")
+        piv_cols.append(f"MAX(CASE WHEN rnk = {i} THEN d END) AS d{i}")
+    variants = [_kg_variant(n) for n in range(2, _KG_K + 1)]
+    ctes = ", ".join(v[0] for v in variants)
+    union = " UNION ALL ".join(f"SELECT * FROM {v[1]}" for v in variants)
+    return f"""{_PTS}, centers AS (
+  SELECT DISTINCT tile_x, tile_y, tile_id,
+         (tile_x + 0.5e0) * {exprs.D(exprs.TILE_SIZE)} AS cx,
+         (tile_y + 0.5e0) * {exprs.D(exprs.TILE_SIZE)} AS cy
+  FROM pts
+), offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)),
+cand AS (
+  SELECT c.tile_id, p.doc_id AS p_id, p.lon, p.lat, p.val,
+    SQRT((p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy)) AS d
+  FROM centers c JOIN offs o ON c.tile_x + o.dx >= 0 AND c.tile_x + o.dx < {exprs.TILE_COLS}
+   AND c.tile_y + o.dy >= 0 AND c.tile_y + o.dy < {exprs.TILE_ROWS}
+  JOIN pts p ON p.tile_id = (c.tile_y + o.dy) * {exprs.TILE_COLS} + (c.tile_x + o.dx)
+),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_id ORDER BY d, p_id) AS rnk FROM cand),
+top AS (SELECT * FROM rk WHERE rnk <= {_KG_K}),
+piv AS (SELECT tile_id, COUNT(*) AS n, {', '.join(piv_cols)} FROM top GROUP BY 1),
+{ctes}
+SELECT tile_id, krig, n_used FROM ({union}) WHERE n_used >= 2 ORDER BY tile_id"""
+
+
+@Q.register("kriging", _kriging_oracle_sql())
 def q_kriging(spark, sf):
     return zonal.kriging_at_cell_centers(Q._points(spark, sf))
