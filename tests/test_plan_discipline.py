@@ -47,6 +47,8 @@ CROSSJOIN_ALLOW = [
      "1-row target bounding-box aggregate (uncovered-block radius fallback)"),
     (r"queries_vector\.py", r"spark\.range\(_DG_N\)\.selectExpr.*crossJoin\(",
      "bounded range x range grid generator (dissolve parcel layer)"),
+    (r"operators/vectorize\.py", r"\.crossJoin\(comp\.agg\(",
+     "two 1-row aggregates (contour per-level stats)"),
 ]
 
 # partitionless Window.orderBy sites allowed: input is a BOUNDED table

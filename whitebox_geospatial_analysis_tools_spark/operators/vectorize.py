@@ -204,6 +204,251 @@ def dissolve_geometric(cells: DataFrame, cols: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# raster -> vector lines (RasterToVectorLines.java:217-520)
+# ---------------------------------------------------------------------------
+def _line_edges(cells: DataFrame) -> DataFrame:
+    """Undirected adjacency of a 1-wide line raster, directed both ways:
+    4-adjacency always; diagonal adjacency only when NOT short-circuited by
+    a shared 4-neighbor line cell (the standard skeleton-chaining rule —
+    prevents double edges around corners)."""
+    t = cells.select("row", "col")
+    edges = None
+    for dr, dc in [(0, 1), (1, 0), (1, 1), (1, -1)]:
+        nbr = t.select(
+            (F.col("row") - dr).alias("row"), (F.col("col") - dc).alias("col"),
+            F.lit(True).alias("_hit"),
+        )
+        e = t.join(nbr, ["row", "col"], "left_semi").select(
+            "row", "col",
+            (F.col("row") + dr).alias("nr"), (F.col("col") + dc).alias("nc"),
+        )
+        if (dr, dc) in ((1, 1), (1, -1)):
+            # drop the diagonal if either elbow cell is a line cell
+            for er, ec in ((dr, 0), (0, dc)):
+                elbow = t.select(
+                    (F.col("row") - er).alias("row"),
+                    (F.col("col") - ec).alias("col"),
+                )
+                e = e.join(elbow, ["row", "col"], "left_anti")
+        edges = e if edges is None else edges.unionByName(e)
+    back = edges.select(
+        F.col("nr").alias("row"), F.col("nc").alias("col"),
+        F.col("row").alias("nr"), F.col("col").alias("nc"),
+    )
+    return edges.unionByName(back)
+
+
+def raster_to_lines(cells: DataFrame, *, idmul: int = 1_000_000) -> DataFrame:
+    """(line_id, n_cells, length, end1, end2): polyline features from a
+    1-cell-wide line raster (RasterToVectorLines.java semantics).
+
+    Junction cells (degree >= 3) cut the chain — every incident edge is
+    removed and the junction becomes its own 1-cell feature — so each
+    remaining component is a simple path (or a closed loop).  length sums
+    the step distances (1 / sqrt(2)); end1/end2 are the min/max flat ids of
+    the component's degree-1 cells (-1 for loops / single cells).  The
+    labeling is the 2-pass tile union-find (components_from_edges)."""
+    from .clump import components_from_edges
+
+    edges = _line_edges(cells)
+    deg = edges.groupBy("row", "col").agg(F.count(F.lit(1)).alias("_d"))
+    junc = deg.where(F.col("_d") >= 3).select("row", "col")
+    kept = (
+        edges.join(junc, ["row", "col"], "left_anti")
+        .join(
+            junc.select(F.col("row").alias("nr"), F.col("col").alias("nc")),
+            ["nr", "nc"], "left_anti",
+        )
+    )
+    # one direction suffices for the union-find edge list
+    kept1 = kept.where(
+        (F.col("row") < F.col("nr"))
+        | ((F.col("row") == F.col("nr")) & (F.col("col") < F.col("nc")))
+    )
+    lab = components_from_edges(cells.select("row", "col"), kept1, idmul=idmul)
+    n_cells = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_cells"))
+    dist = F.when(
+        (F.col("row") != F.col("nr")) & (F.col("col") != F.col("nc")),
+        F.lit(1.4142135623730951),
+    ).otherwise(F.lit(1.0))
+    length = (
+        kept1.join(lab, ["row", "col"], "inner")
+        .groupBy("label")
+        .agg(F.round(F.sum(dist), 6).cast("double").alias("length"))
+    )
+    kdeg = kept.groupBy("row", "col").agg(F.count(F.lit(1)).alias("_kd"))
+    ends = (
+        lab.join(kdeg, ["row", "col"], "left")
+        .where(F.coalesce("_kd", F.lit(0)) <= 1)
+        .groupBy("label")
+        .agg(
+            F.min(F.col("row") * idmul + F.col("col")).alias("end1"),
+            F.max(F.col("row") * idmul + F.col("col")).alias("end2"),
+        )
+    )
+    return (
+        lab.groupBy("label").agg(F.count(F.lit(1)).alias("_n")).select("label")
+        .join(n_cells, "label")
+        .join(length, "label", "left")
+        .join(ends, "label", "left")
+        .select(
+            F.col("label").alias("line_id"), "n_cells",
+            F.coalesce("length", F.lit(0.0)).alias("length"),
+            F.coalesce("end1", F.lit(-1)).alias("end1"),
+            F.coalesce("end2", F.lit(-1)).alias("end2"),
+        )
+        .orderBy("line_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contour polyline assembly (Contour.java:217-1410, isoline stitching)
+# ---------------------------------------------------------------------------
+# Marching-squares over 2x2 cell blocks: corner bit b = 1*(v00<L) + 2*(v01<L)
+# + 4*(v10<L) + 8*(v11<L); each case emits 0-2 segments joining the block's
+# crossed edges.  Edge vertices live on the DOUBLED grid (H edge of (r,c) ->
+# (2r, 2c+1), V edge -> (2r+1, 2c)) so isolines stitch with the standard
+# grid-components machinery.  Saddles (cases 6/9) resolve by the fixed map
+# below — identical in the engine and the SQL oracle.
+_MS_SEGMENTS = {
+    1: [("T", "L")], 2: [("T", "R")], 3: [("L", "R")], 4: [("L", "B")],
+    5: [("T", "B")], 6: [("T", "R"), ("L", "B")], 7: [("R", "B")],
+    8: [("R", "B")], 9: [("T", "L"), ("R", "B")], 10: [("T", "B")],
+    11: [("L", "B")], 12: [("L", "R")], 13: [("T", "R")], 14: [("T", "L")],
+}
+_MS_EDGE_D = {"T": (0, 1), "B": (2, 1), "L": (1, 0), "R": (1, 2)}
+
+
+def ms_segmap_values() -> str:
+    """Shared VALUES text (b, dy1, dx1, dy2, dx2): doubled-grid endpoint
+    offsets of every marching-squares segment, per case."""
+    rows = []
+    for b in sorted(_MS_SEGMENTS):
+        for e1, e2 in _MS_SEGMENTS[b]:
+            (dy1, dx1), (dy2, dx2) = _MS_EDGE_D[e1], _MS_EDGE_D[e2]
+            rows.append(f"({b},{dy1},{dx1},{dy2},{dx2})")
+    return "(VALUES " + ", ".join(rows) + ")"
+
+
+def contour_line_stats(cells: DataFrame, levels) -> DataFrame:
+    """(level, n_segments, n_lines, n_closed, total_length): assembled
+    isolines per contour level — segment count, stitched polyline count,
+    closed-loop count, and the summed Euclidean segment length (round 4)."""
+    from .clump import components_from_edges
+
+    spark = cells.sparkSession
+    segmap = spark.createDataFrame(
+        [
+            (b, *_MS_EDGE_D[e1], *_MS_EDGE_D[e2])
+            for b in sorted(_MS_SEGMENTS)
+            for e1, e2 in _MS_SEGMENTS[b]
+        ],
+        "b int, dy1 int, dx1 int, dy2 int, dx2 int",
+    )
+    v = cells.select("row", "col", "value")
+    shifted = [
+        v.select("row", "col", F.col("value").alias("v00")),
+        v.select("row", (F.col("col") - 1).alias("col"), F.col("value").alias("v01")),
+        v.select((F.col("row") - 1).alias("row"), "col", F.col("value").alias("v10")),
+        v.select((F.col("row") - 1).alias("row"), (F.col("col") - 1).alias("col"),
+                 F.col("value").alias("v11")),
+    ]
+    blk = shifted[0]
+    for s in shifted[1:]:
+        blk = blk.join(s, ["row", "col"], "inner")
+
+    out = None
+    for lev in levels:
+        L = F.lit(float(lev))
+        b = (
+            (F.col("v00") < L).cast("int") + (F.col("v01") < L).cast("int") * 2
+            + (F.col("v10") < L).cast("int") * 4 + (F.col("v11") < L).cast("int") * 8
+        )
+        segs = (
+            blk.select("row", "col", b.alias("b"))
+            .join(F.broadcast(segmap), "b")
+            .select(
+                (2 * F.col("row") + F.col("dy1")).alias("y1"),
+                (2 * F.col("col") + F.col("dx1")).alias("x1"),
+                (2 * F.col("row") + F.col("dy2")).alias("y2"),
+                (2 * F.col("col") + F.col("dx2")).alias("x2"),
+            )
+        )
+        # crossing-point coordinates on the doubled grid
+        right = v.select("row", (F.col("col") - 1).alias("col"), F.col("value").alias("bv"))
+        down = v.select((F.col("row") - 1).alias("row"), "col", F.col("value").alias("bv"))
+        t_of = (L - F.col("value")) / (F.col("bv") - F.col("value"))
+        hpts = (
+            v.join(right, ["row", "col"], "inner")
+            .where((F.col("value") < L) != (F.col("bv") < L))
+            .select(
+                (2 * F.col("row")).alias("py"), (2 * F.col("col") + 1).alias("px"),
+                (F.col("col") + t_of).alias("cx"), F.col("row").cast("double").alias("cy"),
+            )
+        )
+        vpts = (
+            v.join(down, ["row", "col"], "inner")
+            .where((F.col("value") < L) != (F.col("bv") < L))
+            .select(
+                (2 * F.col("row") + 1).alias("py"), (2 * F.col("col")).alias("px"),
+                F.col("col").cast("double").alias("cx"), (F.col("row") + t_of).alias("cy"),
+            )
+        )
+        pts = hpts.unionByName(vpts)
+        nodes = (
+            segs.select(F.col("y1").alias("row"), F.col("x1").alias("col"))
+            .unionByName(segs.select(F.col("y2").alias("row"), F.col("x2").alias("col")))
+            .distinct()
+        )
+        lab = components_from_edges(
+            nodes,
+            segs.select(
+                F.col("y1").alias("row"), F.col("x1").alias("col"),
+                F.col("y2").alias("nr"), F.col("x2").alias("nc"),
+            ),
+        )
+        deg = (
+            segs.select(F.col("y1").alias("row"), F.col("x1").alias("col"))
+            .unionByName(segs.select(F.col("y2").alias("row"), F.col("x2").alias("col")))
+            .groupBy("row", "col").agg(F.count(F.lit(1)).alias("d"))
+        )
+        comp = (
+            lab.join(deg, ["row", "col"], "inner")
+            .groupBy("label")
+            .agg(F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_deg1"))
+        )
+        p1 = pts.select(F.col("py").alias("y1"), F.col("px").alias("x1"),
+                        F.col("cx").alias("ax"), F.col("cy").alias("ay"))
+        p2 = pts.select(F.col("py").alias("y2"), F.col("px").alias("x2"),
+                        F.col("cx").alias("bx"), F.col("cy").alias("by"))
+        slen = (
+            segs.join(p1, ["y1", "x1"]).join(p2, ["y2", "x2"])
+            .select(F.expr(
+                "SQRT((ax - bx) * (ax - bx) + (ay - by) * (ay - by))"
+            ).alias("slen"))
+        )
+        row = (
+            slen.agg(
+                F.count(F.lit(1)).alias("n_segments"),
+                F.round(F.coalesce(F.sum("slen"), F.lit(0.0)), 4)
+                .cast("double").alias("total_length"),
+            )
+            .crossJoin(comp.agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.when(F.col("n_deg1") == 0, 1).otherwise(0))
+                .cast("long").alias("n_closed"),
+            ))
+            .select(
+                F.lit(float(lev)).alias("level"),
+                "n_segments", "n_lines", "n_closed", "total_length",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    # levels with no crossings drop out (mirrors the oracle's GROUP BY)
+    return out.where(F.col("n_segments") > 0).orderBy("level")
+
+
+# ---------------------------------------------------------------------------
 # Zhang-Suen line thinning (skeletonization)
 # ---------------------------------------------------------------------------
 # neighborhood bit order k=0..7: N, NE, E, SE, S, SW, W, NW (classic p2..p9)

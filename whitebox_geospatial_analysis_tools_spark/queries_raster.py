@@ -1742,6 +1742,71 @@ def q_contour_crossings(spark, sf):
     )
 
 
+# -- contour polyline assembly (§2.10; Contour.java isoline stitching) --------
+# marching-squares segments per 2x2 block (shared case->segment VALUES map),
+# stitched into polylines on the doubled grid; per level: segment count,
+# line count, closed-loop count, summed Euclidean length.
+def _contour_lines_sql() -> str:
+    from .operators.vectorize import ms_segmap_values
+
+    idm = 1_000_000
+    return f"""WITH RECURSIVE {_RASF}, live AS (SELECT * FROM ras WHERE {_NDF}),
+clv AS (SELECT * FROM (VALUES (50e0), (100e0), (150e0)) t(lev)),
+blk AS (SELECT a.row, a.col, lev,
+  (CASE WHEN a.value < lev THEN 1 ELSE 0 END)
+  + 2 * (CASE WHEN b01.value < lev THEN 1 ELSE 0 END)
+  + 4 * (CASE WHEN b10.value < lev THEN 1 ELSE 0 END)
+  + 8 * (CASE WHEN b11.value < lev THEN 1 ELSE 0 END) AS b
+  FROM live a
+  JOIN live b01 ON b01.row = a.row AND b01.col = a.col + 1
+  JOIN live b10 ON b10.row = a.row + 1 AND b10.col = a.col
+  JOIN live b11 ON b11.row = a.row + 1 AND b11.col = a.col + 1
+  CROSS JOIN clv),
+sm AS (SELECT * FROM {ms_segmap_values()} t(b, dy1, dx1, dy2, dx2)),
+segs AS MATERIALIZED (SELECT lev, 2 * row + dy1 AS y1, 2 * col + dx1 AS x1,
+  2 * row + dy2 AS y2, 2 * col + dx2 AS x2 FROM blk JOIN sm USING (b)),
+hp AS (SELECT lev, 2 * a.row AS py, 2 * a.col + 1 AS px,
+  a.col + (lev - a.value) / (b.value - a.value) AS cx, CAST(a.row AS DOUBLE) AS cy
+  FROM live a JOIN live b ON b.row = a.row AND b.col = a.col + 1 CROSS JOIN clv
+  WHERE (a.value < lev) != (b.value < lev)),
+vp AS (SELECT lev, 2 * a.row + 1 AS py, 2 * a.col AS px,
+  CAST(a.col AS DOUBLE) AS cx, a.row + (lev - a.value) / (b.value - a.value) AS cy
+  FROM live a JOIN live b ON b.row = a.row + 1 AND b.col = a.col CROSS JOIN clv
+  WHERE (a.value < lev) != (b.value < lev)),
+cpts AS MATERIALIZED (SELECT * FROM hp UNION ALL SELECT * FROM vp),
+endp AS MATERIALIZED (SELECT lev, y1 * {idm} + x1 AS id FROM segs
+  UNION ALL SELECT lev, y2 * {idm} + x2 FROM segs),
+vert AS MATERIALIZED (SELECT DISTINCT lev, id FROM endp),
+adjs AS MATERIALIZED (SELECT lev, y1 * {idm} + x1 AS id, y2 * {idm} + x2 AS nid FROM segs
+  UNION ALL SELECT lev, y2 * {idm} + x2, y1 * {idm} + x1 FROM segs),
+reach(lev, id, rid) AS (SELECT lev, id, id FROM vert UNION
+  SELECT r.lev, r.id, a.nid FROM reach r JOIN adjs a ON a.lev = r.lev AND a.id = r.rid),
+lab AS (SELECT lev, id, MIN(rid) AS label FROM reach GROUP BY 1, 2),
+deg AS (SELECT lev, id, COUNT(*) AS d FROM endp GROUP BY 1, 2),
+comp AS (SELECT l.lev, l.label, SUM(CASE WHEN d.d = 1 THEN 1 ELSE 0 END) AS n_deg1
+  FROM lab l JOIN deg d ON d.lev = l.lev AND d.id = l.id GROUP BY 1, 2),
+slen AS (SELECT s.lev,
+  SQRT((p1.cx - p2.cx) * (p1.cx - p2.cx) + (p1.cy - p2.cy) * (p1.cy - p2.cy)) AS sl
+  FROM segs s
+  JOIN cpts p1 ON p1.lev = s.lev AND p1.py = s.y1 AND p1.px = s.x1
+  JOIN cpts p2 ON p2.lev = s.lev AND p2.py = s.y2 AND p2.px = s.x2),
+agg1 AS (SELECT lev, COUNT(*) AS n_segments,
+  CAST(ROUND(COALESCE(SUM(sl), 0e0), 4) AS DOUBLE) AS total_length FROM slen GROUP BY 1),
+agg2 AS (SELECT lev, COUNT(*) AS n_lines,
+  CAST(SUM(CASE WHEN n_deg1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+  FROM comp GROUP BY 1)
+SELECT CAST(a.lev AS DOUBLE) AS level, n_segments, n_lines, n_closed, total_length
+FROM agg1 a JOIN agg2 USING (lev) ORDER BY 1"""
+
+
+@Q.register("contour_lines", _contour_lines_sql())
+def q_contour_lines(spark, sf):
+    from .operators.vectorize import contour_line_stats
+
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    return contour_line_stats(live, (50.0, 100.0, 150.0))
+
+
 # -- feathered mosaic (§2.7; MosaicWithFeathering.java, 1027): linear
 # distance-to-seam weights blend the overlap zone ----------------------------
 @Q.register(
@@ -2298,3 +2363,59 @@ def q_line_thinning(spark, sf):
         .select("row", "col")
     )
     return line_thinning(cells, pairs=_ZS_PAIRS).orderBy("row", "col")
+
+
+# -- raster -> vector lines (§2.10; RasterToVectorLines.java:217-520) ---------
+# polyline features from the thinned skeleton: junction cells (degree >= 3)
+# cut the chain, remaining components are simple paths / loops.  The traced
+# vertex ORDER is property-tested (tests/test_vectorize.py); the oracle
+# checks the per-line structure: cell count, step-length sum, endpoints.
+@Q.register(
+    "raster_to_lines",
+    f"""WITH RECURSIVE {_RASF}, {_zs_oracle()},
+lc AS MATERIALIZED (SELECT row, col FROM zs{_ZS_PAIRS * 2}),
+cand AS (
+  SELECT a.row, a.col, b.row AS nr, b.col AS nc
+  FROM lc a JOIN lc b ON (b.row = a.row AND b.col = a.col + 1)
+                      OR (b.row = a.row + 1 AND b.col = a.col)
+  UNION ALL
+  SELECT a.row, a.col, b.row, b.col
+  FROM lc a JOIN lc b ON b.row = a.row + 1 AND (b.col = a.col + 1 OR b.col = a.col - 1)
+  WHERE NOT EXISTS (SELECT 1 FROM lc x WHERE x.row = a.row + 1 AND x.col = a.col)
+    AND NOT EXISTS (SELECT 1 FROM lc x WHERE x.row = a.row AND x.col = b.col)
+),
+ed AS MATERIALIZED (SELECT * FROM cand UNION ALL SELECT nr, nc, row, col FROM cand),
+degt AS (SELECT row, col, COUNT(*) AS d FROM ed GROUP BY 1, 2),
+junc AS MATERIALIZED (SELECT row, col FROM degt WHERE d >= 3),
+kept AS MATERIALIZED (SELECT e.* FROM ed e
+  WHERE NOT EXISTS (SELECT 1 FROM junc j WHERE j.row = e.row AND j.col = e.col)
+    AND NOT EXISTS (SELECT 1 FROM junc j WHERE j.row = e.nr AND j.col = e.nc)),
+base AS MATERIALIZED (SELECT row, col, row * 1000000 + col AS id FROM lc),
+adjk AS (SELECT (row * 1000000 + col) AS id, (nr * 1000000 + nc) AS nid FROM kept),
+reach(id, rid) AS (SELECT id, id FROM base UNION
+  SELECT r.id, a.nid FROM reach r JOIN adjk a ON a.id = r.rid),
+lab AS (SELECT id, MIN(rid) AS label FROM reach GROUP BY 1),
+bl AS MATERIALIZED (SELECT b.row, b.col, b.id, l.label FROM base b JOIN lab l USING (id)),
+ncl AS (SELECT label, COUNT(*) AS n_cells FROM bl GROUP BY 1),
+kept1 AS (SELECT * FROM kept WHERE row < nr OR (row = nr AND col < nc)),
+len AS (SELECT l.label, CAST(ROUND(SUM(CASE WHEN k.row != k.nr AND k.col != k.nc
+  THEN 1.4142135623730951e0 ELSE 1e0 END), 6) AS DOUBLE) AS length
+  FROM kept1 k JOIN bl l ON l.row = k.row AND l.col = k.col GROUP BY 1),
+kdeg AS (SELECT row, col, COUNT(*) AS kd FROM kept GROUP BY 1, 2),
+ends AS (SELECT l.label, MIN(l.id) AS end1, MAX(l.id) AS end2
+  FROM bl l LEFT JOIN kdeg d ON d.row = l.row AND d.col = l.col
+  WHERE COALESCE(d.kd, 0) <= 1 GROUP BY 1)
+SELECT n.label AS line_id, n.n_cells, COALESCE(e.length, 0e0) AS length,
+       COALESCE(s.end1, -1) AS end1, COALESCE(s.end2, -1) AS end2
+FROM ncl n LEFT JOIN len e USING (label) LEFT JOIN ends s USING (label)
+ORDER BY line_id""",
+)
+def q_raster_to_lines(spark, sf):
+    from .operators.vectorize import line_thinning, raster_to_lines
+
+    cells = (
+        R.explode_cells(_demf(spark))
+        .where((F.col("value") > 100.0) & (F.col("value") != _ND))
+        .select("row", "col")
+    )
+    return raster_to_lines(line_thinning(cells, pairs=_ZS_PAIRS))
