@@ -105,6 +105,145 @@ def flow_pointer_d8(tiles: DataFrame) -> DataFrame:
     return contrib.groupBy("dst_row", "dst_col").applyInPandas(kernel, schema)
 
 
+RHO8_A, RHO8_C, RHO8_M = 2654435761, 987654321, 2147483648
+
+
+def flow_pointer_rho8(tiles: DataFrame) -> DataFrame:
+    """Rho8 stochastic pointer (HydroTools/src/plugins/FlowPointerRho8.java,
+    Fairfield & Leymarie 1991): diagonal drop rates divide by (2 - rho)
+    instead of sqrt(2), breaking the D8 grid bias.  The reference draws rho
+    uniform at random; here rho is a deterministic per-cell LCG value
+    (shared with the SQL oracle), the engine's standard determinization."""
+    schema = "row long, col long, code long"
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        asm = _assemble_pad(pdf)
+        if asm is None:
+            return pd.DataFrame({
+                "row": pd.Series([], dtype="int64"),
+                "col": pd.Series([], dtype="int64"),
+                "code": pd.Series([], dtype="int64"),
+            })
+        c, pad = asm
+        h, w = int(c.h), int(c.w)
+        centerv = pad[1:h + 1, 1:w + 1]
+        gr = int(c.row0) + np.arange(h, dtype=np.int64)[:, None]
+        gc = int(c.col0) + np.arange(w, dtype=np.int64)[None, :]
+        u = ((gr * 1_000_003 + gc) * RHO8_A + RHO8_C) % RHO8_M
+        rho = u.astype(np.float64) / RHO8_M
+        best_rate = np.full((h, w), 0.0)
+        best_j = np.full((h, w), -1)
+        for j, (dr, dc, dist) in enumerate(D8_OFFS):
+            nb = pad[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+            div = (2.0 - rho) if dist != 1.0 else 1.0
+            with np.errstate(invalid="ignore"):
+                rate = (centerv - nb) / div
+            rate = np.where(np.isnan(rate), -np.inf, rate)
+            take = rate > best_rate
+            best_rate = np.where(take, rate, best_rate)
+            best_j = np.where(take, j, best_j)
+        code = np.where(best_j >= 0, 2 ** np.maximum(best_j, 0), 0)
+        valid = ~np.isnan(centerv)
+        rows, cols_ = np.nonzero(valid)
+        return pd.DataFrame({
+            "row": int(c.row0) + rows,
+            "col": int(c.col0) + cols_,
+            "code": code[rows, cols_].astype(np.int64),
+        })
+
+    contrib = _halo_contributions(tiles)
+    return contrib.groupBy("dst_row", "dst_col").applyInPandas(kernel, schema)
+
+
+def snap_pour_points(pour: DataFrame, acc: DataFrame, *, radius: int = 3) -> DataFrame:
+    """SnapPourPoints (HydroTools/src/plugins/SnapPourPoints.java:407): move
+    each pour point to the maximum-accumulation cell inside its snap window
+    (arg-max window join; tie-break max accum, then min row, min col).
+
+    pour: (pp_id, row, col); acc: (row, col, accum).
+    Returns (pp_id, srow, scol, accum)."""
+    cand = (
+        pour.select(F.col("pp_id"), F.col("row").alias("_pr"), F.col("col").alias("_pc"))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-radius), F.lit(radius))))
+        .withColumn("_dx", F.explode(F.sequence(F.lit(-radius), F.lit(radius))))
+        .select(
+            "pp_id",
+            (F.col("_pr") + F.col("_dy")).alias("row"),
+            (F.col("_pc") + F.col("_dx")).alias("col"),
+        )
+        .join(acc, ["row", "col"], "inner")
+    )
+    return (
+        cand.groupBy("pp_id")
+        .agg(F.expr(
+            "max_by(struct(row, col, accum), struct(accum, -row, -col))"
+        ).alias("_b"))
+        .select(
+            "pp_id", F.col("_b.row").alias("srow"), F.col("_b.col").alias("scol"),
+            F.col("_b.accum").alias("accum"),
+        )
+        .orderBy("pp_id")
+    )
+
+
+def stream_link_slope(pointers: DataFrame, dem_cells: DataFrame,
+                      threshold: int = 5, *, tile: int = TILE) -> DataFrame:
+    """StreamLinkSlope (StreamNetworkAnalysisTools StreamLinkSlope.java:396):
+    per-link slope = elevation range along the link / link length (junction-
+    cut links, same labeling as stream_network); single-cell links get 0.
+
+    dem_cells: (row, col, v).  Returns (link, link_slope)."""
+    from .clump import components_from_edges
+
+    spark = pointers.sparkSession
+    _scratch.release(spark, "linkslope")
+    pointers = _scratch.track(spark, pointers.persist(), "linkslope")
+    acc = flow_accum(pointers, tile=tile)
+    stream = _scratch.track(
+        spark,
+        acc.where(F.col("accum") >= threshold).select("row", "col").persist(),
+        "linkslope",
+    )
+    dr = F.expr("element_at(array(-1,-1,-1,0,0,1,1,1), CAST(log2(code) AS INT) + 1)")
+    dc = F.expr("element_at(array(-1,0,1,-1,1,-1,0,1), CAST(log2(code) AS INT) + 1)")
+    sd = (
+        stream.join(pointers, ["row", "col"], "inner")
+        .where(F.col("code") > 0)
+        .select("row", "col",
+                (F.col("row") + dr).alias("nr"), (F.col("col") + dc).alias("nc"))
+    )
+    st_t = stream.select(F.col("row").alias("nr"), F.col("col").alias("nc"))
+    sedge = sd.join(st_t, ["nr", "nc"], "left_semi")
+    junc = (
+        sedge.groupBy("nr", "nc").agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2).select("nr", "nc")
+    )
+    kept = sedge.join(junc, ["nr", "nc"], "left_anti")
+    lab = components_from_edges(stream, kept, tile=tile)
+    dist = F.when((F.col("row") != F.col("nr")) & (F.col("col") != F.col("nc")),
+                  F.lit(_SQRT2)).otherwise(F.lit(1.0))
+    length = (
+        kept.join(lab, ["row", "col"], "inner")
+        .groupBy("label").agg(F.sum(dist).alias("_len"))
+    )
+    elev = (
+        lab.join(dem_cells.select("row", "col", "v"), ["row", "col"], "inner")
+        .groupBy("label").agg(F.max("v").alias("_vmax"), F.min("v").alias("_vmin"))
+    )
+    return (
+        elev.join(length, "label", "left")
+        .select(
+            F.col("label").alias("link"),
+            F.when(
+                F.col("_len").isNull() | (F.col("_len") == 0.0), F.lit(0.0)
+            ).otherwise(
+                F.expr("FLOOR(((_vmax - _vmin) / _len) * 1e6 + 0.5e0) / 1e6")
+            ).alias("link_slope"),
+        )
+        .orderBy("link")
+    )
+
+
 def pointer_edges(pointers: DataFrame) -> DataFrame:
     """(id, nid): flat-id edge per cell toward its D8 target (code>0)."""
     dr = F.expr("element_at(array(-1,-1,-1,0,0,1,1,1), CAST(log2(code) AS INT) + 1)")
@@ -1096,10 +1235,58 @@ def fd8_weights(tiles: DataFrame) -> DataFrame:
     return contrib.groupBy("dst_row", "dst_col").applyInPandas(kernel, schema)
 
 
+# sector s of the D-infinity angle (counter-clockwise from east, 45-degree
+# sectors) splits flow between its bounding directions; indices into the
+# fixed D8_OFFS order (NW,N,NE,W,E,SW,S,SE)
+DINF_FD = [4, 2, 1, 0, 3, 5, 6, 7]  # floor direction of sector s
+DINF_CD = [2, 1, 0, 3, 5, 6, 7, 4]  # ceil direction of sector s
+
+
+def dinf_ws_exprs() -> list:
+    """Shared SQL (engine = oracle verbatim): the 8 D-infinity outflow
+    weights over an `angle` column — w2 = sector fraction to the ceil
+    direction, 1 - w2 to the floor direction; pits (angle < 0) all-zero."""
+    q = "(angle / (PI() / 4e0))"
+    w2 = f"({q} - FLOOR({q}))"
+    s = f"(CAST(FLOOR({q}) AS BIGINT) % 8)"
+    out = []
+    for k in range(8):
+        sf, sc = DINF_FD.index(k), DINF_CD.index(k)
+        out.append(
+            f"(CASE WHEN angle < 0e0 THEN 0e0 WHEN {s} = {sf} "
+            f"THEN 1e0 - {w2} ELSE 0e0 END) + "
+            f"(CASE WHEN angle < 0e0 THEN 0e0 WHEN {s} = {sc} "
+            f"THEN {w2} ELSE 0e0 END)"
+        )
+    return out
+
+
+def dinf_weights(tiles: DataFrame) -> DataFrame:
+    """(row, col, ws array<double>[8]): Tarboton D-infinity outflow split
+    (FlowAccumDinf.java semantics) — the flow angle distributes between the
+    two directions bounding its 45-degree sector.  Defined over cells with a
+    full 8-neighborhood (the flow_pointer_dinf support); mass flowing into
+    cells outside that support is dropped identically in engine and oracle."""
+    d = flow_pointer_dinf(tiles)
+    ws = F.array(*[F.expr(e) for e in dinf_ws_exprs()])
+    return d.select("row", "col", ws.alias("ws"))
+
+
+def dinf_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
+               decimals: int = 4) -> DataFrame:
+    """(row, col, accum): D-infinity fractional accumulation
+    (HydroTools FlowAccumDinf.java:490) — the FD8 iterative tile machinery
+    with the Tarboton two-direction weight split."""
+    return fd8_accum(tiles, tile=tile, max_rounds=max_rounds,
+                     decimals=decimals, weights=dinf_weights(tiles))
+
+
 def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
-              decimals: int = 4) -> DataFrame:
+              decimals: int = 4, weights: DataFrame | None = None) -> DataFrame:
     """(row, col, accum): FD8 fractional accumulation —
     a(c) = 1 + sum over upslope neighbors of w(u->c) * a(u).
+    `weights` overrides the FD8 weight table with any (row, col, ws[8])
+    multiple-flow-direction split (e.g. dinf_weights).
 
     Iterative tile-local solves: the static weight table is one stencil
     pass; each round runs an exact Kahn accumulation per tile given the
@@ -1110,9 +1297,10 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
     engines; error ~1e-13 relative)."""
     spark = tiles.sparkSession
     _scratch.release(spark, "fd8")
+    wsrc = fd8_weights(tiles) if weights is None else weights
     wdf = _scratch.track(
         spark,
-        fd8_weights(tiles).withColumn(
+        wsrc.withColumn(
             "_tr", (F.col("row") / tile).cast("long")
         ).withColumn("_tc", (F.col("col") / tile).cast("long")).persist(),
         "fd8",
@@ -1161,6 +1349,26 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
                     dec += np.bincount(t, minlength=n)
             indeg = indeg - dec
             frontier = np.flatnonzero((indeg == 0) & ~processed)
+        rem = np.flatnonzero(~processed)
+        if rem.size:
+            # multiple-flow-direction weights can cycle (a D-infinity facet
+            # component may point to a HIGHER neighbor): topological Kahn
+            # strands those cells.  Their subgraph is closed upstream (no
+            # rem -> processed edges can exist), so relax a = base + W'a
+            # over the remnant to its geometric fixpoint (cycle gain < 1).
+            base = acc.copy()
+            inrem = np.zeros(n, dtype=bool)
+            inrem[rem] = True
+            for _ in range(10_000):
+                newacc = base.copy()
+                for j in range(8):
+                    fe = rem[internal[rem, j]]
+                    if fe.size:
+                        np.add.at(newacc, tgt[fe, j], ws[fe, j] * acc[fe])
+                delta = np.abs(newacc[rem] - acc[rem]).max()
+                acc[rem] = newacc[rem]
+                if delta <= 1e-12:
+                    break
         parts = [pd.DataFrame({
             "row": rr, "col": cc, "acc": acc,
             "x_row": np.full(n, -1, dtype=np.int64),

@@ -992,6 +992,62 @@ def q_change_vector(spark, sf):
     )
 
 
+# -- Rho8 stochastic pointer (§2.12; FlowPointerRho8.java, Fairfield &
+# Leymarie 1991): diagonal drop rates divide by (2 - rho), rho = per-cell
+# deterministic LCG (the engine's determinization of the reference's RNG).
+_RHO8_EXPR = (
+    "(CAST(((row * 1000003 + col) * 2654435761 + 987654321) % 2147483648 "
+    "AS DOUBLE) / 2147483648e0)"
+)
+_RHO8_BASE = (
+    _HYD_BASE[:_HYD_BASE.index("rates AS (")]
+    + f"rho9 AS (SELECT *, {_RHO8_EXPR} AS rho FROM w9), "
+    "rates AS (SELECT row, col, "
+    "COALESCE((cv - n0) / (2e0 - rho), -1e30) AS r0, COALESCE(cv - n1, -1e30) AS r1, "
+    "COALESCE((cv - n2) / (2e0 - rho), -1e30) AS r2, COALESCE(cv - n3, -1e30) AS r3, "
+    "COALESCE(cv - n4, -1e30) AS r4, COALESCE((cv - n5) / (2e0 - rho), -1e30) AS r5, "
+    "COALESCE(cv - n6, -1e30) AS r6, COALESCE((cv - n7) / (2e0 - rho), -1e30) AS r7 "
+    "FROM rho9), "
+    + _HYD_BASE[_HYD_BASE.index("d8 AS ("):]
+)
+
+
+@Q.register(
+    "flow_rho8",
+    f"WITH {_RHO8_BASE} SELECT row, col, CAST(code AS BIGINT) AS code FROM d8 ORDER BY row, col",
+)
+def q_flow_rho8(spark, sf):
+    from .operators.hydro import flow_pointer_rho8
+
+    return flow_pointer_rho8(_hydem(spark)).orderBy("row", "col")
+
+
+# -- SnapPourPoints (§2.3/§2.12; SnapPourPoints.java:407): arg-max window ----
+_SNAP_PP = [(0, 10, 20), (1, 30, 45), (2, 50, 70)]
+_SNAP_R = 3
+
+
+@Q.register(
+    "snap_pour",
+    f"WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES} "
+    "SELECT pp_id, row AS srow, col AS scol, CAST(accum AS BIGINT) AS accum FROM ("
+    "SELECT p.pp_id, a.row, a.col, a.accum, "
+    "ROW_NUMBER() OVER (PARTITION BY p.pp_id ORDER BY a.accum DESC, a.row, a.col) AS rn "
+    f"FROM (VALUES {', '.join(f'({i},{r},{c})' for i, r, c in _SNAP_PP)}) p(pp_id, r, c) "
+    f"JOIN acc a ON a.row BETWEEN p.r - {_SNAP_R} AND p.r + {_SNAP_R} "
+    f"AND a.col BETWEEN p.c - {_SNAP_R} AND p.c + {_SNAP_R}"
+    ") WHERE rn = 1 ORDER BY pp_id",
+)
+def q_snap_pour(spark, sf):
+    from .operators.hydro import flow_accum, flow_pointer_d8, snap_pour_points
+
+    acc = flow_accum(flow_pointer_d8(_hydem(spark))).select(
+        "row", "col", F.col("accum").cast("long").alias("accum")
+    )
+    pour = spark.createDataFrame(_SNAP_PP, "pp_id long, row long, col long")
+    return snap_pour_points(pour, acc, radius=_SNAP_R)
+
+
 # -- stream link labeling (StreamNetworkAnalysisTools StreamLinkID.java) ------
 # stream cells (accum >= 5) labeled into 8-connected links
 @Q.register(
@@ -1938,6 +1994,28 @@ def q_horizon_angle(spark, sf):
     )
 
 
+# -- stream link slope (§2.12; StreamLinkSlope.java:396): per junction-cut
+# link, elevation range along the link / link length -------------------------
+@Q.register(
+    "stream_link_slope",
+    f"WITH RECURSIVE {_VHYD_BASE}, {_stream_net_sql(_VT)}, "
+    "sl_len AS (SELECT u.link, SUM(CASE WHEN k.row != k.nr AND k.col != k.nc "
+    f"THEN {_SQ2} ELSE 1e0 END) AS len "
+    "FROM kept k JOIN slab u ON u.id = k.row * 1000000 + k.col GROUP BY 1), "
+    "sl_elev AS (SELECT u.link, MAX(c.v) AS vmax, MIN(c.v) AS vmin "
+    "FROM slab u JOIN cells c ON u.id = c.row * 1000000 + c.col GROUP BY 1) "
+    "SELECT e.link, CAST(CASE WHEN l.len IS NULL OR l.len = 0e0 THEN 0e0 "
+    "ELSE FLOOR(((e.vmax - e.vmin) / l.len) * 1e6 + 0.5e0) / 1e6 END AS DOUBLE) AS link_slope "
+    "FROM sl_elev e LEFT JOIN sl_len l USING (link) ORDER BY e.link",
+)
+def q_stream_link_slope(spark, sf):
+    from .operators.hydro import flow_pointer_d8, stream_link_slope
+
+    dem = R.synth_raster(spark, _VROWS, _VCOLS, value_sql=VALLEY_VAL)
+    cells = R.explode_cells(dem).withColumnRenamed("value", "v")
+    return stream_link_slope(flow_pointer_d8(dem), cells, _VT)
+
+
 # -- full viewshed (§2.11; TerrainAnalysisTools/src/plugins/Viewshed.java) ----
 # Exact R3 line-of-sight on the valley DEM from a fixed viewpoint: a target
 # is visible iff no intermediate ray sample (bilinear terrain at k/K of the
@@ -2202,7 +2280,7 @@ def q_rgb_to_hsi(spark, sf):
     ).orderBy("row", "col")
 
 
-# -- D-infinity flow pointer (§2.12; FlowPointerDinf.java, Tarboton 1997) -----
+# Tarboton 8-facet angle/slope SQL, parameterized by the 9-cell window CTE
 _DINF_SQL_FACETS = [
     ("n4", "n2", 0, 1), ("n1", "n2", 1, -1), ("n1", "n0", 1, 1),
     ("n3", "n0", 2, -1), ("n3", "n5", 2, 1), ("n6", "n5", 3, -1),
@@ -2210,7 +2288,8 @@ _DINF_SQL_FACETS = [
 ]
 
 
-def _dinf_oracle_select() -> str:
+def _dinf_facets_parts(src: str) -> tuple[str, str, str]:
+    """(fct select body, max-slope expr, angle CASE) over window CTE `src`."""
     sq2 = "1.4142135623730951e0"
     cols = []
     for k, (e1, e2, ac, af) in enumerate(_DINF_SQL_FACETS):
@@ -2226,11 +2305,67 @@ def _dinf_oracle_select() -> str:
     angle_case = "CASE WHEN " + f"{mx} <= 0e0 THEN -1e0 " + " ".join(
         f"WHEN s{k} = {mx} THEN a{k}" for k in range(8)
     ) + " END"
-    return (
-        "fct AS (SELECT row, col, " + ", ".join(cols) + " FROM w9 "
+    body = (
+        "SELECT row, col, " + ", ".join(cols) + f" FROM {src} "
         "WHERE cv IS NOT NULL AND n0 IS NOT NULL AND n1 IS NOT NULL "
         "AND n2 IS NOT NULL AND n3 IS NOT NULL AND n4 IS NOT NULL "
-        "AND n5 IS NOT NULL AND n6 IS NOT NULL AND n7 IS NOT NULL) "
+        "AND n5 IS NOT NULL AND n6 IS NOT NULL AND n7 IS NOT NULL"
+    )
+    return body, mx, angle_case
+
+
+# -- D-infinity accumulation (§2.12; FlowAccumDinf.java:490) ------------------
+# Tarboton angle (rounded as in flow_dinf) -> two-direction weight split
+# (shared SQL, hydro.dinf_ws_exprs) -> the same Jacobi accumulation as FD8.
+def _dinf_accum_oracle() -> str:
+    from .operators.hydro import D8_OFFS, dinf_ws_exprs
+
+    base = _fd8_oracle()
+    prefix = base[: base.index("swpre")]  # rasf8, livef8, w9f8 CTEs
+    facet_cols, mx, angle_case = _dinf_facets_parts("w9f8")
+    wcols = ", ".join(
+        f"{e} AS w{k}" for k, e in enumerate(dinf_ws_exprs())
+    )
+    edges = " UNION ALL ".join(
+        f"SELECT row, col, row + {dr} AS nr, col + {dc} AS nc, w{k} AS w "
+        f"FROM dws WHERE w{k} > 0e0"
+        for k, (dr, dc, _) in enumerate(D8_OFFS)
+    )
+    return (
+        prefix
+        + f"fctd AS ({facet_cols}), "
+        f"dang AS (SELECT row, col, (FLOOR(({angle_case}) * 1e6 + 0.5e0) / 1e6) AS angle FROM fctd), "
+        f"dws AS MATERIALIZED (SELECT row, col, {wcols} FROM dang), "
+        f"wedd AS MATERIALIZED ({edges}), "
+        "wedi AS MATERIALIZED (SELECT e.* FROM wedd e JOIN dws t ON t.row = e.nr AND t.col = e.nc), "
+        "eplusd AS MATERIALIZED (SELECT row, col, nr, nc, w FROM wedi "
+        "UNION ALL SELECT row, col, row, col, -1e0 FROM dws), "
+        "accdi(it, row, col, a) AS (SELECT 0, row, col, 1e0 FROM dws "
+        "UNION ALL SELECT u.it + 1, e.nr, e.nc, "
+        "1e0 + COALESCE(SUM(CASE WHEN e.w >= 0e0 THEN e.w * u.a END), 0e0) "
+        "FROM accdi u JOIN eplusd e ON e.row = u.row AND e.col = u.col "
+        f"WHERE u.it < {_F8K} GROUP BY 1, 2, 3)"
+    )
+
+
+@Q.register(
+    "dinf_accum",
+    f"WITH RECURSIVE {_dinf_accum_oracle()} "
+    f"SELECT row, col, CAST(ROUND(a, 4) AS DOUBLE) AS accum "
+    f"FROM accdi WHERE it = {_F8K} ORDER BY row, col",
+)
+def q_dinf_accum(spark, sf):
+    from .operators.hydro import dinf_accum
+
+    dem = R.synth_raster(spark, _DROWS, _DCOLS)
+    return dinf_accum(dem, tile=16).orderBy("row", "col")
+
+
+# -- D-infinity flow pointer (§2.12; FlowPointerDinf.java, Tarboton 1997) -----
+def _dinf_oracle_select() -> str:
+    body, mx, angle_case = _dinf_facets_parts("w9")
+    return (
+        f"fct AS ({body}) "
         f"SELECT row, col, (FLOOR(({angle_case}) * 1e6 + 0.5e0) / 1e6) AS angle, "
         f"(FLOOR((CASE WHEN {mx} <= 0e0 THEN 0e0 ELSE {mx} END) * 1e6 + 0.5e0) / 1e6) AS slope "
         "FROM fct ORDER BY row, col"
