@@ -303,6 +303,13 @@ def _tile_flow_kernel(tile: int):
         tgt[inb] = gid[t_lr[inb], t_lc[inb]]
         internal = tgt >= 0  # D8 never targets a missing (nodata) cell
         cross = has & ~internal
+        if "stop" in pdf.columns:
+            # absorbing cells (e.g. stream cells for subbasin labeling):
+            # their outflow is cut, so they terminate paths like pits
+            stop = pdf["stop"].fillna(False).to_numpy(bool)
+            internal = internal & ~stop
+            cross = cross & ~stop
+            tgt = np.where(stop, -1, tgt)
 
         # --- tile-local accumulation: Kahn wavefronts (the reference's own
         # upstream-count scheduling, FlowAccumD8.java:282-330, vectorized)
@@ -504,16 +511,25 @@ def extract_streams(pointers: DataFrame, threshold: int) -> DataFrame:
     return flow_accum(pointers).where(F.col("accum") >= threshold)
 
 
-def watershed(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
+def watershed(pointers: DataFrame, *, tile: int = TILE,
+              stops: DataFrame | None = None) -> DataFrame:
     """(row, col, ws): watershed label = flat id (row*1e6+col) of the
     terminal pit/flat each cell drains to (Watershed.java semantics).
 
     One tile-kernel pass; pending cells (path exits the tile) resolve via a
     driver-side chase over the border transit map, broadcast back as an
-    entry -> terminal lookup."""
+    entry -> terminal lookup.
+
+    stops: optional (row, col) absorbing set — paths terminate at the first
+    stop cell hit (the Subbasins/Hillslopes building block)."""
     spark = pointers.sparkSession
     _scratch.release(spark, "watershed")
     cells = _with_tiles(pointers, tile)
+    if stops is not None:
+        cells = cells.join(
+            stops.select("row", "col").withColumn("stop", F.lit(True)),
+            ["row", "col"], "left",
+        )
     pass_a = _scratch.track(
         spark,
         cells.groupBy("_tr", "_tc").applyInPandas(
@@ -754,6 +770,138 @@ def fill_depressions(cells: DataFrame, rows: int, cols: int, *,
     _scratch.release(spark, "fill")
     _scratch.track(spark, state, "fill")
     return out
+
+
+# ---------------------------------------------------------------------------
+# subbasins / hillslopes (Subbasins.java:389, Hillslopes.java:525)
+# ---------------------------------------------------------------------------
+def _stream_edge_tables(pointers: DataFrame, stream: DataFrame):
+    """(sedge, junc, kept): stream flow edges, junction targets, and the
+    junction-cut edge set — shared by the link-labeling family."""
+    dr = F.expr("element_at(array(-1,-1,-1,0,0,1,1,1), CAST(log2(code) AS INT) + 1)")
+    dc = F.expr("element_at(array(-1,0,1,-1,1,-1,0,1), CAST(log2(code) AS INT) + 1)")
+    sd = (
+        stream.join(pointers, ["row", "col"], "inner")
+        .where(F.col("code") > 0)
+        .select("row", "col",
+                (F.col("row") + dr).alias("nr"), (F.col("col") + dc).alias("nc"))
+    )
+    st_t = stream.select(F.col("row").alias("nr"), F.col("col").alias("nc"))
+    sedge = sd.join(st_t, ["nr", "nc"], "left_semi")
+    junc = (
+        sedge.groupBy("nr", "nc").agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2).select("nr", "nc")
+    )
+    kept = sedge.join(junc, ["nr", "nc"], "left_anti")
+    return sedge, junc, kept
+
+
+def subbasins(pointers: DataFrame, threshold: int = 5, *,
+              tile: int = TILE) -> DataFrame:
+    """(row, col, sub): each cell labeled by the junction-cut stream LINK it
+    first drains into (Subbasins.java semantics); cells whose path reaches a
+    pit before any stream cell get -1 (non-contributing).
+
+    Physical: watershed with the stream cells as an ABSORBING set (paths
+    terminate at first stream contact), then a terminal -> link-label join."""
+    from .clump import components_from_edges
+
+    spark = pointers.sparkSession
+    _scratch.release(spark, "subbasins")
+    pointers = _scratch.track(spark, pointers.persist(), "subbasins")
+    acc = flow_accum(pointers, tile=tile)
+    stream = _scratch.track(
+        spark,
+        acc.where(F.col("accum") >= threshold).select("row", "col").persist(),
+        "subbasins",
+    )
+    _sedge, _junc, kept = _stream_edge_tables(pointers, stream)
+    lab = components_from_edges(stream, kept, tile=tile)
+    ws = watershed(pointers, tile=tile, stops=stream)
+    slab = lab.select(
+        (F.col("row") * F.lit(1_000_000) + F.col("col")).alias("ws"),
+        F.col("label").alias("sub"),
+    )
+    return ws.join(slab, "ws", "left").select(
+        "row", "col", F.coalesce("sub", F.lit(-1)).alias("sub")
+    )
+
+
+def hillslopes(pointers: DataFrame, threshold: int = 5, *,
+               tile: int = TILE) -> DataFrame:
+    """(row, col, hs): Hillslopes.java semantics — stream cells get
+    hs = 3 * link + 2 (channel); every other contributing cell gets
+    3 * link + side, where side (0/1) is the bank its flow path enters the
+    stream from: the sign of the cross product between the receiving stream
+    cell's own flow direction and the entry direction (0 for headwater-style
+    entries parallel/anti-parallel to the stream, e.g. into a link head or a
+    stream pit).  Non-contributing cells get -1.
+
+    Physical: watershed absorbed at ENTRY cells (the last non-stream cell of
+    each path — cells whose D8 target is a stream cell); the entry cell's
+    (link, side) broadcast back over its catch."""
+    from .clump import components_from_edges
+
+    spark = pointers.sparkSession
+    _scratch.release(spark, "hillslopes")
+    pointers = _scratch.track(spark, pointers.persist(), "hillslopes")
+    acc = flow_accum(pointers, tile=tile)
+    stream = _scratch.track(
+        spark,
+        acc.where(F.col("accum") >= threshold).select("row", "col").persist(),
+        "hillslopes",
+    )
+    _sedge, _junc, kept = _stream_edge_tables(pointers, stream)
+    lab = components_from_edges(stream, kept, tile=tile)
+
+    dr = F.expr("element_at(array(-1,-1,-1,0,0,1,1,1), CAST(log2(code) AS INT) + 1)")
+    dc = F.expr("element_at(array(-1,0,1,-1,1,-1,0,1), CAST(log2(code) AS INT) + 1)")
+    ptr_t = pointers.select(
+        "row", "col",
+        F.when(F.col("code") > 0, F.col("row") + dr).otherwise(F.lit(None)).alias("nr"),
+        F.when(F.col("code") > 0, F.col("col") + dc).otherwise(F.lit(None)).alias("nc"),
+    )
+    # entry cells: non-stream cells flowing INTO a stream cell
+    entry = (
+        ptr_t.join(stream, ["row", "col"], "left_anti")
+        .join(
+            stream.select(F.col("row").alias("nr"), F.col("col").alias("nc")),
+            ["nr", "nc"], "left_semi",
+        )
+    )
+    # side: cross product of the stream cell's flow direction with the entry
+    # direction (entry -> stream)
+    sdir = ptr_t.join(stream, ["row", "col"], "left_semi").select(
+        F.col("row").alias("nr"), F.col("col").alias("nc"),
+        (F.col("nr") - F.col("row")).alias("_sdr"),
+        (F.col("nc") - F.col("col")).alias("_sdc"),
+    )
+    slab = lab.select(
+        F.col("row").alias("nr"), F.col("col").alias("nc"),
+        F.col("label").alias("_link"),
+    )
+    cross = (F.col("_sdr") * (F.col("nc") - F.col("col"))
+             - F.col("_sdc") * (F.col("nr") - F.col("row")))
+    entry_hs = (
+        entry.join(sdir, ["nr", "nc"], "left")
+        .join(slab, ["nr", "nc"], "inner")
+        .select(
+            (F.col("row") * F.lit(1_000_000) + F.col("col")).alias("ws"),
+            (F.col("_link") * 3 + F.when(
+                F.coalesce(cross, F.lit(0)) > 0, F.lit(1)
+            ).otherwise(F.lit(0))).alias("hs"),
+        )
+    )
+    ws = watershed(pointers, tile=tile, stops=entry.select("row", "col"))
+    chan = lab.select(
+        "row", "col", (F.col("label") * 3 + F.lit(2)).alias("hs")
+    )
+    nonstream = (
+        ws.join(stream, ["row", "col"], "left_anti")
+        .join(entry_hs, "ws", "left")
+        .select("row", "col", F.coalesce("hs", F.lit(-1)).alias("hs"))
+    )
+    return nonstream.unionByName(chan.select("row", "col", "hs"))
 
 
 # ---------------------------------------------------------------------------

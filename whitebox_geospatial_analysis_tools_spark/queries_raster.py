@@ -1994,6 +1994,90 @@ def q_horizon_angle(spark, sf):
     )
 
 
+# -- subbasins / hillslopes (§2.12; Subbasins.java:389, Hillslopes.java:525) --
+# GREATEST guards log2 against pit rows (code = 0); pit targets are never
+# consumed (every use filters code > 0)
+_DRC = ("CASE CAST(log2(GREATEST(code, 1)) AS INT) WHEN 0 THEN -1 WHEN 1 THEN -1 "
+        "WHEN 2 THEN -1 WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 "
+        "WHEN 6 THEN 1 ELSE 1 END")
+_DCC = ("CASE CAST(log2(GREATEST(code, 1)) AS INT) WHEN 0 THEN -1 WHEN 1 THEN 0 "
+        "WHEN 2 THEN 1 WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 "
+        "WHEN 6 THEN 0 ELSE 1 END")
+_SB_K = 200
+
+
+def _sb_chase_sql(known_cte: str, k: int = _SB_K) -> str:
+    """Terminal chase: t(c) = own id at `known_cte` cells, -1 at pits,
+    inherited from the D8 target otherwise — iteration-counter recursion
+    (each cell is reached exactly once, at its path distance)."""
+    return f"""tgtv AS MATERIALIZED (SELECT row, col, code,
+  row + {_DRC} AS nr, col + {_DCC} AS nc FROM d8),
+sbit(it, row, col, t) AS (
+  SELECT 0, g.row, g.col,
+    CASE WHEN s.row IS NOT NULL THEN g.row * 1000000 + g.col ELSE -1 END
+  FROM tgtv g LEFT JOIN {known_cte} s ON s.row = g.row AND s.col = g.col
+  WHERE s.row IS NOT NULL OR g.code = 0
+  UNION ALL
+  SELECT u.it + 1, e.row, e.col, u.t
+  FROM sbit u JOIN tgtv e ON e.nr = u.row AND e.nc = u.col
+  LEFT JOIN {known_cte} s2 ON s2.row = e.row AND s2.col = e.col
+  WHERE u.it < {k} AND s2.row IS NULL AND e.code > 0
+),
+term AS (SELECT row, col, MAX(t) AS t FROM sbit GROUP BY 1, 2)"""
+
+
+@Q.register(
+    "subbasins",
+    f"WITH RECURSIVE {_VHYD_BASE}, {_stream_net_sql(_VT)}, "
+    + _sb_chase_sql("stream")
+    + " SELECT t2.row, t2.col, COALESCE(sl.link, -1) AS sub "
+    "FROM term t2 LEFT JOIN slab sl ON sl.id = t2.t ORDER BY 1, 2",
+)
+def q_subbasins(spark, sf):
+    from .operators.hydro import flow_pointer_d8, subbasins
+
+    dem = R.synth_raster(spark, _VROWS, _VCOLS, value_sql=VALLEY_VAL)
+    return subbasins(flow_pointer_d8(dem), _VT).orderBy("row", "col")
+
+
+@Q.register(
+    "hillslopes",
+    f"""WITH RECURSIVE {_VHYD_BASE}, {_stream_net_sql(_VT)},
+tgt0 AS MATERIALIZED (SELECT row, col, code,
+  row + {_DRC} AS nr, col + {_DCC} AS nc FROM d8),
+entry AS MATERIALIZED (
+  SELECT e.row, e.col, e.nr, e.nc FROM tgt0 e
+  LEFT JOIN stream s ON s.row = e.row AND s.col = e.col
+  JOIN stream t ON t.row = e.nr AND t.col = e.nc
+  WHERE s.row IS NULL AND e.code > 0),
+sdirs AS (SELECT g.row, g.col,
+  CASE WHEN g.code > 0 THEN g.nr - g.row END AS sdr,
+  CASE WHEN g.code > 0 THEN g.nc - g.col END AS sdc
+  FROM tgt0 g JOIN stream s ON s.row = g.row AND s.col = g.col),
+ehs AS MATERIALIZED (SELECT e.row * 1000000 + e.col AS id,
+  sl.link * 3 + CASE WHEN COALESCE(
+    d.sdr * (e.nc - e.col) - d.sdc * (e.nr - e.row), 0) > 0 THEN 1 ELSE 0 END AS hs
+  FROM entry e
+  LEFT JOIN sdirs d ON d.row = e.nr AND d.col = e.nc
+  JOIN slab sl ON sl.id = e.nr * 1000000 + e.nc),
+{_sb_chase_sql("entry")}
+SELECT * FROM (
+  SELECT t2.row, t2.col, COALESCE(h.hs, -1) AS hs
+  FROM term t2 LEFT JOIN ehs h ON h.id = t2.t
+  LEFT JOIN stream st ON st.row = t2.row AND st.col = t2.col
+  WHERE st.row IS NULL
+  UNION ALL
+  SELECT s.row, s.col, sl.link * 3 + 2 AS hs
+  FROM stream s JOIN slab sl ON sl.id = s.row * 1000000 + s.col
+) ORDER BY row, col""",
+)
+def q_hillslopes(spark, sf):
+    from .operators.hydro import flow_pointer_d8, hillslopes
+
+    dem = R.synth_raster(spark, _VROWS, _VCOLS, value_sql=VALLEY_VAL)
+    return hillslopes(flow_pointer_d8(dem), _VT).orderBy("row", "col")
+
+
 # -- stream link slope (§2.12; StreamLinkSlope.java:396): per junction-cut
 # link, elevation range along the link / link length -------------------------
 @Q.register(
