@@ -1955,6 +1955,116 @@ def q_cost_distance(spark, sf):
     )
 
 
+@Q.register(
+    "cost_allocation",
+    f"""WITH RECURSIVE
+rasd AS (SELECT r.r AS row, c.c AS col, {_DVAL} AS value
+         FROM range(0, {_DROWS}) r(r), range(0, {_DCOLS}) c(c)),
+live AS (SELECT row, col, value / 16e0 AS cost, value > 95e0 AS src
+         FROM rasd WHERE value != {NODATA!r}e0),
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) t(dr, dc)),
+ce AS (
+  SELECT a.row, a.col, b.row AS nr, b.col AS nc,
+    (a.cost + b.cost) / 2e0 * CASE WHEN a.row != b.row AND a.col != b.col
+      THEN 1.4142135623730951e0 ELSE 1e0 END AS step
+  FROM live a JOIN offs o ON TRUE
+  JOIN live b ON b.row = a.row + o.dr AND b.col = a.col + o.dc
+  UNION ALL SELECT row, col, row, col, 0e0 FROM live
+),
+ita(it, row, col, f, s) AS (
+  SELECT 0, row, col, CASE WHEN src THEN 0e0 ELSE 1e18 END,
+         CASE WHEN src THEN row * 1000000 + col ELSE 4611686018427387904 END
+  FROM live
+  UNION ALL
+  SELECT u.it + 1, e.nr, e.nc,
+    (MIN({{'f': u.f + e.step, 's': u.s}})).f,
+    (MIN({{'f': u.f + e.step, 's': u.s}})).s
+  FROM ita u JOIN ce e ON e.row = u.row AND e.col = u.col
+  WHERE u.it < {_CDK} GROUP BY 1, 2, 3
+)
+SELECT row, col, CAST(s AS BIGINT) AS alloc
+FROM ita WHERE it = {_CDK} AND f < 1e17 ORDER BY row, col""",
+)
+def q_cost_allocation(spark, sf):
+    from .operators.cost import cost_allocation
+
+    cells = (
+        R.explode_cells(R.synth_raster(spark, _DROWS, _DCOLS))
+        .where(F.col("value") != _ND)
+        .select(
+            "row", "col",
+            (F.col("value") / 16.0).alias("cost"),
+            (F.col("value") > 95.0).alias("is_src"),
+        )
+    )
+    out = cost_allocation(cells, tile=16)
+    return (
+        out.where(F.col("cdist") < 1e17)
+        .select("row", "col", "alloc")
+        .orderBy("row", "col")
+    )
+
+
+# -- least-cost pathway back-trace (§2.11; CostPathway.java:277) --------------
+_CP_DESTS = [(0, 0), (39, 59)]
+_CP_CE = f"""rasd AS (SELECT r.r AS row, c.c AS col, {_DVAL} AS value
+         FROM range(0, {_DROWS}) r(r), range(0, {_DCOLS}) c(c)),
+live AS (SELECT row, col, value / 16e0 AS cost, value > 158e0 AS src
+         FROM rasd WHERE value != {NODATA!r}e0),
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) t(dr, dc)),
+ce AS (
+  SELECT a.row, a.col, b.row AS nr, b.col AS nc,
+    (a.cost + b.cost) / 2e0 * CASE WHEN a.row != b.row AND a.col != b.col
+      THEN 1.4142135623730951e0 ELSE 1e0 END AS step
+  FROM live a JOIN offs o ON TRUE
+  JOIN live b ON b.row = a.row + o.dr AND b.col = a.col + o.dc
+  UNION ALL SELECT row, col, row, col, 0e0 FROM live
+),
+it(it, row, col, f) AS (
+  SELECT 0, row, col, CASE WHEN src THEN 0e0 ELSE 1e18 END FROM live
+  UNION ALL
+  SELECT u.it + 1, e.nr, e.nc, MIN(u.f + e.step)
+  FROM it u JOIN ce e ON e.row = u.row AND e.col = u.col
+  WHERE u.it < {_CDK} GROUP BY 1, 2, 3
+)"""
+
+
+@Q.register(
+    "cost_pathway",
+    f"""WITH RECURSIVE {_CP_CE},
+fin AS MATERIALIZED (SELECT row, col, f FROM it WHERE it = {_CDK}),
+prd AS MATERIALIZED (
+  SELECT c.row, c.col, c.f,
+    (MIN({{'d': n.f + e.step, 'r': n.row, 'c': n.col}})).r AS pr,
+    (MIN({{'d': n.f + e.step, 'r': n.row, 'c': n.col}})).c AS pc
+  FROM fin c JOIN ce e ON e.nr = c.row AND e.nc = c.col
+    AND NOT (e.row = c.row AND e.col = c.col)
+  JOIN fin n ON n.row = e.row AND n.col = e.col
+  GROUP BY 1, 2, 3),
+wlk(it, row, col) AS (
+  SELECT 0, d.r, d.c FROM (VALUES {', '.join(f'({r},{c})' for r, c in _CP_DESTS)}) d(r, c)
+  UNION ALL
+  SELECT w.it + 1, p.pr, p.pc FROM wlk w JOIN prd p ON p.row = w.row AND p.col = w.col
+  WHERE w.it < 400 AND p.f > 0e0
+)
+SELECT DISTINCT row, col FROM wlk ORDER BY 1, 2""",
+)
+def q_cost_pathway(spark, sf):
+    from .operators.cost import cost_pathway
+
+    cells = (
+        R.explode_cells(R.synth_raster(spark, _DROWS, _DCOLS))
+        .where(F.col("value") != _ND)
+        .select(
+            "row", "col",
+            (F.col("value") / 16.0).alias("cost"),
+            (F.col("value") > 158.0).alias("is_src"),
+        )
+    )
+    dests = spark.createDataFrame(_CP_DESTS, "row long, col long")
+    return cost_pathway(cells, dests, tile=16)
+
+
 # -- horizon angle, east azimuth (§2.11; HorizonAngle.java / Viewshed family) -
 @Q.register(
     "horizon_angle",
