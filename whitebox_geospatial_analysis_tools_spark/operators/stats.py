@@ -144,6 +144,54 @@ def cdf(df: DataFrame, col: str, bin_width: float) -> DataFrame:
     )
 
 
+def phi_sql(z: str) -> str:
+    """Standard-normal CDF via the Zelen-Severo 26.2.17 rational
+    approximation — shared SQL text (EXP/SQRT/PI only), identical in both
+    engines; |error| < 7.5e-8, absorbed by the half-up round(6) policy."""
+    az = f"ABS({z})"
+    t = f"(1e0 / (1e0 + 0.2316419e0 * {az}))"
+    poly = (
+        f"(0.31938153e0 * {t} + -0.356563782e0 * {t} * {t} "
+        f"+ 1.781477937e0 * {t} * {t} * {t} "
+        f"+ -1.821255978e0 * {t} * {t} * {t} * {t} "
+        f"+ 1.330274429e0 * {t} * {t} * {t} * {t} * {t})"
+    )
+    pos = f"(1e0 - (EXP(-({az}) * ({az}) / 2e0) / SQRT(2e0 * PI())) * {poly})"
+    return f"(CASE WHEN {z} >= 0e0 THEN {pos} ELSE 1e0 - {pos} END)"
+
+
+def ks_normality(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
+    """Kolmogorov-Smirnov test against the fitted normal
+    (StatsTools/src/plugins/TestForNormality.java:414): D = max over the
+    empirical CDF steps of the gap to Phi((v - mu) / sd), both step sides.
+
+    Values live on a fixed-point grid (x `scale`), so the moment sums are
+    exact integers and mu/sd derive identically cross-engine; the only
+    global window runs over the BIN table (bounded by the value range)."""
+    b = df.select(F.round(F.col(col) * scale).cast("long").alias("bin"))
+    h = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    m = h.agg(
+        F.sum(F.col("bin") * F.col("n")).alias("s1"),
+        F.sum(F.col("bin") * F.col("bin") * F.col("n")).alias("s2"),
+        F.sum("n").alias("nn"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    mu = f"(CAST(s1 AS DOUBLE) / nn / {scale}e0)"
+    sd = f"(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nn) / (nn - 1)) / {scale}e0)"
+    z = f"((CAST(bin AS DOUBLE) / {scale}e0 - {mu}) / {sd})"
+    gap = (
+        f"GREATEST(ABS(CAST(cum AS DOUBLE) / nn - {phi_sql(z)}), "
+        f"ABS({phi_sql(z)} - CAST(cum - n AS DOUBLE) / nn))"
+    )
+    j = (
+        h.crossJoin(F.broadcast(m))
+        .withColumn("cum", F.sum("n").over(w))
+    )
+    return j.groupBy("nn").agg(
+        F.expr(f"FLOOR(MAX({gap}) * 1e6 + 0.5e0) / 1e6").alias("d")
+    ).select(F.col("nn").alias("n"), "d")
+
+
 def kappa(df: DataFrame, a: str, b: str) -> DataFrame:
     """Cohen's kappa from the integer contingency table (KappaIndex.java).
 

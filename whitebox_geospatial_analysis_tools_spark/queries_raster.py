@@ -1621,6 +1621,84 @@ def q_resample_bilinear(spark, sf):
     ).orderBy("urow", "ucol")
 
 
+# -- cubic-convolution 2x resample (§2.13; Resample.java:185-309 cubic) -------
+# Keys kernel a = -0.5 at the two dyadic sample fractions {0.25, 0.75}:
+# all 4-tap weights are exact dyadic constants, so like the bilinear path
+# the interpolation is EXACT (no rounding policy needed).
+_CU_W = {
+    0.25: (-0.0703125, 0.8671875, 0.2265625, -0.0234375),
+    0.75: (-0.0234375, 0.2265625, 0.8671875, -0.0703125),
+}
+_CU_FRAC = (
+    "CAST(FLOOR(({u} + 0.5e0) / 2e0 - 0.5e0) AS BIGINT)",
+    "(({u} + 0.5e0) / 2e0 - 0.5e0) - CAST(FLOOR(({u} + 0.5e0) / 2e0 - 0.5e0) AS BIGINT)",
+)
+
+
+def _cu_w(frac_col: str, k: int) -> str:
+    return (f"(CASE WHEN {frac_col} = 0.25e0 THEN {_CU_W[0.25][k]!r}e0 "
+            f"ELSE {_CU_W[0.75][k]!r}e0 END)")
+
+
+def _cu_value_expr(vfmt: str) -> str:
+    terms = [
+        f"{_cu_w('fr', i)} * {_cu_w('fc', j)} * {vfmt.format(i=i, j=j)}"
+        for i in range(4) for j in range(4)
+    ]
+    return " + ".join(terms)
+
+
+@Q.register(
+    "resample_cubic",
+    f"WITH {_RAS}, "
+    "up AS (SELECT a.a AS urow, b.b AS ucol FROM range(4, 230) a(a), range(4, 230) b(b)), "
+    f"cu AS (SELECT urow, ucol, {_CU_FRAC[0].format(u='urow')} AS r0, "
+    f"{_CU_FRAC[1].format(u='urow')} AS fr, "
+    f"{_CU_FRAC[0].format(u='ucol')} AS c0, {_CU_FRAC[1].format(u='ucol')} AS fc FROM up) "
+    f"SELECT b.urow, b.ucol, {_cu_value_expr('v{i}{j}.value')} AS value FROM cu b "
+    + " ".join(
+        f"JOIN ras v{i}{j} ON v{i}{j}.row = b.r0 + {i - 1} AND v{i}{j}.col = b.c0 + {j - 1}"
+        for i in range(4) for j in range(4)
+    )
+    + " WHERE "
+    + " AND ".join(
+        f"v{i}{j}.value != {NODATA!r}e0" for i in range(4) for j in range(4)
+    )
+    + " ORDER BY b.urow, b.ucol",
+)
+def q_resample_cubic(spark, sf):
+    cells = R.explode_cells(_dem(spark))
+    up = (
+        spark.range(4, 230).selectExpr("id AS urow")
+        .crossJoin(spark.range(4, 230).selectExpr("id AS ucol"))
+        .selectExpr(
+            "urow", "ucol",
+            f"{_CU_FRAC[0].format(u='urow')} AS r0",
+            f"{_CU_FRAC[1].format(u='urow')} AS fr",
+            f"{_CU_FRAC[0].format(u='ucol')} AS c0",
+            f"{_CU_FRAC[1].format(u='ucol')} AS fc",
+        )
+    )
+    j = up
+    conds = []
+    for i in range(4):
+        for jj in range(4):
+            s = cells.select(
+                (F.col("row") - (i - 1)).alias("r0"),
+                (F.col("col") - (jj - 1)).alias("c0"),
+                F.col("value").alias(f"_v{i}{jj}"),
+            )
+            j = j.join(s, ["r0", "c0"])
+            conds.append(F.col(f"_v{i}{jj}") != _ND)
+    w = conds[0]
+    for c in conds[1:]:
+        w = w & c
+    return j.where(w).select(
+        "urow", "ucol",
+        F.expr(_cu_value_expr("_v{i}{j}")).alias("value"),
+    ).orderBy("urow", "ucol")
+
+
 # -- binary morphology (§2.5 LineThinning family base ops: erode/dilate) ------
 # indicator = value > 100; erode = min over the available 3x3 window,
 # dilate = max (FilterMin/FilterMax over a binary image).
@@ -1697,6 +1775,77 @@ def q_stretch_percentile(spark, sf):
     return (
         cells.crossJoin(F.broadcast(m))
         .select("row", "col", F.round(v, 6).cast("double").alias("value"))
+        .orderBy("row", "col")
+    )
+
+
+# -- sigmoidal contrast stretch (§2.13; SigmoidalContrastStretch.java:251) ----
+_SIG = "(1e0 / (1e0 + EXP(-({x}))))"
+_SIG_EXPR = (
+    f"(({_SIG.format(x='4e0 * ((value - l) / (h - l) - 0.5e0)')} "
+    f"- {_SIG.format(x='-(4e0 * 0.5e0)')}) "
+    f"/ ({_SIG.format(x='4e0 * 0.5e0')} - {_SIG.format(x='-(4e0 * 0.5e0)')}))"
+)
+
+
+@Q.register(
+    "stretch_sigmoidal",
+    f"""WITH {_RAS}, live AS (SELECT * FROM ras WHERE value != {NODATA!r}e0),
+m AS (SELECT MIN(value) AS l, MAX(value) AS h FROM live)
+SELECT row, col,
+  (FLOOR({_SIG_EXPR} * 255e0 * 1e6 + 0.5e0) / 1e6) AS value
+FROM live, m ORDER BY row, col""",
+)
+def q_stretch_sigmoidal(spark, sf):
+    cells = R.explode_cells(_dem(spark)).where(F.col("value") != _ND)
+    m = cells.agg(F.min("value").alias("l"), F.max("value").alias("h"))
+    return (
+        cells.crossJoin(F.broadcast(m))
+        .select(
+            "row", "col",
+            F.expr(f"FLOOR({_SIG_EXPR} * 255e0 * 1e6 + 0.5e0) / 1e6").alias("value"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+# -- BCET balance contrast enhancement (§2.13; Guo 1991 parabola mapping
+# min->0, mean->110, max->255 from the exact integer-free dyadic moments) -----
+_BCET_B = (
+    "((h * h * 110e0 - s * 255e0 + l * l * 145e0) "
+    "/ (2e0 * (h * 110e0 - e * 255e0 + l * 145e0)))"
+)
+_BCET_Y = (
+    f"(255e0 / ((h - l) * (h + l - 2e0 * {_BCET_B}))) "
+    f"* ((value - {_BCET_B}) * (value - {_BCET_B}) - (l - {_BCET_B}) * (l - {_BCET_B}))"
+)
+
+
+@Q.register(
+    "stretch_bcet",
+    f"""WITH {_RAS}, live AS (SELECT * FROM ras WHERE value != {NODATA!r}e0),
+m AS (SELECT MIN(value) AS l, MAX(value) AS h,
+      SUM(value) / COUNT(*) AS e, SUM(value * value) / COUNT(*) AS s FROM live)
+SELECT row, col, (FLOOR(({_BCET_Y}) * 1e6 + 0.5e0) / 1e6) AS value
+FROM live, m ORDER BY row, col""",
+)
+def q_stretch_bcet(spark, sf):
+    """BCET: y = a(x-b)^2 + c with the parabola pinned at (min, 0),
+    (mean, 110), (max, 255).  The dyadic synthetic raster keeps SUM(v) and
+    SUM(v*v) exact regardless of aggregation order, so b/a/c derive
+    bit-identically cross-engine; round(6) absorbs the division chain."""
+    cells = R.explode_cells(_dem(spark)).where(F.col("value") != _ND)
+    m = cells.agg(
+        F.min("value").alias("l"), F.max("value").alias("h"),
+        (F.sum("value") / F.count(F.lit(1))).alias("e"),
+        (F.sum(F.col("value") * F.col("value")) / F.count(F.lit(1))).alias("s"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(m))
+        .select(
+            "row", "col",
+            F.expr(f"FLOOR(({_BCET_Y}) * 1e6 + 0.5e0) / 1e6").alias("value"),
+        )
         .orderBy("row", "col")
     )
 

@@ -283,6 +283,31 @@ def q_zscores(spark, sf):
     return stats.zscores(spark.read.parquet(f"{sf}/events.parquet"), "event_id", "value")
 
 
+def _ks_oracle() -> str:
+    mu = "(CAST(s1 AS DOUBLE) / nn / 100e0)"
+    sd = "(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nn) / (nn - 1)) / 100e0)"
+    z = f"((CAST(bin AS DOUBLE) / 100e0 - {mu}) / {sd})"
+    phi = stats.phi_sql(z)
+    gap = (
+        f"GREATEST(ABS(CAST(cum AS DOUBLE) / nn - {phi}), "
+        f"ABS({phi} - CAST(cum - n AS DOUBLE) / nn))"
+    )
+    return f"""WITH b AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS bin FROM events),
+h AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1),
+m AS (SELECT CAST(SUM(bin * n) AS BIGINT) AS s1,
+      CAST(SUM(bin * bin * n) AS BIGINT) AS s2, CAST(SUM(n) AS BIGINT) AS nn FROM h),
+c AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h)
+SELECT nn AS n, FLOOR(MAX({gap}) * 1e6 + 0.5e0) / 1e6 AS d
+FROM c, m GROUP BY nn"""
+
+
+@Q.register("ks_normality", _ks_oracle())
+def q_ks_normality(spark, sf):
+    """TestForNormality.java: one-sample K-S statistic vs the fitted normal."""
+    return stats.ks_normality(spark.read.parquet(f"{sf}/events.parquet"), "value")
+
+
 @Q.register(
     "cdf",
     """WITH h AS (SELECT CAST(floor(value / 25.0e0) AS BIGINT) AS bin, COUNT(*) AS n
