@@ -60,6 +60,44 @@ def q_feature_metrics(spark, sf):
     return V.feature_metrics(spark).orderBy("poly_id")
 
 
+# -- extended patch-shape metrics (§2.4; the PatchShapeTools 12-metric family:
+# PerimeterAreaRatio.java, ShapeComplexityIndex, FractalDimension.java,
+# RelatedCircumscribingCircle family).  Derived from the ROUNDED per-feature
+# area/perimeter so both engines transform identical inputs; round(6) absorbs
+# the LN/SQRT transcendentals.
+_PM = {
+    "par": "(perimeter / area)",
+    "shape_index": "(perimeter / (2e0 * SQRT(PI() * area)))",
+    "frac_dim": "(2e0 * LN(0.25e0 * perimeter) / LN(area))",
+    "circularity": "(4e0 * PI() * area / (perimeter * perimeter))",
+}
+
+
+@Q.register(
+    "patch_metrics",
+    f"WITH {_VTX}, {_RING_AGG}, "
+    "per AS (SELECT poly_id, "
+    "SUM(CASE WHEN ring = 0 THEN ABS(signed_area) ELSE -ABS(signed_area) END) AS rawa, "
+    "SUM(perim) AS rawp FROM rings GROUP BY 1), "
+    "r6 AS (SELECT poly_id, CAST(ROUND(rawa, 6) AS DOUBLE) AS area, "
+    "CAST(ROUND(rawp, 6) AS DOUBLE) AS perimeter FROM per) "
+    "SELECT poly_id, "
+    + ", ".join(
+        f"(FLOOR({e} * 1e6 + 0.5e0) / 1e6) AS {k}" for k, e in _PM.items()
+    )
+    + " FROM r6 ORDER BY poly_id",
+)
+def q_patch_metrics(spark, sf):
+    base = V.feature_metrics(spark).select("poly_id", "area", "perimeter")
+    return base.select(
+        "poly_id",
+        *[
+            F.expr(f"FLOOR({e} * 1e6 + 0.5e0) / 1e6").alias(k)
+            for k, e in _PM.items()
+        ],
+    ).orderBy("poly_id")
+
+
 @Q.register(
     "dissolve_stats",
     f"WITH {_VTX}, {_RING_AGG}, "
@@ -510,6 +548,98 @@ def q_sym_difference_area(spark, sf):
     from .operators.overlay import sym_difference_areas
 
     return sym_difference_areas(spark)
+
+
+# -- polygon x polygon spatial predicates (§2.2;
+# IsolateVectorFeaturesByLocation.java:240-261 predicate modes over two
+# polygon layers): classification from the SH pair areas — disjoint /
+# overlaps / contains / within (area tolerance 1e-9, shared).
+@Q.register(
+    "spatial_predicates",
+    f"WITH {_sh_oracle_ctes()}, {_SUBJ_AREA_CTE}, "
+    "clip_a AS (SELECT clip_id, SUM(ax * by - bx * ay) / 2e0 AS ca FROM ce GROUP BY 1), "
+    f"sb AS (SELECT poly_id, xmin, ymin, xmax, ymax FROM {bbox_sql_values()} "
+    "t(poly_id, category, xmin, ymin, xmax, ymax)), "
+    "cbb AS (SELECT clip_id, MIN(ax) AS cxmin, MIN(ay) AS cymin, "
+    "MAX(ax) AS cxmax, MAX(ay) AS cymax FROM ce GROUP BY 1), "
+    "cand AS (SELECT s.poly_id, c.clip_id FROM sb s JOIN cbb c "
+    "ON s.xmin <= c.cxmax AND s.xmax >= c.cxmin AND s.ymin <= c.cymax AND s.ymax >= c.cymin) "
+    "SELECT d.poly_id, d.clip_id, "
+    "CASE WHEN COALESCE(p.raw_area, 0e0) <= 1e-9 THEN 'disjoint' "
+    "WHEN c.ca - p.raw_area <= 1e-9 THEN 'contains' "
+    "WHEN s.sa - p.raw_area <= 1e-9 THEN 'within' "
+    "ELSE 'overlaps' END AS predicate "
+    "FROM cand d JOIN subj_area s ON s.poly_id = d.poly_id "
+    "JOIN clip_a c ON c.clip_id = d.clip_id "
+    "LEFT JOIN pair_area p ON p.poly_id = d.poly_id AND p.clip_id = d.clip_id "
+    "ORDER BY d.poly_id, d.clip_id",
+)
+def q_spatial_predicates(spark, sf):
+    from .operators.overlay import (
+        _candidate_pairs, _pair_raw_areas, clip_areas, subject_areas,
+    )
+
+    raw = _pair_raw_areas(spark)
+    cand = _candidate_pairs(spark).select("poly_id", "clip_id")
+    sa = subject_areas(spark)
+    ca = clip_areas(spark)
+    pred = (
+        F.when(F.coalesce(F.col("_raw"), F.lit(0.0)) <= 1e-9, F.lit("disjoint"))
+        .when(F.col("_ca") - F.col("_raw") <= 1e-9, F.lit("contains"))
+        .when(F.col("_sa") - F.col("_raw") <= 1e-9, F.lit("within"))
+        .otherwise(F.lit("overlaps"))
+    )
+    return (
+        cand.join(raw, ["poly_id", "clip_id"], "left")
+        .join(F.broadcast(sa), "poly_id")
+        .join(F.broadcast(ca), "clip_id")
+        .select("poly_id", "clip_id", pred.alias("predicate"))
+        .orderBy("poly_id", "clip_id")
+    )
+
+
+# -- GML export (§2.1; ExportGML.java:315): polygon geometry serialized as
+# GML 2 with FIXED-POINT micro-degree coordinates (integer strings, so both
+# engines render byte-identical text — float formatting differs otherwise).
+def _gml_c(x: str) -> str:
+    return f"CAST(CAST(ROUND({x} * 1e6) AS BIGINT) AS STRING)"
+
+
+@Q.register(
+    "gml_export",
+    f"WITH {_VTX}, "
+    "rc AS (SELECT poly_id, ring, "
+    "STRING_AGG(CAST(CAST(ROUND(x * 1e6) AS BIGINT) AS VARCHAR) || ',' || "
+    "CAST(CAST(ROUND(y * 1e6) AS BIGINT) AS VARCHAR), ' ' ORDER BY vi) AS coords "
+    "FROM vtx GROUP BY 1, 2), "
+    "rs AS (SELECT poly_id, STRING_AGG(CASE WHEN ring = 0 "
+    "THEN '<gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>' || coords || "
+    "'</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>' "
+    "ELSE '<gml:innerBoundaryIs><gml:LinearRing><gml:coordinates>' || coords || "
+    "'</gml:coordinates></gml:LinearRing></gml:innerBoundaryIs>' END, '' ORDER BY ring) AS body "
+    "FROM rc GROUP BY 1) "
+    "SELECT poly_id, '<gml:Polygon>' || body || '</gml:Polygon>' AS gml "
+    "FROM rs ORDER BY poly_id",
+)
+def q_gml_export(spark, sf):
+    from .sources.polygons import polygons_df
+
+    df = polygons_df(spark)
+    ring_str = (
+        "array_join(transform(r, p -> concat("
+        f"{_gml_c('p[0]')}, ',', {_gml_c('p[1]')})), ' ')"
+    )
+    body = (
+        "array_join(transform(rings, (r, i) -> CASE WHEN i = 0 "
+        f"THEN concat('<gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>', {ring_str}, "
+        "'</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>') "
+        f"ELSE concat('<gml:innerBoundaryIs><gml:LinearRing><gml:coordinates>', {ring_str}, "
+        "'</gml:coordinates></gml:LinearRing></gml:innerBoundaryIs>') END), '')"
+    )
+    return df.select(
+        "poly_id",
+        F.expr(f"concat('<gml:Polygon>', {body}, '</gml:Polygon>')").alias("gml"),
+    ).orderBy("poly_id")
 
 
 @Q.register(
