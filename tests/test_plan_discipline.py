@@ -29,12 +29,14 @@ CROSSJOIN_ALLOW = [
      "bounded range x range grid generator (resample target grid)"),
     (r"queries_raster\.py", r"\.crossJoin\(spark\.range\(1, 118\)",
      "bounded range x range grid generator (bilinear target grid)"),
+    (r"queries_raster\.py", r"\.crossJoin\(spark\.range\(4, 230\)",
+     "bounded range x range grid generator (cubic target grid)"),
     (r"queries_vector\.py", r"crossJoin\(F\.broadcast\(m\)\)",
      "1-row moment aggregate (Moran's I mu/n)"),
     (r"queries_vector\.py", r"pts\.crossJoin\(F\.broadcast\(seeds\)\)",
      "fixed-k seed table (kmeans_step, constant _SEEDS)"),
-    (r"queries_vector\.py", r"pts\.crossJoin\(F\.broadcast\(cents\)\)",
-     "fixed-k centroid table (iterated kmeans, k constant)"),
+    (r"queries_vector\.py", r"pts\.crossJoin\(F\.broadcast\(cents\d?\)\)",
+     "fixed-k centroid tables (iterated kmeans / ISODATA, k constant)"),
     (r"operators/stats\.py", r"crossJoin\(F\.broadcast\((m|total|pe|bnd|comp)\)\)",
      "1-row aggregate scalars / <=buckets-row boundary tables"),
     (r"operators/vector\.py", r"crossJoin\(F\.broadcast\(e\)\)",

@@ -541,3 +541,261 @@ SELECT tile_id, krig, n_used FROM ({union}) WHERE n_used >= 2 ORDER BY tile_id""
 @Q.register("kriging", _kriging_oracle_sql())
 def q_kriging(spark, sf):
     return zonal.kriging_at_cell_centers(Q._points(spark, sf))
+
+
+# -- local polynomial interpolation (§2.9;
+# LocalPolynomialInterpolation.java:430, order-1): per tile center, an OLS
+# plane over the 3x3-ring candidate points, solved closed-form (Cramer) from
+# EXACT integer moments — coordinates and values quantize to milli units so
+# every sum is an exact BIGINT cross-engine; the determinant arithmetic is
+# then a fixed deterministic double chain.
+_LP_CAND = f"""centers AS (
+  SELECT DISTINCT tile_x, tile_y, tile_id,
+         (tile_x + 0.5e0) * {exprs.D(exprs.TILE_SIZE)} AS cx,
+         (tile_y + 0.5e0) * {exprs.D(exprs.TILE_SIZE)} AS cy
+  FROM pts
+), loffs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)),
+lcand AS (
+  SELECT c.tile_id, c.cx, c.cy,
+    CAST(ROUND(p.lon * 1000e0) AS BIGINT) AS xm,
+    CAST(ROUND(p.lat * 1000e0) AS BIGINT) AS ym,
+    CAST(ROUND(p.val * 1000e0) AS BIGINT) AS zm
+  FROM centers c JOIN loffs o ON c.tile_x + o.dx >= 0 AND c.tile_x + o.dx < {exprs.TILE_COLS}
+   AND c.tile_y + o.dy >= 0 AND c.tile_y + o.dy < {exprs.TILE_ROWS}
+  JOIN pts p ON p.tile_id = (c.tile_y + o.dy) * {exprs.TILE_COLS} + (c.tile_x + o.dx)
+),
+lmom AS (
+  SELECT tile_id, MAX(cx) AS cx, MAX(cy) AS cy, COUNT(*) AS s1,
+    CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
+    CAST(SUM(xm * xm) AS BIGINT) AS sxx, CAST(SUM(xm * ym) AS BIGINT) AS sxy,
+    CAST(SUM(ym * ym) AS BIGINT) AS syy, CAST(SUM(zm) AS BIGINT) AS sz,
+    CAST(SUM(xm * zm) AS BIGINT) AS sxz, CAST(SUM(ym * zm) AS BIGINT) AS syz
+  FROM lcand GROUP BY 1
+)"""
+_LP_D = ("(s1 * (CAST(sxx AS DOUBLE) * syy - CAST(sxy AS DOUBLE) * sxy) "
+         "- CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) * syy - CAST(sxy AS DOUBLE) * sy) "
+         "+ CAST(sy AS DOUBLE) * (CAST(sx AS DOUBLE) * sxy - CAST(sxx AS DOUBLE) * sy))")
+_LP_DA = ("(sz * (CAST(sxx AS DOUBLE) * syy - CAST(sxy AS DOUBLE) * sxy) "
+          "- CAST(sx AS DOUBLE) * (CAST(sxz AS DOUBLE) * syy - CAST(sxy AS DOUBLE) * syz) "
+          "+ CAST(sy AS DOUBLE) * (CAST(sxz AS DOUBLE) * sxy - CAST(sxx AS DOUBLE) * syz))")
+_LP_DB = ("(s1 * (CAST(sxz AS DOUBLE) * syy - CAST(sxy AS DOUBLE) * syz) "
+          "- CAST(sz AS DOUBLE) * (CAST(sx AS DOUBLE) * syy - CAST(sxy AS DOUBLE) * sy) "
+          "+ CAST(sy AS DOUBLE) * (CAST(sx AS DOUBLE) * syz - CAST(sxz AS DOUBLE) * sy))")
+_LP_DC = ("(s1 * (CAST(sxx AS DOUBLE) * syz - CAST(sxz AS DOUBLE) * sxy) "
+          "- CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) * syz - CAST(sxz AS DOUBLE) * sy) "
+          "+ CAST(sz AS DOUBLE) * (CAST(sx AS DOUBLE) * sxy - CAST(sxx AS DOUBLE) * sy))")
+_LP_PRED = (
+    f"(({_LP_DA} + {_LP_DB} * (cx * 1000e0) + {_LP_DC} * (cy * 1000e0)) "
+    f"/ {_LP_D} / 1000e0)"
+)
+
+
+@Q.register(
+    "local_poly",
+    f"""{_PTS}, {_LP_CAND}
+SELECT tile_id, (FLOOR({_LP_PRED} * 1e6 + 0.5e0) / 1e6) AS zhat, s1 AS n_used
+FROM lmom WHERE s1 >= 3 AND ABS({_LP_D}) > 1e-6 ORDER BY tile_id""",
+)
+def q_local_poly(spark, sf):
+    pts = Q._points(spark, sf)
+    centers = (
+        pts.select("tile_x", "tile_y", "tile_id").distinct()
+        .withColumn("cx", (F.col("tile_x") + 0.5) * exprs.TILE_SIZE)
+        .withColumn("cy", (F.col("tile_y") + 0.5) * exprs.TILE_SIZE)
+    )
+    from .functions.cells import explode_k_ring
+
+    p = pts.select(
+        F.col("tile_id").alias("p_tile"),
+        F.round(F.col("lon") * 1000.0).cast("long").alias("xm"),
+        F.round(F.col("lat") * 1000.0).cast("long").alias("ym"),
+        F.round(F.col("val") * 1000.0).cast("long").alias("zm"),
+    )
+    lcand = explode_k_ring(centers, 1).join(
+        p, F.col("nbr_tile_id") == F.col("p_tile"), "inner"
+    )
+    lmom = lcand.groupBy("tile_id").agg(
+        F.max("cx").alias("cx"), F.max("cy").alias("cy"),
+        F.count(F.lit(1)).alias("s1"),
+        F.sum("xm").alias("sx"), F.sum("ym").alias("sy"),
+        F.sum(F.col("xm") * F.col("xm")).alias("sxx"),
+        F.sum(F.col("xm") * F.col("ym")).alias("sxy"),
+        F.sum(F.col("ym") * F.col("ym")).alias("syy"),
+        F.sum("zm").alias("sz"),
+        F.sum(F.col("xm") * F.col("zm")).alias("sxz"),
+        F.sum(F.col("ym") * F.col("zm")).alias("syz"),
+    )
+    return (
+        lmom.where((F.col("s1") >= 3) & (F.expr(f"ABS({_LP_D})") > 1e-6))
+        .select(
+            "tile_id",
+            F.expr(f"FLOOR({_LP_PRED} * 1e6 + 0.5e0) / 1e6").alias("zhat"),
+            F.col("s1").alias("n_used"),
+        )
+        .orderBy("tile_id")
+    )
+
+
+# -- TIN construction (§2.9; Scripts/ConstructTIN.groovy:31): Delaunay
+# triangles by the DEFINING property — a site triple is a Delaunay triangle
+# iff no other site lies strictly inside its circumcircle.  At layer scale
+# this is the O(n^4) predicate evaluated as joins (the decomposition is the
+# definition, trivially parallel); the documented 100x path is block-local
+# Bowyer-Watson + boundary-strip merge, with this predicate as its checker.
+_TIN_MOD = 29
+_TIN_AREA2 = "((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1))"
+
+
+def _tin_incircle(qx: str, qy: str) -> str:
+    d = {}
+    for i in (1, 2, 3):
+        d[f"dx{i}"] = f"(x{i} - {qx})"
+        d[f"dy{i}"] = f"(y{i} - {qy})"
+        d[f"ds{i}"] = f"({d[f'dx{i}']} * {d[f'dx{i}']} + {d[f'dy{i}']} * {d[f'dy{i}']})"
+    return (
+        f"({d['dx1']} * ({d['dy2']} * {d['ds3']} - {d['dy3']} * {d['ds2']}) "
+        f"- {d['dy1']} * ({d['dx2']} * {d['ds3']} - {d['dx3']} * {d['ds2']}) "
+        f"+ {d['ds1']} * ({d['dx2']} * {d['dy3']} - {d['dx3']} * {d['dy2']}))"
+    )
+
+
+@Q.register(
+    "tin_triangles",
+    f"""{_PTS}, ts AS (SELECT doc_id AS sid, lon AS x, lat AS y FROM pts
+  WHERE doc_id % {_TIN_MOD} = 0),
+tri AS (
+  SELECT a.sid AS s1, b.sid AS s2, c.sid AS s3,
+         a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2, c.x AS x3, c.y AS y3
+  FROM ts a JOIN ts b ON b.sid > a.sid JOIN ts c ON c.sid > b.sid
+  WHERE ABS({_TIN_AREA2}) > 1e-12
+)
+SELECT s1, s2, s3 FROM tri t
+WHERE NOT EXISTS (
+  SELECT 1 FROM ts q
+  WHERE q.sid NOT IN (t.s1, t.s2, t.s3)
+    AND {_TIN_AREA2} * {_tin_incircle('q.x', 'q.y')} > 0e0
+)
+ORDER BY s1, s2, s3""",
+)
+def q_tin_triangles(spark, sf):
+    pts = Q._points(spark, sf)
+    ts = pts.where(F.col("doc_id") % _TIN_MOD == 0).select(
+        F.col("doc_id").alias("sid"), F.col("lon").alias("x"), F.col("lat").alias("y")
+    )
+    a = ts.select(F.col("sid").alias("s1"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = ts.select(F.col("sid").alias("s2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    c = ts.select(F.col("sid").alias("s3"), F.col("x").alias("x3"), F.col("y").alias("y3"))
+    tri = (
+        a.join(b, F.col("s2") > F.col("s1"))
+        .join(c, F.col("s3") > F.col("s2"))
+        .where(F.expr(f"ABS({_TIN_AREA2}) > 1e-12"))
+    )
+    q = ts.select(F.col("sid").alias("qid"), F.col("x").alias("qx"), F.col("y").alias("qy"))
+    bad = tri.join(
+        F.broadcast(q),
+        F.expr(
+            f"qid NOT IN (s1, s2, s3) AND {_TIN_AREA2} * {_tin_incircle('qx', 'qy')} > 0e0"
+        ),
+        "left_semi",
+    )
+    return (
+        tri.join(bad.select("s1", "s2", "s3"), ["s1", "s2", "s3"], "left_anti")
+        .select("s1", "s2", "s3")
+        .orderBy("s1", "s2", "s3")
+    )
+
+
+# -- LiDAR ground filter (§2.14; RemoveOffTerrainObjects.java semantics,
+# morphological variant): a point is ground iff its height above the 3x3
+# tile-ring minimum surface is <= dz — the opening-by-minimum test.  Exact:
+# vals are milli-scaled, min/subtraction/compare all dyadic-free integers.
+_LG_DZ = "2e0"
+
+
+@Q.register(
+    "lidar_ground",
+    f"""{_PTS}, tmin AS (SELECT tile_x, tile_y, MIN(val) AS tmin FROM pts GROUP BY 1, 2),
+loffs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)),
+ringmin AS (SELECT c.tile_x, c.tile_y, MIN(n.tmin) AS rmin
+  FROM tmin c JOIN loffs o ON TRUE
+  JOIN tmin n ON n.tile_x = c.tile_x + o.dx AND n.tile_y = c.tile_y + o.dy
+  GROUP BY 1, 2)
+SELECT p.doc_id, (p.val - r.rmin) <= {_LG_DZ} AS is_ground
+FROM pts p JOIN ringmin r ON r.tile_x = p.tile_x AND r.tile_y = p.tile_y
+ORDER BY p.doc_id""",
+)
+def q_lidar_ground(spark, sf):
+    pts = Q._points(spark, sf)
+    tmin = pts.groupBy("tile_x", "tile_y").agg(F.min("val").alias("tmin"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    probe = tmin.withColumn("_o", F.explode(offs)).select(
+        (F.col("tile_x") + F.col("_o.dx")).alias("_nx"),
+        (F.col("tile_y") + F.col("_o.dy")).alias("_ny"),
+        "tmin",
+    )
+    ringmin = (
+        probe.groupBy(F.col("_nx").alias("tile_x"), F.col("_ny").alias("tile_y"))
+        .agg(F.min("tmin").alias("rmin"))
+        .join(tmin.select("tile_x", "tile_y"), ["tile_x", "tile_y"], "left_semi")
+    )
+    return (
+        pts.join(ringmin, ["tile_x", "tile_y"], "inner")
+        .select(
+            "doc_id",
+            ((F.col("val") - F.col("rmin")) <= F.expr(_LG_DZ)).alias("is_ground"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- LiDAR segmentation (§2.14; LiDAR_segmentation.java, region growing —
+# here the deterministic elevation-band variant: occupied tiles with the
+# same mean-elevation band grow into 4-connected segments).
+_LS_BAND = "200e0"  # milli-val band width
+
+
+@Q.register(
+    "lidar_segments",
+    f"""WITH RECURSIVE {Q.pts_cte()},
+tm AS (SELECT tile_x, tile_y, COUNT(*) AS n_pts,
+       CAST(SUM(CAST(ROUND(val * 1000e0) AS BIGINT)) AS BIGINT) AS smilli
+       FROM pts GROUP BY 1, 2),
+tcls AS (SELECT tile_x, tile_y, n_pts,
+  CAST(FLOOR(CAST(smilli AS DOUBLE) / n_pts / {_LS_BAND}) AS BIGINT) AS band,
+  tile_y * {exprs.TILE_COLS} + tile_x AS id FROM tm),
+tadj AS (SELECT a.id, b.id AS nid FROM tcls a JOIN tcls b
+  ON a.band = b.band AND ABS(a.tile_x - b.tile_x) + ABS(a.tile_y - b.tile_y) <= 1),
+treach(id, rid) AS (SELECT id, id FROM tcls UNION
+  SELECT r.id, a.nid FROM treach r JOIN tadj a ON a.id = r.rid),
+tlab AS (SELECT id, MIN(rid) AS label FROM treach GROUP BY 1)
+SELECT l.label, COUNT(*) AS n_tiles, CAST(SUM(c.n_pts) AS BIGINT) AS n_points
+FROM tcls c JOIN tlab l USING (id) GROUP BY 1 ORDER BY 1""",
+)
+def q_lidar_segments(spark, sf):
+    from .operators.clump import clump
+
+    pts = Q._points(spark, sf)
+    tm = pts.groupBy("tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(F.round(F.col("val") * 1000.0).cast("long")).alias("smilli"),
+    )
+    tcls = tm.select(
+        F.col("tile_y").alias("row"), F.col("tile_x").alias("col"), "n_pts",
+        F.expr(f"CAST(FLOOR(CAST(smilli AS DOUBLE) / n_pts / {_LS_BAND}) AS BIGINT)")
+        .alias("cls"),
+    )
+    lab = clump(tcls.select("row", "col", "cls"), exprs.TILE_COLS)
+    return (
+        lab.join(
+            tcls.select("row", "col", "n_pts"), ["row", "col"], "inner"
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("n_pts").alias("n_points"),
+        )
+        .orderBy("label")
+    )

@@ -767,6 +767,41 @@ def _km_oracle() -> str:
     return ", ".join(parts)
 
 
+def _lloyd_rounds(spark, pts, cents, iters):
+    out = None
+    for _ in range(iters):
+        d2 = (F.col("lon") - F.col("sx")) * (F.col("lon") - F.col("sx")) + (
+            F.col("lat") - F.col("sy")
+        ) * (F.col("lat") - F.col("sy"))
+        assigned = (
+            pts.crossJoin(F.broadcast(cents))
+            .select("doc_id", "lon", "lat", d2.alias("_d2"), "sid")
+            .groupBy("doc_id", "lon", "lat")
+            .agg(F.expr("min_by(sid, struct(_d2, sid))").alias("sid"))
+        )
+        out = assigned.groupBy("sid").agg(
+            F.round(F.sum("lon") / F.count(F.lit(1)), 6).alias("sx"),
+            F.round(F.sum("lat") / F.count(F.lit(1)), 6).alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        cents = out.select("sid", "sx", "sy")
+    return out, cents, assigned
+
+
+# ISODATA thresholds (ISODATA.java merge/split passes): tuned so BOTH passes
+# trigger on the synthetic layer (closest seeds3 pair d2 ~ 17.6k; widest
+# cluster sd ~ 62) — the decision arithmetic is shared verbatim with the SQL.
+_ISO_MERGE_D2 = 20000.0
+_ISO_SPLIT_SD = 40.0
+
+
+def _r6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+
 @Q.register(
     "kmeans_iterated",
     f"{_PTS}, {_km_oracle()} "
@@ -796,6 +831,148 @@ def q_kmeans_iterated(spark, sf):
         )
         cents = out.select("sid", "sx", "sy")
     return out.select(
+        "sid", "n",
+        F.col("sx").cast("double").alias("cx"),
+        F.col("sy").cast("double").alias("cy"),
+    ).orderBy("sid")
+
+
+def _iso_asg_sql(cent: str, name: str) -> str:
+    return (
+        f"{name} AS (SELECT doc_id, lon, lat, sid FROM ("
+        "SELECT p.doc_id, p.lon, p.lat, s.sid, "
+        "ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY "
+        "(p.lon - s.sx) * (p.lon - s.sx) + (p.lat - s.sy) * (p.lat - s.sy), s.sid) AS rn "
+        f"FROM pts p CROSS JOIN {cent} s) WHERE rn = 1)"
+    )
+
+
+def _isodata_oracle() -> str:
+    S = f"seeds{_KM_ITERS}"
+    md, sd = f"{_ISO_MERGE_D2!r}e0", f"{_ISO_SPLIT_SD!r}e0"
+    xm = "CAST(ROUND(lon * 1000e0) AS BIGINT)"
+    ym = "CAST(ROUND(lat * 1000e0) AS BIGINT)"
+    return f"""{_km_oracle()},
+prm AS (SELECT a.sid AS s1, b.sid AS s2, a.n AS n1, b.n AS n2,
+  a.sx AS x1, a.sy AS y1, b.sx AS x2, b.sy AS y2,
+  (a.sx - b.sx) * (a.sx - b.sx) + (a.sy - b.sy) * (a.sy - b.sy) AS d2
+  FROM {S} a JOIN {S} b ON b.sid > a.sid),
+mb AS (SELECT * FROM prm ORDER BY d2, s1, s2 LIMIT 1),
+mrg AS (SELECT s.sid, s.sx, s.sy FROM {S} s, mb
+        WHERE mb.d2 >= {md} OR (s.sid != mb.s1 AND s.sid != mb.s2)
+  UNION ALL
+  SELECT s1, FLOOR((n1 * x1 + n2 * x2) / (n1 + n2) * 1e6 + 0.5e0) / 1e6,
+         FLOOR((n1 * y1 + n2 * y2) / (n1 + n2) * 1e6 + 0.5e0) / 1e6
+  FROM mb WHERE d2 < {md}),
+{_iso_asg_sql('mrg', 'asgm')},
+istat AS (SELECT sid, COUNT(*) AS n,
+  CAST(SUM({xm}) AS BIGINT) AS sxm, CAST(SUM({xm} * {xm}) AS BIGINT) AS sxxm,
+  CAST(SUM({ym}) AS BIGINT) AS sym, CAST(SUM({ym} * {ym}) AS BIGINT) AS syym
+  FROM asgm GROUP BY 1),
+isd AS (SELECT sid,
+  SQRT((CAST(sxxm AS DOUBLE) - CAST(sxm AS DOUBLE) * sxm / n) / n) / 1000e0 AS sdx,
+  SQRT((CAST(syym AS DOUBLE) - CAST(sym AS DOUBLE) * sym / n) / n) / 1000e0 AS sdy
+  FROM istat),
+sb AS (SELECT d.sid, m.sx AS scx, m.sy AS scy, GREATEST(sdx, sdy) AS s, sdx >= sdy AS ax
+  FROM isd d JOIN mrg m USING (sid) ORDER BY GREATEST(sdx, sdy) DESC, d.sid LIMIT 1),
+spl AS (SELECT m.sid, m.sx, m.sy FROM mrg m, sb WHERE sb.s <= {sd} OR m.sid != sb.sid
+  UNION ALL SELECT sid,
+    CASE WHEN ax THEN FLOOR((scx - s / 2e0) * 1e6 + 0.5e0) / 1e6 ELSE scx END,
+    CASE WHEN ax THEN scy ELSE FLOOR((scy - s / 2e0) * 1e6 + 0.5e0) / 1e6 END
+    FROM sb WHERE s > {sd}
+  UNION ALL SELECT (SELECT MAX(sid) + 1 FROM mrg),
+    CASE WHEN ax THEN FLOOR((scx + s / 2e0) * 1e6 + 0.5e0) / 1e6 ELSE scx END,
+    CASE WHEN ax THEN scy ELSE FLOOR((scy + s / 2e0) * 1e6 + 0.5e0) / 1e6 END
+    FROM sb WHERE s > {sd}),
+{_iso_asg_sql('spl', 'asgf')},
+fin AS (SELECT sid, ROUND(SUM(lon) / COUNT(*), 6) AS sx,
+        ROUND(SUM(lat) / COUNT(*), 6) AS sy, COUNT(*) AS n FROM asgf GROUP BY 1)
+SELECT sid, n, CAST(sx AS DOUBLE) AS cx, CAST(sy AS DOUBLE) AS cy FROM fin ORDER BY sid"""
+
+
+@Q.register("isodata", f"{_PTS}, {_isodata_oracle()}")
+def q_isodata(spark, sf):
+    """ISODATA (§2.13; ISODATA.java:577): iterated k-means plus one MERGE
+    pass (closest centroid pair under the distance threshold collapses to
+    the size-weighted mean) and one SPLIT pass (the widest cluster, by
+    population stddev from exact milli moments, splits +-sd/2 along its
+    wider axis), then a final Lloyd update.  All decision arithmetic is the
+    identical IEEE chain the oracle SQL evaluates."""
+    import math
+
+    pts = Q._points(spark, sf).select("doc_id", "lon", "lat")
+    seeds = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(_SEEDS)], "sid int, sx double, sy double"
+    )
+    out, cents, _ = _lloyd_rounds(spark, pts, seeds, _KM_ITERS)
+    rows = {int(r["sid"]): (float(r["sx"]), float(r["sy"]), int(r["n"]))
+            for r in out.collect()}
+    sids = sorted(rows)
+    best = None
+    for i, s1 in enumerate(sids):
+        for s2 in sids[i + 1:]:
+            x1, y1, n1 = rows[s1]
+            x2, y2, n2 = rows[s2]
+            d2 = (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)
+            cand = (d2, s1, s2)
+            if best is None or cand < best:
+                best = cand
+    merged = {s: (rows[s][0], rows[s][1]) for s in sids}
+    if best is not None and best[0] < _ISO_MERGE_D2:
+        _, s1, s2 = best
+        x1, y1, n1 = rows[s1]
+        x2, y2, n2 = rows[s2]
+        merged[s1] = (
+            _r6((n1 * x1 + n2 * x2) / (n1 + n2)),
+            _r6((n1 * y1 + n2 * y2) / (n1 + n2)),
+        )
+        del merged[s2]
+    cents2 = spark.createDataFrame(
+        [(s, x, y) for s, (x, y) in sorted(merged.items())],
+        "sid int, sx double, sy double",
+    )
+    d2e = (F.col("lon") - F.col("sx")) * (F.col("lon") - F.col("sx")) + (
+        F.col("lat") - F.col("sy")
+    ) * (F.col("lat") - F.col("sy"))
+    asgm = (
+        pts.crossJoin(F.broadcast(cents2))
+        .select("doc_id", "lon", "lat", d2e.alias("_d2"), "sid")
+        .groupBy("doc_id", "lon", "lat")
+        .agg(F.expr("min_by(sid, struct(_d2, sid))").alias("sid"))
+    )
+    xm = F.round(F.col("lon") * 1000.0).cast("long")
+    ym = F.round(F.col("lat") * 1000.0).cast("long")
+    stats = asgm.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xm).alias("sxm"), F.sum(xm * xm).alias("sxxm"),
+        F.sum(ym).alias("sym"), F.sum(ym * ym).alias("syym"),
+    ).collect()
+    pick = None
+    for r in stats:
+        n = int(r["n"])
+        sdx = math.sqrt((float(r["sxxm"]) - float(r["sxm"]) * r["sxm"] / n) / n) / 1000.0
+        sdy = math.sqrt((float(r["syym"]) - float(r["sym"]) * r["sym"] / n) / n) / 1000.0
+        s = max(sdx, sdy)
+        cand = (-s, int(r["sid"]), sdx >= sdy)
+        if pick is None or cand < pick:
+            pick = cand
+    final = dict(merged)
+    if pick is not None and -pick[0] > _ISO_SPLIT_SD:
+        s, sid, ax = -pick[0], pick[1], pick[2]
+        cx, cy = merged[sid]
+        nsid = max(merged) + 1
+        if ax:
+            final[sid] = (_r6(cx - s / 2.0), cy)
+            final[nsid] = (_r6(cx + s / 2.0), cy)
+        else:
+            final[sid] = (cx, _r6(cy - s / 2.0))
+            final[nsid] = (cx, _r6(cy + s / 2.0))
+    cents3 = spark.createDataFrame(
+        [(s, x, y) for s, (x, y) in sorted(final.items())],
+        "sid int, sx double, sy double",
+    )
+    out2, _, _ = _lloyd_rounds(spark, pts, cents3, 1)
+    return out2.select(
         "sid", "n",
         F.col("sx").cast("double").alias("cx"),
         F.col("sy").cast("double").alias("cy"),
