@@ -49,6 +49,11 @@ HEADLINE = [
     "flow_accum",        # tile-local accumulation + condensed boundary solve
     "stream_order",      # junction-cut links + Strahler/Shreve/main-stem
     "utm_roundtrip",     # CRS forward+inverse staged transform
+    # round-3 additions
+    "viewshed",          # exact R3 line-of-sight (explode + corner joins)
+    "dissolve_geom",     # geometric union of touching parcels + ring trace
+    "dinf_accum",        # D-infinity split through the MFD tile machinery
+    "raster_to_lines",   # skeleton -> polyline features (junction-cut CC)
 ]
 
 

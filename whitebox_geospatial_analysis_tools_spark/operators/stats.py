@@ -160,6 +160,42 @@ def phi_sql(z: str) -> str:
     return f"(CASE WHEN {z} >= 0e0 THEN {pos} ELSE 1e0 - {pos} END)"
 
 
+def probit_sql(p: str) -> str:
+    """Inverse standard-normal CDF via Acklam's rational approximation
+    (|relative error| < 1.15e-9) — pure LN/SQRT/polynomial arithmetic,
+    identical text in both engines.  p must be in (0, 1)."""
+    A = ["-3.969683028665376e+01", "2.209460984245205e+02",
+         "-2.759285104469687e+02", "1.383577518672690e+02",
+         "-3.066479806614716e+01", "2.506628277459239e+00"]
+    B = ["-5.447609879822406e+01", "1.615858368580409e+02",
+         "-1.556989798598866e+02", "6.680131188771972e+01",
+         "-1.328068155288572e+01"]
+    C = ["-7.784894002430293e-03", "-3.223964580411365e-01",
+         "-2.400758277161838e+00", "-2.549732539343734e+00",
+         "4.374664141464968e+00", "2.938163982698783e+00"]
+    D = ["7.784695709041462e-03", "3.224671290700398e-01",
+         "2.445134137142996e+00", "3.754408661907416e+00"]
+
+    def horner(coefs, x):
+        e = coefs[0]
+        for cc in coefs[1:]:
+            e = f"({e} * {x} + {cc})"
+        return e
+
+    tail_q = "SQRT(-2e0 * LN({pp}))"
+    ql = tail_q.format(pp=p)
+    qu = tail_q.format(pp=f"(1e0 - {p})")
+    lower = f"({horner(C, ql)} / ({horner(D, ql)} * {ql} + 1e0))"
+    upper = f"(-({horner(C, qu)} / ({horner(D, qu)} * {qu} + 1e0)))"
+    qc = f"({p} - 0.5e0)"
+    rc = f"({qc} * {qc})"
+    central = f"({horner(A, rc)} * {qc} / ({horner(B, rc)} * {rc} + 1e0))"
+    return (
+        f"(CASE WHEN {p} < 0.02425e0 THEN {lower} "
+        f"WHEN {p} > 0.97575e0 THEN {upper} ELSE {central} END)"
+    )
+
+
 def ks_normality(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
     """Kolmogorov-Smirnov test against the fitted normal
     (StatsTools/src/plugins/TestForNormality.java:414): D = max over the

@@ -1779,6 +1779,49 @@ def q_stretch_percentile(spark, sf):
     )
 
 
+# -- Gaussian contrast stretch (§2.13; GaussianContrastStretch.java:366):
+# rank-normalize through the inverse normal CDF (Acklam probit, pure
+# arithmetic — stats.probit_sql) at the mid-rank ecdf position.  The ecdf
+# window runs over DISTINCT values (bounded by value-range / 2^-10 grid).
+def _gauss_stretch_sql() -> str:
+    from .operators.stats import probit_sql
+
+    p = "((CAST(cum AS DOUBLE) - 0.5e0 * cnt) / tot)"
+    return f"""WITH {_RAS}, live AS (SELECT * FROM ras WHERE value != {NODATA!r}e0),
+hb AS (SELECT value AS bin, COUNT(*) AS cnt FROM live GROUP BY 1),
+ct AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+  (SELECT SUM(cnt) FROM hb) AS tot FROM hb)
+SELECT l.row, l.col, (FLOOR({probit_sql(p)} * 1e6 + 0.5e0) / 1e6) AS z
+FROM live l JOIN ct ON ct.bin = l.value ORDER BY l.row, l.col"""
+
+
+@Q.register("stretch_gaussian", _gauss_stretch_sql())
+def q_stretch_gaussian(spark, sf):
+    from .operators.stats import probit_sql
+    from pyspark.sql import Window
+
+    cells = R.explode_cells(_dem(spark)).where(F.col("value") != _ND)
+    hb = cells.groupBy(F.col("value").alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = hb.agg(F.sum("cnt").alias("tot"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ct = (
+        hb.crossJoin(F.broadcast(total))
+        .withColumn("cum", F.sum("cnt").over(w))
+    )
+    p = "((CAST(cum AS DOUBLE) - 0.5e0 * cnt) / tot)"
+    return (
+        cells.join(ct, F.col("value") == F.col("bin"), "inner")
+        .select(
+            "row", "col",
+            F.expr(f"FLOOR({probit_sql(p)} * 1e6 + 0.5e0) / 1e6").alias("z"),
+        )
+        .orderBy("row", "col")
+    )
+
+
 # -- sigmoidal contrast stretch (§2.13; SigmoidalContrastStretch.java:251) ----
 _SIG = "(1e0 / (1e0 + EXP(-({x}))))"
 _SIG_EXPR = (
@@ -2620,6 +2663,80 @@ def q_rgb_to_hsi(spark, sf):
             f"WHEN bv > gv THEN 360e0 - DEGREES(ACOS(LEAST(GREATEST({num} / {den}, -1e0), 1e0))) "
             f"ELSE DEGREES(ACOS(LEAST(GREATEST({num} / {den}, -1e0), 1e0))) END"
         )).alias("h"),
+    ).orderBy("row", "col")
+
+
+# -- IHS -> RGB inverse transform (§2.13; IhsToRgb.java): the sector-based
+# inverse of the rgb_to_hsi formulas, exercised as a roundtrip over the three
+# synthetic bands (unrounded i/s/h in, rounded rgb out).
+def _ihs_inv_exprs() -> dict:
+    def leg(hh):
+        return f"i * (1e0 + s * COS(RADIANS({hh})) / COS(RADIANS(60e0 - ({hh}))))"
+
+    lo = "i * (1e0 - s)"
+    a_r, a_b = leg("h"), lo
+    a_g = f"3e0 * i - (({a_r}) + ({a_b}))"
+    b_g, b_r = leg("h - 120e0"), lo
+    b_b = f"3e0 * i - (({b_r}) + ({b_g}))"
+    c_b, c_g = leg("h - 240e0"), lo
+    c_r = f"3e0 * i - (({c_g}) + ({c_b}))"
+    pick = (
+        "CASE WHEN h < 120e0 THEN ({a}) WHEN h < 240e0 THEN ({b}) ELSE ({c}) END"
+    )
+    return {
+        "r2": pick.format(a=a_r, b=b_r, c=c_r),
+        "g2": pick.format(a=a_g, b=b_g, c=c_g),
+        "b2": pick.format(a=a_b, b=b_b, c=c_b),
+    }
+
+
+_HSI_NUM2 = "(0.5e0 * ((rv - gv) + (rv - bv)))"
+_HSI_DEN2 = "SQRT((rv - gv) * (rv - gv) + (rv - bv) * (gv - bv))"
+_HSI_FWD = {
+    "i": "(rv + gv + bv) / 3e0",
+    "s": "1e0 - 3e0 * LEAST(rv, gv, bv) / (rv + gv + bv)",
+    "h": (
+        f"CASE WHEN {_HSI_DEN2} = 0e0 THEN 0e0 "
+        f"WHEN bv > gv THEN 360e0 - DEGREES(ACOS(LEAST(GREATEST({_HSI_NUM2} / {_HSI_DEN2}, -1e0), 1e0))) "
+        f"ELSE DEGREES(ACOS(LEAST(GREATEST({_HSI_NUM2} / {_HSI_DEN2}, -1e0), 1e0))) END"
+    ),
+}
+
+
+@Q.register(
+    "hsi_to_rgb",
+    f"""WITH {_RAS}, {_RAS2}, ras3 AS (SELECT r.r AS row, c.c AS col, {_VAL2} AS value
+FROM range(0, {ROWS}) r(r), range(0, {COLS}) c(c)),
+hsix AS (SELECT r.row, r.col, {_HSI_FWD['i']} AS i, {_HSI_FWD['s']} AS s, {_HSI_FWD['h']} AS h
+FROM (SELECT row, col, value AS rv FROM ras) r
+JOIN (SELECT row, col, value AS gv FROM ras2) g USING (row, col)
+JOIN (SELECT row, col, value AS bv FROM ras3) b USING (row, col)
+WHERE rv != {NODATA!r}e0 AND gv != {NODATA!r}e0 AND bv != {NODATA!r}e0)
+SELECT row, col,
+  (FLOOR(({_ihs_inv_exprs()['r2']}) * 1e6 + 0.5e0) / 1e6) AS r2,
+  (FLOOR(({_ihs_inv_exprs()['g2']}) * 1e6 + 0.5e0) / 1e6) AS g2,
+  (FLOOR(({_ihs_inv_exprs()['b2']}) * 1e6 + 0.5e0) / 1e6) AS b2
+FROM hsix ORDER BY row, col""",
+)
+def q_hsi_to_rgb(spark, sf):
+    r = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "rv")
+    g = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "gv")
+    b = R.explode_cells(_dem(spark, 2)).withColumnRenamed("value", "bv")
+    j = (
+        r.join(g, ["row", "col"]).join(b, ["row", "col"])
+        .where((F.col("rv") != _ND) & (F.col("gv") != _ND) & (F.col("bv") != _ND))
+        .select(
+            "row", "col",
+            *[F.expr(e).alias(k) for k, e in _HSI_FWD.items()],
+        )
+    )
+    inv = _ihs_inv_exprs()
+    return j.select(
+        "row", "col",
+        *[
+            F.expr(f"FLOOR(({e}) * 1e6 + 0.5e0) / 1e6").alias(k)
+            for k, e in inv.items()
+        ],
     ).orderBy("row", "col")
 
 
