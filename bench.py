@@ -53,7 +53,7 @@ HEADLINE = [
     "viewshed",          # exact R3 line-of-sight (explode + corner joins)
     "dissolve_geom",     # geometric union of touching parcels + ring trace
     "dinf_accum",        # D-infinity split through the MFD tile machinery
-    "raster_to_lines",   # skeleton -> polyline features (junction-cut CC)
+    "concave_intersect_area",  # general overlay via star-fan decomposition
 ]
 
 
