@@ -397,6 +397,26 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                 elif stat == "laplacian":
                     # 4-connected Laplacian (FilterLaplacian) — integer weights
                     out = 4.0 * centerv - nn - ss - wv - ev
+                elif stat == "prewitt":
+                    # FilterPrewitt: unit-weight gradient pair
+                    gx = ne + ev + se - nw - wv - sw
+                    gy = sw + ss + se - nw - nn - ne
+                    out = np.sqrt(gx * gx + gy * gy)
+                elif stat == "emboss":
+                    # FilterEmboss (NW-SE relief kernel, integer weights)
+                    out = -nw - nn - wv + ev + ss + se
+                elif stat == "highpass":
+                    # FilterHighPass 3x3: center 8, ring -1
+                    out = 8.0 * centerv - (nw + nn + ne + wv + ev + sw + ss + se)
+                elif stat == "linedet":
+                    # FilterLineDetection: max response of the 4 oriented
+                    # line kernels (2 on the line, -1 off)
+                    ring = nw + nn + ne + wv + ev + sw + ss + se
+                    hh = 3.0 * (wv + centerv + ev) - (ring + centerv)
+                    vv_ = 3.0 * (nn + centerv + ss) - (ring + centerv)
+                    d1 = 3.0 * (nw + centerv + se) - (ring + centerv)
+                    d2 = 3.0 * (ne + centerv + sw) - (ring + centerv)
+                    out = np.maximum(np.maximum(hh, vv_), np.maximum(d1, d2))
                 elif stat in ("curv_plan", "curv_profile", "curv_total"):
                     # Zevenbergen-Thorne quadratic-fit coefficients
                     # (PlanCurv.java / ProfCurv.java / TotalCurv.java family)

@@ -473,6 +473,33 @@ def _zs_luts() -> tuple[list[int], list[int]]:
     return lut1, lut2
 
 
+def remove_spurs(cells: DataFrame, *, passes: int = 2) -> DataFrame:
+    """RemoveSpurs (ImageProcessingTools RemoveSpurs.java): iteratively
+    delete skeleton endpoints (cells with <= 1 remaining 8-neighbor) for a
+    fixed number of passes — trims spur twigs up to `passes` cells long.
+    Pure Catalyst: one exploded neighbor-count aggregation per pass."""
+    offs = F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+        for dr in (-1, 0, 1) for dc in (-1, 0, 1) if (dr, dc) != (0, 0)
+    ])
+    s = cells.select("row", "col")
+    for _ in range(passes):
+        probe = (
+            s.withColumn("_o", F.explode(offs))
+            .select(
+                (F.col("row") + F.col("_o.dr")).alias("row"),
+                (F.col("col") + F.col("_o.dc")).alias("col"),
+            )
+        )
+        deg = probe.groupBy("row", "col").agg(F.count(F.lit(1)).alias("_d"))
+        s = (
+            s.join(deg, ["row", "col"], "left")
+            .where(F.coalesce("_d", F.lit(0)) >= 2)
+            .select("row", "col")
+        )
+    return s
+
+
 def line_thinning(cells: DataFrame, *, pairs: int = 8) -> DataFrame:
     """LineThinning.java (Zhang-Suen skeletonization) over a binary cell set
     (row, col): a FIXED number of sub-iteration pairs (both engine and

@@ -1417,6 +1417,58 @@ def q_focal_laplacian(spark, sf):
     return _explode_focal(spark, "laplacian")
 
 
+# -- remaining fixed convolutions (§2.5; FilterPrewitt/Emboss/HighPass/
+# LineDetection) — same halo-strip stencil runner, shared 3x3 kernel text.
+@Q.register(
+    "focal_prewitt",
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
+    "(FLOOR(SQRT((ne + ev + se - nw - wv - sw) * (ne + ev + se - nw - wv - sw) "
+    "+ (sw + ss + se - nw - nn - ne) * (sw + ss + se - nw - nn - ne)) * 1e6 + 0.5e0) / 1e6) AS value "
+    f"FROM w9 {_FULLW} ORDER BY row, col",
+)
+def q_focal_prewitt(spark, sf):
+    return _explode_focal(spark, "prewitt")
+
+
+@Q.register(
+    "focal_emboss",
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
+    "(FLOOR((- nw - nn - wv + ev + ss + se) * 1e6 + 0.5e0) / 1e6) AS value "
+    f"FROM w9 {_FULLW} ORDER BY row, col",
+)
+def q_focal_emboss(spark, sf):
+    return _explode_focal(spark, "emboss")
+
+
+@Q.register(
+    "focal_highpass",
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
+    "(FLOOR((8e0 * cv - (nw + nn + ne + wv + ev + sw + ss + se)) * 1e6 + 0.5e0) / 1e6) AS value "
+    f"FROM w9 {_FULLW} ORDER BY row, col",
+)
+def q_focal_highpass(spark, sf):
+    return _explode_focal(spark, "highpass")
+
+
+_LD_RING = "(nw + nn + ne + wv + ev + sw + ss + se)"
+_LD = (
+    f"GREATEST(3e0 * (wv + cv + ev) - ({_LD_RING} + cv), "
+    f"3e0 * (nn + cv + ss) - ({_LD_RING} + cv), "
+    f"3e0 * (nw + cv + se) - ({_LD_RING} + cv), "
+    f"3e0 * (ne + cv + sw) - ({_LD_RING} + cv))"
+)
+
+
+@Q.register(
+    "focal_linedet",
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
+    f"(FLOOR(({_LD}) * 1e6 + 0.5e0) / 1e6) AS value "
+    f"FROM w9 {_FULLW} ORDER BY row, col",
+)
+def q_focal_linedet(spark, sf):
+    return _explode_focal(spark, "linedet")
+
+
 # Zevenbergen-Thorne coefficients over the unit-cell 3x3 window
 _ZT = (
     "zt AS (SELECT row, col, "
@@ -3014,3 +3066,31 @@ def q_raster_to_lines(spark, sf):
         .select("row", "col")
     )
     return raster_to_lines(line_thinning(cells, pairs=_ZS_PAIRS))
+
+
+@Q.register(
+    "remove_spurs",
+    f"""WITH RECURSIVE {_RASF}, {_zs_oracle()},
+rs0 AS MATERIALIZED (SELECT row, col FROM zs{_ZS_PAIRS * 2}),
+rsp0 AS (SELECT a.row, a.col, COUNT(*) AS d FROM rs0 a JOIN rs0 b
+  ON NOT (a.row = b.row AND a.col = b.col)
+  AND ABS(a.row - b.row) <= 1 AND ABS(a.col - b.col) <= 1 GROUP BY 1, 2),
+rs1 AS MATERIALIZED (SELECT r.row, r.col FROM rs0 r JOIN rsp0 d USING (row, col) WHERE d.d >= 2),
+rsp1 AS (SELECT a.row, a.col, COUNT(*) AS d FROM rs1 a JOIN rs1 b
+  ON NOT (a.row = b.row AND a.col = b.col)
+  AND ABS(a.row - b.row) <= 1 AND ABS(a.col - b.col) <= 1 GROUP BY 1, 2),
+rs2 AS (SELECT r.row, r.col FROM rs1 r JOIN rsp1 d USING (row, col) WHERE d.d >= 2)
+SELECT row, col FROM rs2 ORDER BY row, col""",
+)
+def q_remove_spurs(spark, sf):
+    from .operators.vectorize import line_thinning, remove_spurs
+
+    cells = (
+        R.explode_cells(_demf(spark))
+        .where((F.col("value") > 100.0) & (F.col("value") != _ND))
+        .select("row", "col")
+    )
+    return remove_spurs(
+        line_thinning(cells, pairs=_ZS_PAIRS), passes=2
+    ).orderBy("row", "col")
+
