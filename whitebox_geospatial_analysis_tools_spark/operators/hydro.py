@@ -1420,6 +1420,83 @@ def dinf_weights(tiles: DataFrame) -> DataFrame:
     return d.select("row", "col", ws.alias("ws"))
 
 
+def mdinf_weights(tiles: DataFrame) -> DataFrame:
+    """(row, col, ws array<double>[8]): MD-infinity multiple-direction split
+    (GeasyTools FlowAccumMDInf.java, Seibert & McGlynn 2007, exponent p = 1
+    so the weight chain is pure arithmetic and shared exactly with the SQL
+    oracle): every positive-slope facet contributes its slope, divided
+    between its two bounding directions by the within-facet angle; direction
+    weights normalize by the facet-slope total.  Full 3x3 support, like the
+    D-infinity pointer."""
+    schema = "row long, col long, ws array<double>"
+    qpi = np.pi / 4.0
+    off_idx = {(dr, dc): i for i, (dr, dc, _) in enumerate(D8_OFFS)}
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        asm = _assemble_pad(pdf)
+        if asm is None:
+            return pd.DataFrame({
+                "row": pd.Series([], dtype="int64"),
+                "col": pd.Series([], dtype="int64"),
+                "ws": pd.Series([], dtype=object),
+            })
+        c, pad = asm
+        h, w = int(c.h), int(c.w)
+        cv = pad[1:h + 1, 1:w + 1]
+
+        def nb(dr, dc):
+            return pad[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+
+        wdir = np.zeros((8, h, w))
+        tot = np.zeros((h, w))
+        with np.errstate(invalid="ignore"):
+            for k, ((r1, c1), (r2, c2), ac, af) in enumerate(_DINF_FACETS):
+                e1v, e2v = nb(r1, c1), nb(r2, c2)
+                s1 = cv - e1v
+                s2 = e1v - e2v
+                r = np.arctan2(s2, s1)
+                s = np.sqrt(s1 * s1 + s2 * s2)
+                low = r < 0.0
+                high = r > qpi
+                r = np.where(low, 0.0, np.where(high, qpi, r))
+                s = np.where(low, s1, np.where(high, (cv - e2v) / _SQRT2, s))
+                pos = s > 0.0
+                sk = np.where(pos, s, 0.0)
+                sk = np.where(np.isnan(sk), 0.0, sk)
+                # quantize the facet angle before the split: numpy and the
+                # oracle's libm atan2 may differ in the last ulp
+                rq = np.floor(r * 1e6 + 0.5) / 1e6
+                d1, d2 = off_idx[(r1, c1)], off_idx[(r2, c2)]
+                wdir[d1] = wdir[d1] + sk * (1.0 - rq / qpi)
+                wdir[d2] = wdir[d2] + sk * (rq / qpi)
+                tot = tot + sk
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ws = np.where(tot > 0.0, wdir / tot, 0.0)
+        full = ~np.isnan(pad[0:h + 2, 0:w + 2])
+        ok = np.ones((h, w), dtype=bool)
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                ok &= full[1 + dr:1 + dr + h, 1 + dc:1 + dc + w]
+        rr, cc = np.nonzero(ok)
+        return pd.DataFrame({
+            "row": int(c.row0) + rr,
+            "col": int(c.col0) + cc,
+            "ws": [ws[:, r, q].tolist() for r, q in zip(rr, cc)],
+        })
+
+    contrib = _halo_contributions(tiles)
+    return contrib.groupBy("dst_row", "dst_col").applyInPandas(kernel, schema)
+
+
+def mdinf_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
+                decimals: int = 4) -> DataFrame:
+    """(row, col, accum): MD-infinity accumulation
+    (GeasyTools/.../FlowAccumMDInf.java:631) — the same iterative MFD tile
+    machinery as FD8/D-infinity with the all-facet weight split."""
+    return fd8_accum(tiles, tile=tile, max_rounds=max_rounds,
+                     decimals=decimals, weights=mdinf_weights(tiles))
+
+
 def dinf_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
                decimals: int = 4) -> DataFrame:
     """(row, col, accum): D-infinity fractional accumulation

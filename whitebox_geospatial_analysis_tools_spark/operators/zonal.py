@@ -31,6 +31,97 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def solve_rbf(sx, sy, sv, cd, *, c2: float) -> float:
+    """Multiquadric RBF interpolation estimate (phi(h) = sqrt(h^2 + c^2))
+    by the same pivot-free Gaussian elimination as the kriging solver —
+    fixed IEEE op sequence, mirrored verbatim by the generated oracle SQL
+    (queries_spatial._rbf_oracle_sql).  phi(0) = c > 0 keeps the pivots
+    usable at the fixture scale; determinism matters more than conditioning
+    here (both engines evaluate the identical chain)."""
+    n = len(sx)
+    a = [[0.0] * n for _ in range(n)]
+    b = [0.0] * n
+    for i in range(n):
+        for j in range(n):
+            dx = sx[i] - sx[j]
+            dy = sy[i] - sy[j]
+            a[i][j] = math.sqrt(dx * dx + dy * dy + c2)
+        b[i] = sv[i]
+    for ks in range(n - 1):
+        for i in range(ks + 1, n):
+            f = a[i][ks] / a[ks][ks]
+            for j in range(ks, n):
+                a[i][j] = a[i][j] - f * a[ks][j]
+            b[i] = b[i] - f * b[ks]
+    x = [0.0] * n
+    x[n - 1] = b[n - 1] / a[n - 1][n - 1]
+    for i in range(n - 2, -1, -1):
+        s = b[i]
+        for j in range(i + 1, n):
+            s = s - a[i][j] * x[j]
+        x[i] = s / a[i][i]
+    est = 0.0
+    for i in range(n):
+        est = est + x[i] * math.sqrt(cd[i] * cd[i] + c2)
+    return est
+
+
+def rbf_at_cell_centers(df: DataFrame, *, k: int = 6, c2: float = 16.0) -> DataFrame:
+    """Multiquadric RBF interpolation at occupied tile centers
+    (RadialBasisFunctionInterpolation semantics): k nearest candidates from
+    the 3x3 ring, exact n x n solve per center."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.cells import explode_k_ring
+
+    pts = df.select(
+        F.col("tile_id").alias("p_tile"), F.col("lon").alias("p_lon"),
+        F.col("lat").alias("p_lat"), F.col("val").alias("p_val"),
+        F.col("doc_id").alias("p_id"),
+    )
+    centers = (
+        df.select("tile_x", "tile_y", "tile_id").distinct()
+        .withColumn("cx", (F.col("tile_x") + 0.5) * exprs.TILE_SIZE)
+        .withColumn("cy", (F.col("tile_y") + 0.5) * exprs.TILE_SIZE)
+    )
+    cand = explode_k_ring(centers, 1).join(
+        pts, F.col("nbr_tile_id") == F.col("p_tile"), "inner"
+    ).select("tile_id", "cx", "cy", "p_id", "p_lon", "p_lat", "p_val")
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tid = int(key[0])
+        cx, cy = float(pdf["cx"].iloc[0]), float(pdf["cy"].iloc[0])
+        px = pdf["p_lon"].to_numpy()
+        py = pdf["p_lat"].to_numpy()
+        pv = pdf["p_val"].to_numpy()
+        pid = pdf["p_id"].to_numpy()
+        d = np.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+        order = np.lexsort((pid, d))[:k]
+        if len(order) < 2:
+            return pd.DataFrame({
+                "tile_id": pd.Series([], dtype="int64"),
+                "rbf": pd.Series([], dtype="float64"),
+                "n_used": pd.Series([], dtype="int64"),
+            })
+        est = solve_rbf(
+            [float(v) for v in px[order]], [float(v) for v in py[order]],
+            [float(v) for v in pv[order]], [float(v) for v in d[order]],
+            c2=c2,
+        )
+        return pd.DataFrame({
+            "tile_id": [tid],
+            "rbf": [math.floor(est * 1e6 + 0.5) / 1e6],
+            "n_used": [len(order)],
+        })
+
+    return (
+        cand.groupBy("tile_id")
+        .applyInPandas(kernel, "tile_id long, rbf double, n_used long")
+        .orderBy("tile_id")
+    )
+
+
 def solve_ok_kriging(sx, sy, sv, cd, *, vrange: float, sill: float) -> float:
     """Ordinary-kriging estimate in covariance form by pivot-free Gaussian
     elimination — a FIXED deterministic IEEE op sequence, mirrored verbatim

@@ -2800,8 +2800,10 @@ _DINF_SQL_FACETS = [
 ]
 
 
-def _dinf_facets_parts(src: str) -> tuple[str, str, str]:
-    """(fct select body, max-slope expr, angle CASE) over window CTE `src`."""
+def _dinf_facets_parts(src: str, emit_r: bool = False) -> tuple[str, str, str]:
+    """(fct select body, max-slope expr, angle CASE) over window CTE `src`.
+    emit_r additionally projects the clamped within-facet angles r0..r7
+    (needed by the MDInf weight split)."""
     sq2 = "1.4142135623730951e0"
     cols = []
     for k, (e1, e2, ac, af) in enumerate(_DINF_SQL_FACETS):
@@ -2813,6 +2815,8 @@ def _dinf_facets_parts(src: str) -> tuple[str, str, str]:
              f"ELSE SQRT({s1} * {s1} + {s2} * {s2}) END)")
         cols.append(f"{s} AS s{k}")
         cols.append(f"({af} * {r} + {ac} * PI() / 2e0) AS a{k}")
+        if emit_r:
+            cols.append(f"{r} AS r{k}")
     mx = "GREATEST(" + ", ".join(f"s{k}" for k in range(8)) + ")"
     angle_case = "CASE WHEN " + f"{mx} <= 0e0 THEN -1e0 " + " ".join(
         f"WHEN s{k} = {mx} THEN a{k}" for k in range(8)
@@ -2871,6 +2875,68 @@ def q_dinf_accum(spark, sf):
 
     dem = R.synth_raster(spark, _DROWS, _DCOLS)
     return dinf_accum(dem, tile=16).orderBy("row", "col")
+
+
+# -- MD-infinity accumulation (§2.12; GeasyTools FlowAccumMDInf.java:631) -----
+# all positive-slope facets contribute, split by the (quantized) within-facet
+# angle; the same Jacobi accumulation as FD8/D-infinity.
+def _mdinf_ws_sqls() -> list:
+    dirs_terms: dict = {d: [] for d in range(8)}
+    for k, (e1, e2, ac, af) in enumerate(_DINF_SQL_FACETS):
+        sk = f"(CASE WHEN s{k} > 0e0 THEN s{k} ELSE 0e0 END)"
+        rq = f"(FLOOR(r{k} * 1e6 + 0.5e0) / 1e6)"
+        dirs_terms[int(e1[1:])].append((k, f"{sk} * (1e0 - {rq} / (PI() / 4e0))"))
+        dirs_terms[int(e2[1:])].append((k, f"{sk} * ({rq} / (PI() / 4e0))"))
+    tot = " + ".join(
+        f"(CASE WHEN s{k} > 0e0 THEN s{k} ELSE 0e0 END)" for k in range(8)
+    )
+    return [
+        "(CASE WHEN (" + tot + ") > 0e0 THEN ("
+        + " + ".join(t for _, t in sorted(dirs_terms[d]))
+        + ") / (" + tot + ") ELSE 0e0 END)"
+        for d in range(8)
+    ]
+
+
+def _mdinf_accum_oracle() -> str:
+    from .operators.hydro import D8_OFFS
+
+    base = _fd8_oracle()
+    prefix = base[: base.index("swpre")]
+    facet_cols, _mx, _ac = _dinf_facets_parts("w9f8", emit_r=True)
+    wcols = ", ".join(f"{e} AS w{k}" for k, e in enumerate(_mdinf_ws_sqls()))
+    edges = " UNION ALL ".join(
+        f"SELECT row, col, row + {dr} AS nr, col + {dc} AS nc, w{k} AS w "
+        f"FROM mws WHERE w{k} > 0e0"
+        for k, (dr, dc, _) in enumerate(D8_OFFS)
+    )
+    return (
+        prefix
+        + f"fctm AS ({facet_cols}), "
+        f"mws AS MATERIALIZED (SELECT row, col, {wcols} FROM fctm), "
+        f"wedm AS MATERIALIZED ({edges}), "
+        "wemi AS MATERIALIZED (SELECT e.* FROM wedm e JOIN mws t ON t.row = e.nr AND t.col = e.nc), "
+        "eplusm AS MATERIALIZED (SELECT row, col, nr, nc, w FROM wemi "
+        "UNION ALL SELECT row, col, row, col, -1e0 FROM mws), "
+        "accmd(it, row, col, a) AS (SELECT 0, row, col, 1e0 FROM mws "
+        "UNION ALL SELECT u.it + 1, e.nr, e.nc, "
+        "1e0 + COALESCE(SUM(CASE WHEN e.w >= 0e0 THEN e.w * u.a END), 0e0) "
+        "FROM accmd u JOIN eplusm e ON e.row = u.row AND e.col = u.col "
+        f"WHERE u.it < {_F8K} GROUP BY 1, 2, 3)"
+    )
+
+
+@Q.register(
+    "mdinf_accum",
+    f"WITH RECURSIVE {_mdinf_accum_oracle()} "
+    f"SELECT row, col, CAST(ROUND(a, 4) AS DOUBLE) AS accum "
+    f"FROM accmd WHERE it = {_F8K} ORDER BY row, col",
+)
+def q_mdinf_accum(spark, sf):
+    from .operators.hydro import mdinf_accum
+
+    dem = R.synth_raster(spark, _DROWS, _DCOLS)
+    return mdinf_accum(dem, tile=16).orderBy("row", "col")
 
 
 # -- D-infinity flow pointer (§2.12; FlowPointerDinf.java, Tarboton 1997) -----

@@ -543,6 +543,97 @@ def q_kriging(spark, sf):
     return zonal.kriging_at_cell_centers(Q._points(spark, sf))
 
 
+# -- multiquadric RBF interpolation (§2.9; the RBF slice of
+# LocalPolynomialInterpolation/RBF family): same candidate ring and the same
+# pivot-free elimination as kriging, phi(h) = sqrt(h^2 + c^2), c^2 = 16.
+_RBF_C2 = "16e0"
+
+
+def _rbf_variant(n: int) -> tuple[str, str]:
+    p = f"rb{n}"
+    cols = [
+        f"SQRT((s{i + 1}x - s{j + 1}x) * (s{i + 1}x - s{j + 1}x) "
+        f"+ (s{i + 1}y - s{j + 1}y) * (s{i + 1}y - s{j + 1}y) + {_RBF_C2}) AS a{i}_{j}"
+        for i in range(n) for j in range(n)
+    ]
+    cols += [f"s{i + 1}v AS b{i}" for i in range(n)]
+    ctes = [
+        f"{p}_s0 AS (SELECT tile_id, n, "
+        + ", ".join(f"d{i + 1}" for i in range(n)) + ", "
+        + ", ".join(cols) + f" FROM piv WHERE n = {n})"
+    ]
+    for ks in range(n - 1):
+        upd, keep = [], []
+        for i in range(n):
+            for j in range(n):
+                if i > ks and j >= ks:
+                    f = f"(a{i}_{ks} / a{ks}_{ks})"
+                    upd.append(f"a{i}_{j} - {f} * a{ks}_{j} AS a{i}_{j}")
+                else:
+                    keep.append(f"a{i}_{j}")
+            if i > ks:
+                f = f"(a{i}_{ks} / a{ks}_{ks})"
+                upd.append(f"b{i} - {f} * b{ks} AS b{i}")
+            else:
+                keep.append(f"b{i}")
+        dcols = ", ".join(f"d{i + 1}" for i in range(n))
+        ctes.append(
+            f"{p}_s{ks + 1} AS (SELECT tile_id, n, {dcols}, "
+            f"{', '.join(keep + upd)} FROM {p}_s{ks})"
+        )
+    prev = f"{p}_s{n - 1}"
+    ctes.append(
+        f"{p}_x{n - 1} AS (SELECT *, b{n - 1} / a{n - 1}_{n - 1} AS x{n - 1} FROM {prev})"
+    )
+    for i in range(n - 2, -1, -1):
+        terms = "".join(f" - a{i}_{j} * x{j}" for j in range(i + 1, n))
+        ctes.append(
+            f"{p}_x{i} AS (SELECT *, (b{i}{terms}) / a{i}_{i} AS x{i} FROM {p}_x{i + 1})"
+        )
+    est = " + ".join(
+        f"x{i} * SQRT(d{i + 1} * d{i + 1} + {_RBF_C2})" for i in range(n)
+    )
+    ctes.append(
+        f"{p}_out AS (SELECT tile_id, FLOOR(({est}) * 1e6 + 0.5e0) / 1e6 AS rbf, "
+        f"n AS n_used FROM {p}_x0)"
+    )
+    return ", ".join(ctes), f"{p}_out"
+
+
+def _rbf_oracle_sql() -> str:
+    piv_cols = []
+    for i in range(1, _KG_K + 1):
+        for c, src in (("x", "lon"), ("y", "lat"), ("v", "val")):
+            piv_cols.append(f"MAX(CASE WHEN rnk = {i} THEN {src} END) AS s{i}{c}")
+        piv_cols.append(f"MAX(CASE WHEN rnk = {i} THEN d END) AS d{i}")
+    variants = [_rbf_variant(n) for n in range(2, _KG_K + 1)]
+    ctes = ", ".join(v[0] for v in variants)
+    union = " UNION ALL ".join(f"SELECT * FROM {v[1]}" for v in variants)
+    return f"""{_PTS}, centers AS (
+  SELECT DISTINCT tile_x, tile_y, tile_id,
+         (tile_x + 0.5e0) * {exprs.D(exprs.TILE_SIZE)} AS cx,
+         (tile_y + 0.5e0) * {exprs.D(exprs.TILE_SIZE)} AS cy
+  FROM pts
+), offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)),
+cand AS (
+  SELECT c.tile_id, p.doc_id AS p_id, p.lon, p.lat, p.val,
+    SQRT((p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy)) AS d
+  FROM centers c JOIN offs o ON c.tile_x + o.dx >= 0 AND c.tile_x + o.dx < {exprs.TILE_COLS}
+   AND c.tile_y + o.dy >= 0 AND c.tile_y + o.dy < {exprs.TILE_ROWS}
+  JOIN pts p ON p.tile_id = (c.tile_y + o.dy) * {exprs.TILE_COLS} + (c.tile_x + o.dx)
+),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_id ORDER BY d, p_id) AS rnk FROM cand),
+top AS (SELECT * FROM rk WHERE rnk <= {_KG_K}),
+piv AS (SELECT tile_id, COUNT(*) AS n, {', '.join(piv_cols)} FROM top GROUP BY 1),
+{ctes}
+SELECT tile_id, rbf, n_used FROM ({union}) WHERE n_used >= 2 ORDER BY tile_id"""
+
+
+@Q.register("rbf_interp", _rbf_oracle_sql())
+def q_rbf_interp(spark, sf):
+    return zonal.rbf_at_cell_centers(Q._points(spark, sf))
+
+
 # -- local polynomial interpolation (§2.9;
 # LocalPolynomialInterpolation.java:430, order-1): per tile center, an OLS
 # plane over the 3x3-ring candidate points, solved closed-form (Cramer) from
