@@ -136,3 +136,53 @@ def test_concave_fan_decomposition():
             for b in range(a + 1, len(parts)):
                 inter = _shoelace_seq(sh_clip(parts[a], parts[b]))
                 assert abs(inter) < 1e-9
+
+
+def test_line_clip_interval_matches_dense_sampling():
+    """Cyrus-Beck t-interval vs dense point-in-convex sampling: the inside
+    fraction and the predicate class agree for every (line, hexagon) pair."""
+    rng = np.random.default_rng(7)
+    clips = make_clip_layer()
+    ts = (np.arange(4001) + 0.5) / 4001.0  # open midpoints, avoids boundary hits
+    lines = rng.uniform([0, 0, 0, 0], [360, 180, 360, 180], size=(60, 4))
+    # short lines so 'within' occurs
+    mids = np.column_stack([(lines[:, 0] + lines[:, 2]) / 2, (lines[:, 1] + lines[:, 3]) / 2])
+    short = np.column_stack([
+        mids[:, 0] + (lines[:, 0] - mids[:, 0]) / 64,
+        mids[:, 1] + (lines[:, 1] - mids[:, 1]) / 64,
+        mids[:, 0] + (lines[:, 2] - mids[:, 0]) / 64,
+        mids[:, 1] + (lines[:, 3] - mids[:, 1]) / 64,
+    ])
+    saw = set()
+    for x1, y1, x2, y2 in np.vstack([lines, short]):
+        for i in range(clips.n):
+            ring = clips.rings[i][0]
+            nxt = np.roll(ring, -1, axis=0)
+            ax, ay, bx, by = ring[:, 0], ring[:, 1], nxt[:, 0], nxt[:, 1]
+            s0 = (bx - ax) * (y1 - ay) - (by - ay) * (x1 - ax)
+            s1 = (bx - ax) * (y2 - ay) - (by - ay) * (x2 - ax)
+            den = s1 - s0
+            bad = np.any((den == 0) & (s0 < 0))
+            lo = (-s0 / den)[den > 0]
+            hi = (-s0 / den)[den < 0]
+            tin = max(0.0, lo.max()) if len(lo) else 0.0
+            tout = min(1.0, hi.min()) if len(hi) else 1.0
+            frac = 0.0 if (bad or tin >= tout) else tout - tin
+            # dense sampling ground truth
+            px = x1 + ts * (x2 - x1)
+            py = y1 + ts * (y2 - y1)
+            inside = np.ones(len(ts), dtype=bool)
+            for k in range(6):
+                inside &= (bx[k] - ax[k]) * (py - ay[k]) - (by[k] - ay[k]) * (px - ax[k]) >= 0
+            sfrac = inside.mean()
+            assert abs(frac - sfrac) < 2e-3, (frac, sfrac)
+            if frac <= 0:
+                saw.add("disjoint")
+                assert sfrac == 0
+            elif tin == 0.0 and tout == 1.0:
+                saw.add("within")
+                assert sfrac == 1.0
+            else:
+                saw.add("crosses")
+                assert 0 < sfrac < 1
+    assert saw == {"disjoint", "within", "crosses"}

@@ -33,9 +33,12 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
         if a[c].dtype != b[c].dtype:
             return f"DTYPE {c}: {a[c].dtype} vs {b[c].dtype}"
         if a[c].dtype == np.float64:
-            av, bv = a[c].to_numpy(), b[c].to_numpy()
-            nan_eq = np.isnan(av) == np.isnan(bv)
-            ok = nan_eq.all() and np.array_equal(av[~np.isnan(av)], bv[~np.isnan(bv)])
+            # Bit-exact compare (modulo NaN payload): the driver's value-hash is
+            # sign-sensitive, so -0.0 vs 0.0 must FAIL here too (r2 utm_roundtrip).
+            av, bv = a[c].to_numpy(np.float64), b[c].to_numpy(np.float64)
+            nmask = np.isnan(av)
+            ok = (np.array_equal(nmask, np.isnan(bv))
+                  and np.array_equal(av[~nmask].view(np.uint64), bv[~nmask].view(np.uint64)))
         else:
             ok = a[c].equals(b[c])
         if not ok:

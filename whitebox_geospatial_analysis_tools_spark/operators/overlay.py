@@ -358,3 +358,93 @@ def union_area(spark: SparkSession) -> DataFrame:
         sa.crossJoin(ca).crossJoin(ia)
         .select(F.expr("FLOOR((_s + _c - _i) * 1e6 + 0.5e0) / 1e6").alias("area"))
     )
+
+
+# ---------------------------------------------------------------------------
+# line x convex-polygon predicates (Cyrus-Beck parametric clipping)
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (spliced verbatim into the DuckDB oracle by
+# queries_vector.py): per clip edge a->b (CCW, inside = left), the signed
+# side values of the segment endpoints are linear in the segment parameter t,
+# so the inside interval is [max entering t, min leaving t] — the classic
+# Cyrus-Beck formulation (reference predicate modes:
+# VectorTools/src/plugins/IsolateVectorFeaturesByLocation.java:240-261
+# "crosses" / "are completely within" / "does not intersect" over JTS).
+# Only +,-,*,/ and comparisons: IEEE-identical across engines.
+LINE_S0 = "((bx - ax) * (y1 - ay) - (by - ay) * (x1 - ax))"
+LINE_S1 = "((bx - ax) * (y2 - ay) - (by - ay) * (x2 - ax))"
+LINE_TIN = ("CASE WHEN _tin IS NULL THEN 0e0 WHEN _tin < 0e0 THEN 0e0 "
+            "ELSE _tin END")
+LINE_TOUT = ("CASE WHEN _tout IS NULL THEN 1e0 WHEN _tout > 1e0 THEN 1e0 "
+             "ELSE _tout END")
+LINE_PRED = ("CASE WHEN _bad = 1 OR tin >= tout THEN 'disjoint' "
+             "WHEN tin = 0e0 AND tout = 1e0 THEN 'within' "
+             "ELSE 'crosses' END")
+LINE_LEN = ("CASE WHEN _bad = 1 OR tin >= tout THEN 0e0 ELSE "
+            "FLOOR(SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) "
+            "* (tout - tin) * 1e6 + 0.5e0) / 1e6 END")
+
+
+def clip_edges_df(spark: SparkSession) -> DataFrame:
+    """Directed CCW hexagon edges (clip_id, k, ax, ay, bx, by) — the
+    dimension-sized broadcast side of every line-predicate join."""
+    layer = make_clip_layer()
+    rows = []
+    for i in range(layer.n):
+        ring = layer.rings[i][0]
+        nxt = np.roll(ring, -1, axis=0)
+        for k in range(len(ring)):
+            rows.append((int(layer.poly_id[i]), k,
+                         float(ring[k, 0]), float(ring[k, 1]),
+                         float(nxt[k, 0]), float(nxt[k, 1])))
+    return spark.createDataFrame(
+        rows, "clip_id long, k int, ax double, ay double, bx double, by double"
+    )
+
+
+def line_clip_predicates(spark: SparkSession, lines: DataFrame) -> DataFrame:
+    """Classify each bbox-candidate (line, convex clip) pair as
+    crosses / within / disjoint and compute the exact in-polygon clipped
+    length, via a Cyrus-Beck t-interval computed with conditional
+    aggregates over the 6 broadcast edges.
+
+    lines: (line_id, x1, y1, x2, y2).  Physical shape: the line table is
+    the fact side and never shuffles on data — one broadcast-hash join to
+    the ~1 KB edge table, a partial-aggregatable groupBy on
+    (line_id, clip_id), zero Python.
+    """
+    ce = clip_edges_df(spark)
+    cbb = ce.groupBy("clip_id").agg(
+        F.min("ax").alias("cxmin"), F.min("ay").alias("cymin"),
+        F.max("ax").alias("cxmax"), F.max("ay").alias("cymax"),
+    )
+    cand = lines.join(
+        F.broadcast(cbb),
+        (F.least("x1", "x2") <= F.col("cxmax"))
+        & (F.greatest("x1", "x2") >= F.col("cxmin"))
+        & (F.least("y1", "y2") <= F.col("cymax"))
+        & (F.greatest("y1", "y2") >= F.col("cymin")),
+    ).select("line_id", "clip_id", "x1", "y1", "x2", "y2")
+    e = cand.join(F.broadcast(ce), "clip_id").select(
+        "line_id", "clip_id", "x1", "y1", "x2", "y2",
+        F.expr(LINE_S0).alias("s0"),
+        F.expr(f"({LINE_S1} - {LINE_S0})").alias("den"),
+    )
+    agg = e.groupBy("line_id", "clip_id", "x1", "y1", "x2", "y2").agg(
+        F.expr("MAX(CASE WHEN den > 0e0 THEN (0e0 - s0) / den END)").alias("_tin"),
+        F.expr("MIN(CASE WHEN den < 0e0 THEN (0e0 - s0) / den END)").alias("_tout"),
+        F.expr("MAX(CASE WHEN den = 0e0 AND s0 < 0e0 THEN 1 ELSE 0 END)").alias("_bad"),
+    )
+    return (
+        agg.select(
+            "line_id", "clip_id", "x1", "y1", "x2", "y2", "_bad",
+            F.expr(LINE_TIN).alias("tin"),
+            F.expr(LINE_TOUT).alias("tout"),
+        )
+        .select(
+            "line_id", "clip_id",
+            F.expr(LINE_PRED).alias("predicate"),
+            F.expr(LINE_LEN).alias("inside_len"),
+        )
+        .orderBy("line_id", "clip_id")
+    )

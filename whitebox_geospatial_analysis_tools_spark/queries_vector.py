@@ -977,3 +977,75 @@ def q_isodata(spark, sf):
         F.col("sx").cast("double").alias("cx"),
         F.col("sy").cast("double").alias("cy"),
     ).orderBy("sid")
+
+
+# -- line x polygon spatial predicates (§2.2; the "crosses" / "are completely
+# within" / "does not intersect" modes of
+# IsolateVectorFeaturesByLocation.java:240-261 applied to a line layer
+# against the convex clip hexagons).  Cyrus-Beck parametric clipping: the
+# inside t-interval of each segment against each CCW hexagon comes from
+# conditional MIN/MAX aggregates over the 6 edges — pure +,-,*,/ both
+# engines, and the clipped in-polygon LENGTH falls out of the interval.
+def _line_pred_sql() -> str:
+    from .operators.overlay import (
+        LINE_LEN, LINE_PRED, LINE_S0, LINE_S1, LINE_TIN, LINE_TOUT,
+    )
+    from .queries_raster import _LSTEPS as _UNUSED  # noqa: F401  (module load order)
+    from .queries_raster import _LX1, _LX2, _LY1, _LY2, _NLINES
+    from .sources.polygons import clip_edges_sql_values
+
+    return (
+        f"WITH raw AS (SELECT t.i AS line_id, "
+        f"{_LX1.format(i='t.i')} AS x1, {_LY1.format(i='t.i')} AS y1, "
+        f"{_LX2.format(i='t.i')} AS x2, {_LY2.format(i='t.i')} AS y2 "
+        f"FROM range(0, {_NLINES}) t(i)), "
+        # midpoint-shrunk copies (scale 1/64) so the 'within' class is
+        # populated: short segments land entirely inside a hexagon.
+        f"lines AS (SELECT line_id, x1, y1, x2, y2 FROM raw UNION ALL "
+        f"SELECT line_id + {_NLINES}, "
+        "(x1 + x2) / 2e0 + (x1 - (x1 + x2) / 2e0) / 64e0, "
+        "(y1 + y2) / 2e0 + (y1 - (y1 + y2) / 2e0) / 64e0, "
+        "(x1 + x2) / 2e0 + (x2 - (x1 + x2) / 2e0) / 64e0, "
+        "(y1 + y2) / 2e0 + (y2 - (y1 + y2) / 2e0) / 64e0 FROM raw), "
+        f"ce AS (SELECT * FROM {clip_edges_sql_values()} t(clip_id, k, ax, ay, bx, by)), "
+        "cbb AS (SELECT clip_id, MIN(ax) AS cxmin, MIN(ay) AS cymin, "
+        "MAX(ax) AS cxmax, MAX(ay) AS cymax FROM ce GROUP BY 1), "
+        "cand AS (SELECT l.line_id, c.clip_id, l.x1, l.y1, l.x2, l.y2 "
+        "FROM lines l JOIN cbb c ON LEAST(l.x1, l.x2) <= c.cxmax "
+        "AND GREATEST(l.x1, l.x2) >= c.cxmin AND LEAST(l.y1, l.y2) <= c.cymax "
+        "AND GREATEST(l.y1, l.y2) >= c.cymin), "
+        "ed AS (SELECT d.line_id, d.clip_id, d.x1, d.y1, d.x2, d.y2, "
+        f"{LINE_S0} AS s0, ({LINE_S1} - {LINE_S0}) AS den "
+        "FROM cand d JOIN ce USING (clip_id)), "
+        "agg AS (SELECT line_id, clip_id, x1, y1, x2, y2, "
+        "MAX(CASE WHEN den > 0e0 THEN (0e0 - s0) / den END) AS _tin, "
+        "MIN(CASE WHEN den < 0e0 THEN (0e0 - s0) / den END) AS _tout, "
+        "MAX(CASE WHEN den = 0e0 AND s0 < 0e0 THEN 1 ELSE 0 END) AS _bad "
+        "FROM ed GROUP BY 1, 2, 3, 4, 5, 6), "
+        "tt AS (SELECT line_id, clip_id, x1, y1, x2, y2, _bad, "
+        f"{LINE_TIN} AS tin, {LINE_TOUT} AS tout FROM agg) "
+        f"SELECT line_id, clip_id, {LINE_PRED} AS predicate, "
+        f"{LINE_LEN} AS inside_len FROM tt ORDER BY line_id, clip_id"
+    )
+
+
+@Q.register("line_clip_predicates", _line_pred_sql())
+def q_line_clip_predicates(spark, sf):
+    from .operators.overlay import line_clip_predicates
+    from .queries_raster import _LX1, _LX2, _LY1, _LY2, _NLINES
+
+    raw = spark.range(_NLINES).select(
+        F.col("id").alias("line_id"),
+        F.expr(_LX1.format(i="id")).alias("x1"),
+        F.expr(_LY1.format(i="id")).alias("y1"),
+        F.expr(_LX2.format(i="id")).alias("x2"),
+        F.expr(_LY2.format(i="id")).alias("y2"),
+    )
+    shrunk = raw.select(
+        (F.col("line_id") + _NLINES).alias("line_id"),
+        F.expr("(x1 + x2) / 2e0 + (x1 - (x1 + x2) / 2e0) / 64e0").alias("x1"),
+        F.expr("(y1 + y2) / 2e0 + (y1 - (y1 + y2) / 2e0) / 64e0").alias("y1"),
+        F.expr("(x1 + x2) / 2e0 + (x2 - (x1 + x2) / 2e0) / 64e0").alias("x2"),
+        F.expr("(y1 + y2) / 2e0 + (y2 - (y1 + y2) / 2e0) / 64e0").alias("y2"),
+    )
+    return line_clip_predicates(spark, raw.unionAll(shrunk))
