@@ -417,7 +417,19 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                     d1 = 3.0 * (nw + centerv + se) - (ring + centerv)
                     d2 = 3.0 * (ne + centerv + sw) - (ring + centerv)
                     out = np.maximum(np.maximum(hh, vv_), np.maximum(d1, d2))
-                elif stat in ("curv_plan", "curv_profile", "curv_total"):
+                elif stat in ("ndn", "nun"):
+                    # NumDownslopeNeighbours.java / NumUpslopeNeighbours.java:
+                    # count of strictly lower / higher 8-neighbors (exact ints)
+                    op = np.less if stat == "ndn" else np.greater
+                    out = sum(op(n, centerv).astype(np.float64)
+                              for n in (nw, nn, ne, wv, ev, sw, ss, se))
+                elif stat == "maxdrop":
+                    # MaxDownslopeElevationChange.java: z - min 8-neighbor
+                    # (exact on dyadic cells, no rounding drift)
+                    out = centerv - np.minimum.reduce(
+                        [nw, nn, ne, wv, ev, sw, ss, se])
+                elif stat in ("curv_plan", "curv_profile", "curv_total",
+                              "curv_tang"):
                     # Zevenbergen-Thorne quadratic-fit coefficients
                     # (PlanCurv.java / ProfCurv.java / TotalCurv.java family)
                     L2 = cell_size * cell_size
@@ -433,6 +445,14 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                         out = np.where(
                             gh == 0.0, 0.0,
                             2.0 * (Dq * Hq * Hq + Eq * Gq * Gq - Fq * Gq * Hq) / gh,
+                        )
+                    elif stat == "curv_tang":
+                        # TangentialCurv.java:270 — plan numerator normalized
+                        # by the surface metric sqrt(1 + p)
+                        out = np.where(
+                            gh == 0.0, 0.0,
+                            2.0 * (Dq * Hq * Hq + Eq * Gq * Gq - Fq * Gq * Hq)
+                            / (gh * np.sqrt(1.0 + gh)),
                         )
                     else:
                         out = np.where(

@@ -3160,3 +3160,239 @@ def q_remove_spurs(spark, sf):
         line_thinning(cells, pairs=_ZS_PAIRS), passes=2
     ).orderBy("row", "col")
 
+
+
+# ===========================================================================
+# round-3 terrain composites (TerrainAnalysisTools family)
+# ===========================================================================
+
+# -- tangential curvature (§2.5; TangentialCurv.java:270): the plan-curvature
+# numerator normalized by the surface metric sqrt(1 + p).
+@Q.register(
+    "tangential_curv",
+    f"WITH {_RASF}, {_W9}, {_ZT} SELECT row, col, "
+    "(FLOOR((CASE WHEN gq * gq + hq * hq = 0e0 THEN 0e0 "
+    "ELSE 2e0 * (dq * hq * hq + eq * gq * gq - fq * gq * hq) "
+    "/ ((gq * gq + hq * hq) * SQRT(1e0 + (gq * gq + hq * hq))) END) "
+    "* 1e6 + 0.5e0) / 1e6) AS value FROM zt ORDER BY row, col",
+)
+def q_tangential_curv(spark, sf):
+    return _explode_focal(spark, "curv_tang")
+
+
+# -- up/downslope neighbor counts (§2.5/2.12; NumDownslopeNeighbours.java,
+# NumUpslopeNeighbours.java): strict comparisons — exact integers.
+@Q.register(
+    "num_neighbours",
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
+    "CAST(((CASE WHEN nw < cv THEN 1 ELSE 0 END) + (CASE WHEN nn < cv THEN 1 ELSE 0 END) + "
+    "(CASE WHEN ne < cv THEN 1 ELSE 0 END) + (CASE WHEN wv < cv THEN 1 ELSE 0 END) + "
+    "(CASE WHEN ev < cv THEN 1 ELSE 0 END) + (CASE WHEN sw < cv THEN 1 ELSE 0 END) + "
+    "(CASE WHEN ss < cv THEN 1 ELSE 0 END) + (CASE WHEN se < cv THEN 1 ELSE 0 END)) AS DOUBLE) AS n_down, "
+    "CAST(((CASE WHEN nw > cv THEN 1 ELSE 0 END) + (CASE WHEN nn > cv THEN 1 ELSE 0 END) + "
+    "(CASE WHEN ne > cv THEN 1 ELSE 0 END) + (CASE WHEN wv > cv THEN 1 ELSE 0 END) + "
+    "(CASE WHEN ev > cv THEN 1 ELSE 0 END) + (CASE WHEN sw > cv THEN 1 ELSE 0 END) + "
+    "(CASE WHEN ss > cv THEN 1 ELSE 0 END) + (CASE WHEN se > cv THEN 1 ELSE 0 END)) AS DOUBLE) AS n_up "
+    f"FROM w9 {_FULLW} ORDER BY row, col",
+)
+def q_num_neighbours(spark, sf):
+    dn = R.explode_cells(R.focal(_demf(spark), "ndn"), "n_down")
+    up = R.explode_cells(R.focal(_demf(spark), "nun"), "n_up")
+    return (
+        dn.join(up, ["row", "col"])
+        .where((F.col("n_down") != _ND) & (F.col("n_up") != _ND))
+        .select("row", "col", "n_down", "n_up")
+        .orderBy("row", "col")
+    )
+
+
+# -- max downslope elevation change (§2.5; MaxDownslopeElevationChange.java):
+# z - min 8-neighbor; the focal kernel applies the shared round-6 idiom to
+# every terrain-branch output, so the oracle rounds identically.
+@Q.register(
+    "max_downslope_change",
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
+    "(FLOOR((cv - LEAST(nw, nn, ne, wv, ev, sw, ss, se)) * 1e6 + 0.5e0) / 1e6) AS value "
+    f"FROM w9 {_FULLW} ORDER BY row, col",
+)
+def q_max_downslope_change(spark, sf):
+    return _explode_focal(spark, "maxdrop")
+
+
+# -- relative aspect (§2.5; RelativeAspect.java): angular distance of the
+# aspect from azimuth 90° (east), folded to [0, 180].  Computed FROM the
+# round-6 aspect so both engines branch on identical inputs; the fold is a
+# conditional add/subtract — exact.
+_REL_D = "(CASE WHEN value - 90e0 < 0e0 THEN value - 90e0 + 360e0 ELSE value - 90e0 END)"
+
+
+@Q.register(
+    "relative_aspect",
+    f"WITH {_RASF}, {_W9}, asp AS (SELECT row, col, "
+    f"(FLOOR(({_ASPECT_SQL}) * 1e6 + 0.5e0) / 1e6) AS value FROM w9 {_FULLW}) "
+    f"SELECT row, col, LEAST({_REL_D}, 360e0 - {_REL_D}) AS value "
+    "FROM asp ORDER BY row, col",
+)
+def q_relative_aspect(spark, sf):
+    asp = _explode_focal(spark, "aspect")
+    return asp.select(
+        "row", "col",
+        F.expr(f"LEAST({_REL_D}, 360e0 - {_REL_D})").alias("value"),
+    ).orderBy("row", "col")
+
+
+# -- relative stream power index (§2.12; RelativeStreamPowerIndex.java:251):
+# SCA^p * tan(slope), p = 1 — the wetness_index composition with a different
+# closing formula.
+@Q.register(
+    "stream_power",
+    f"""WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES},
+slp AS (
+  SELECT row, col,
+    (FLOOR(DEGREES(ATAN(SQRT(
+      POW((n2 - n0 + 2e0 * (n4 - n3) + n7 - n5) / 8e0, 2) +
+      POW((n5 - n0 + 2e0 * (n6 - n1) + n7 - n2) / 8e0, 2)))) * 1e6 + 0.5e0) / 1e6) AS slope_deg
+  FROM w9
+  WHERE cv IS NOT NULL AND n0 IS NOT NULL AND n1 IS NOT NULL AND n2 IS NOT NULL
+    AND n3 IS NOT NULL AND n4 IS NOT NULL AND n5 IS NOT NULL AND n6 IS NOT NULL
+    AND n7 IS NOT NULL
+)
+SELECT s.row, s.col,
+  CAST(ROUND(CAST(a.accum AS DOUBLE) * TAN(RADIANS(s.slope_deg)), 6) AS DOUBLE) AS value
+FROM slp s JOIN acc a ON a.row = s.row AND a.col = s.col
+WHERE s.slope_deg > 0e0 ORDER BY s.row, s.col""",
+)
+def q_stream_power(spark, sf):
+    from .operators.hydro import flow_accum, flow_pointer_d8
+
+    dem = _hydem(spark)
+    acc = flow_accum(flow_pointer_d8(dem))
+    slp = R.explode_cells(R.focal(dem, "slope"), "slope_deg").where(
+        F.col("slope_deg") != _ND
+    )
+    return (
+        slp.join(acc, ["row", "col"], "inner")
+        .where(F.col("slope_deg") > 0)
+        .select(
+            "row", "col",
+            F.round(
+                F.col("accum").cast("double") * F.tan(F.radians("slope_deg")), 6
+            ).cast("double").alias("value"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+# -- sediment transport index (§2.12; SedimentTransportIndex.java:253-254):
+# (m+1) * (SCA/22.13)^m * (sin(slope)/0.0896)^n with the reference's
+# canonical m = 0.4, n = 1.3.  POW is correctly-rounded libm on both engines;
+# round(6) absorbs the last-ulp risk.
+@Q.register(
+    "sediment_transport",
+    f"""WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES},
+slp AS (
+  SELECT row, col,
+    (FLOOR(DEGREES(ATAN(SQRT(
+      POW((n2 - n0 + 2e0 * (n4 - n3) + n7 - n5) / 8e0, 2) +
+      POW((n5 - n0 + 2e0 * (n6 - n1) + n7 - n2) / 8e0, 2)))) * 1e6 + 0.5e0) / 1e6) AS slope_deg
+  FROM w9
+  WHERE cv IS NOT NULL AND n0 IS NOT NULL AND n1 IS NOT NULL AND n2 IS NOT NULL
+    AND n3 IS NOT NULL AND n4 IS NOT NULL AND n5 IS NOT NULL AND n6 IS NOT NULL
+    AND n7 IS NOT NULL
+)
+SELECT s.row, s.col,
+  CAST(ROUND(1.4e0 * POW(CAST(a.accum AS DOUBLE) / 22.13e0, 0.4e0)
+    * POW(SIN(RADIANS(s.slope_deg)) / 0.0896e0, 1.3e0), 6) AS DOUBLE) AS value
+FROM slp s JOIN acc a ON a.row = s.row AND a.col = s.col
+WHERE s.slope_deg > 0e0 ORDER BY s.row, s.col""",
+)
+def q_sediment_transport(spark, sf):
+    from .operators.hydro import flow_accum, flow_pointer_d8
+
+    dem = _hydem(spark)
+    acc = flow_accum(flow_pointer_d8(dem))
+    slp = R.explode_cells(R.focal(dem, "slope"), "slope_deg").where(
+        F.col("slope_deg") != _ND
+    )
+    return (
+        slp.join(acc, ["row", "col"], "inner")
+        .where(F.col("slope_deg") > 0)
+        .select(
+            "row", "col",
+            F.round(
+                F.lit(1.4) * F.pow(F.col("accum").cast("double") / 22.13, 0.4)
+                * F.pow(F.sin(F.radians("slope_deg")) / 0.0896, 1.3), 6
+            ).cast("double").alias("value"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+# -- Pennock landform classification (§2.5;
+# Pennocks_Landform_Classification.java:299-330): 7 classes from profile /
+# plan curvature and slope thresholds (prof ±0.1, plan 0, slope 3°).  The
+# CASE branches run on the ROUND-6 kernel outputs so both engines classify
+# identical inputs; class codes follow the reference (1=CFS .. 7=Level).
+_PEN_SLOPE = f"(FLOOR(({_SLOPE_SQL}) * 1e6 + 0.5e0) / 1e6)"
+_PEN_CASE = (
+    "CASE WHEN prof < -0.1e0 AND plan <= 0e0 AND slope_d > 3e0 THEN 1 "
+    "WHEN prof < -0.1e0 AND plan > 0e0 AND slope_d > 3e0 THEN 2 "
+    "WHEN prof > 0.1e0 AND plan <= 0e0 AND slope_d > 3e0 THEN 3 "
+    "WHEN prof > 0.1e0 AND plan > 0e0 AND slope_d > 3e0 THEN 4 "
+    "WHEN prof >= -0.1e0 AND prof < 0.1e0 AND slope_d > 3e0 AND plan <= 0e0 THEN 5 "
+    "WHEN prof >= -0.1e0 AND prof < 0.1e0 AND slope_d > 3e0 AND plan > 0e0 THEN 6 "
+    "WHEN slope_d <= 3e0 THEN 7 END"
+)
+
+
+@Q.register(
+    "pennock_landform",
+    f"WITH {_RASF}, {_W9}, {_ZT}, "
+    f"slp AS (SELECT row, col, {_PEN_SLOPE} AS slope_d FROM w9 {_FULLW}), "
+    "cur AS (SELECT row, col, "
+    "(FLOOR((CASE WHEN gq * gq + hq * hq = 0e0 THEN 0e0 "
+    "ELSE 2e0 * (dq * hq * hq + eq * gq * gq - fq * gq * hq) / (gq * gq + hq * hq) END) "
+    "* 1e6 + 0.5e0) / 1e6) AS plan, "
+    "(FLOOR((CASE WHEN gq * gq + hq * hq = 0e0 THEN 0e0 "
+    "ELSE -2e0 * (dq * gq * gq + eq * hq * hq + fq * gq * hq) / (gq * gq + hq * hq) END) "
+    "* 1e6 + 0.5e0) / 1e6) AS prof FROM zt) "
+    f"SELECT s.row, s.col, CAST({_PEN_CASE} AS BIGINT) AS landclass "
+    "FROM slp s JOIN cur c ON c.row = s.row AND c.col = s.col "
+    "ORDER BY s.row, s.col",
+)
+def q_pennock_landform(spark, sf):
+    dem = _demf(spark)
+    slp = R.explode_cells(R.focal(dem, "slope"), "slope_d").where(F.col("slope_d") != _ND)
+    pln = R.explode_cells(R.focal(dem, "curv_plan"), "plan").where(F.col("plan") != _ND)
+    prf = R.explode_cells(R.focal(dem, "curv_profile"), "prof").where(F.col("prof") != _ND)
+    return (
+        slp.join(pln, ["row", "col"]).join(prf, ["row", "col"])
+        .select("row", "col",
+                F.expr(_PEN_CASE.replace("slope_d", "slope_d")).cast("bigint").alias("landclass"))
+        .orderBy("row", "col")
+    )
+
+
+# -- elevation relative to min/max (§2.5; ElevRelativeToMinMax.java):
+# (z - zmin) / (zmax - zmin) against the GLOBAL raster extrema — the
+# broadcast-scalar plan (two-row agg joined in, no collect).
+@Q.register(
+    "elev_rel_minmax",
+    f"WITH {_RAS}, mm AS (SELECT MIN(value) AS zmin, MAX(value) AS zmax "
+    f"FROM ras WHERE {_NDF}) "
+    "SELECT row, col, CAST(ROUND((value - zmin) / (zmax - zmin), 6) AS DOUBLE) AS value "
+    f"FROM ras, mm WHERE {_NDF} ORDER BY row, col",
+)
+def q_elev_rel_minmax(spark, sf):
+    cells = R.explode_cells(_dem(spark)).where(F.col("value") != _ND)
+    mm = cells.agg(F.min("value").alias("zmin"), F.max("value").alias("zmax"))
+    return (
+        cells.crossJoin(F.broadcast(mm))
+        .select(
+            "row", "col",
+            F.round((F.col("value") - F.col("zmin"))
+                    / (F.col("zmax") - F.col("zmin")), 6)
+            .cast("double").alias("value"),
+        )
+        .orderBy("row", "col")
+    )
