@@ -423,6 +423,10 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                     op = np.less if stat == "ndn" else np.greater
                     out = sum(op(n, centerv).astype(np.float64)
                               for n in (nw, nn, ne, wv, ev, sw, ss, se))
+                elif stat == "ridge":
+                    # FindRidges.java:196-215: N-S pair OR E-W pair both lower
+                    out = (((nn < centerv) & (ss < centerv))
+                           | ((wv < centerv) & (ev < centerv))).astype(np.float64)
                 elif stat == "maxdrop":
                     # MaxDownslopeElevationChange.java: z - min 8-neighbor
                     # (exact on dyadic cells, no rounding drift)

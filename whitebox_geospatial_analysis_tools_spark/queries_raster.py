@@ -3396,3 +3396,141 @@ def q_elev_rel_minmax(spark, sf):
         )
         .orderBy("row", "col")
     )
+
+
+# -- ridge cells (§2.5; FindRidges.java:196-215): cell is a ridge when its
+# N-S neighbor pair OR its E-W pair are BOTH strictly lower.  Exact
+# comparisons; full-window cells only (matching the stencil contract).
+@Q.register(
+    "find_ridges",
+    f"WITH {_RASF}, {_W9} SELECT row, col, CAST(1 AS BIGINT) AS ridge "
+    f"FROM w9 {_FULLW} AND ((nn < cv AND ss < cv) OR (wv < cv AND ev < cv)) "
+    "ORDER BY row, col",
+)
+def q_find_ridges(spark, sf):
+    out = _explode_focal(spark, "ridge")
+    return (
+        out.where(F.col("value") == 1.0)
+        .select("row", "col", F.lit(1).cast("bigint").alias("ridge"))
+        .orderBy("row", "col")
+    )
+
+
+# -- fetch analysis (§2.5; FetchAnalysis.java:311-383, east azimuth):
+# distance to the first upwind cell whose elevation exceeds
+# z + dist * heightIncrement (0.05); unobstructed profiles take the
+# NEGATIVE distance to the grid edge, as the reference does.
+@Q.register(
+    "fetch_analysis",
+    f"WITH {_RASF}, live AS (SELECT * FROM ras WHERE {_NDF}), "
+    "mx AS (SELECT row, MAX(col) AS cmax FROM live GROUP BY 1), "
+    "f AS (SELECT a.row, a.col, "
+    "MIN(CASE WHEN b.value >= a.value + (b.col - a.col) * 0.05e0 "
+    "THEN b.col - a.col END) AS hit "
+    "FROM live a JOIN live b ON b.row = a.row AND b.col > a.col GROUP BY 1, 2) "
+    "SELECT l.row, l.col, "
+    "CAST(COALESCE(f.hit, -(m.cmax - l.col)) AS DOUBLE) AS fetch_dist "
+    "FROM live l LEFT JOIN f ON f.row = l.row AND f.col = l.col "
+    "JOIN mx m ON m.row = l.row WHERE l.col < m.cmax ORDER BY l.row, l.col",
+)
+def q_fetch_analysis(spark, sf):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    mx = live.groupBy("row").agg(F.max("col").alias("cmax"))
+    b = live.select(F.col("row").alias("row"), F.col("col").alias("bcol"),
+                    F.col("value").alias("bv"))
+    hits = (
+        live.join(b, "row")
+        .where(F.col("bcol") > F.col("col"))
+        .groupBy("row", "col")
+        .agg(F.expr(
+            "MIN(CASE WHEN bv >= value + (bcol - col) * 0.05e0 "
+            "THEN bcol - col END)").alias("hit"))
+    )
+    return (
+        live.join(hits, ["row", "col"], "left")
+        .join(mx, "row")
+        .where(F.col("col") < F.col("cmax"))
+        .select(
+            "row", "col",
+            F.coalesce(F.col("hit"), -(F.col("cmax") - F.col("col")))
+            .cast("double").alias("fetch_dist"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+# -- directional relief (§2.5; DirectionalRelief.java, east azimuth): mean
+# elevation difference between the cell and ALL cells along the azimuth
+# ray: z - avg(z_east).  Suffix average is sum/count of dyadic cells —
+# round(6) absorbs the division.
+@Q.register(
+    "directional_relief",
+    f"WITH {_RASF}, live AS (SELECT * FROM ras WHERE {_NDF}) "
+    "SELECT a.row, a.col, "
+    "CAST(ROUND(a.value - SUM(b.value) / COUNT(*), 6) AS DOUBLE) AS relief "
+    "FROM live a JOIN live b ON b.row = a.row AND b.col > a.col "
+    "GROUP BY 1, 2, a.value ORDER BY 1, 2",
+)
+def q_directional_relief(spark, sf):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    b = live.select(F.col("row").alias("row"), F.col("col").alias("bcol"),
+                    F.col("value").alias("bv"))
+    return (
+        live.join(b, "row")
+        .where(F.col("bcol") > F.col("col"))
+        .groupBy("row", "col", "value")
+        .agg((F.sum("bv") / F.count(F.lit(1))).alias("_m"))
+        .select(
+            "row", "col",
+            F.round(F.col("value") - F.col("_m"), 6).cast("double").alias("relief"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+# -- elevation relative to watershed min/max (§2.12;
+# ElevRelativeToWatershedMinMax.java): (z - ws_min) / (ws_max - ws_min)
+# with the extrema taken over each cell's watershed — the watershed labels
+# composed with a per-label extrema groupBy (single-cell basins -> 0).
+@Q.register(
+    "elev_rel_watershed",
+    f"WITH RECURSIVE {_HYD_BASE}, "
+    "edges AS (SELECT row * 1000000 + col AS id, "
+    "(row + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1 "
+    "WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1 ELSE 1 END) * 1000000 + "
+    "(col + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 1 "
+    "WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN 0 ELSE 1 END) AS nid "
+    "FROM d8 WHERE code > 0), "
+    "terminals AS (SELECT row * 1000000 + col AS id FROM d8 WHERE code = 0), "
+    "walk(id, cur) AS (SELECT id, id FROM (SELECT row * 1000000 + col AS id FROM d8) "
+    "UNION SELECT w.id, e.nid FROM walk w JOIN edges e ON e.id = w.cur), "
+    "root AS (SELECT w.id, w.cur AS ws FROM walk w JOIN terminals t ON w.cur = t.id), "
+    "zc AS (SELECT r.id, r.ws, l.v AS z FROM root r "
+    "JOIN live l ON l.row * 1000000 + l.col = r.id WHERE l.v IS NOT NULL), "
+    "ext AS (SELECT ws, MIN(z) AS zmin, MAX(z) AS zmax FROM zc GROUP BY 1) "
+    "SELECT CAST(FLOOR(zc.id / 1000000) AS BIGINT) AS row, "
+    "CAST(zc.id % 1000000 AS BIGINT) AS col, "
+    "CAST(CASE WHEN e.zmax = e.zmin THEN 0e0 "
+    "ELSE ROUND((zc.z - e.zmin) / (e.zmax - e.zmin), 6) END AS DOUBLE) AS value "
+    "FROM zc JOIN ext e USING (ws) ORDER BY row, col",
+)
+def q_elev_rel_watershed(spark, sf):
+    from .operators.hydro import flow_pointer_d8, watershed
+
+    dem = _hydem(spark)
+    ws = watershed(flow_pointer_d8(dem))
+    z = R.explode_cells(dem).where(F.col("value") != _ND)
+    wz = ws.join(z, ["row", "col"])
+    ext = wz.groupBy("ws").agg(F.min("value").alias("zmin"),
+                               F.max("value").alias("zmax"))
+    return (
+        wz.join(ext, "ws")
+        .select(
+            "row", "col",
+            F.when(F.col("zmax") == F.col("zmin"), F.lit(0.0))
+            .otherwise(F.round((F.col("value") - F.col("zmin"))
+                               / (F.col("zmax") - F.col("zmin")), 6)
+                       .cast("double")).alias("value"),
+        )
+        .orderBy("row", "col")
+    )
