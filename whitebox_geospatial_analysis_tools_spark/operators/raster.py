@@ -343,6 +343,21 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                     axis=0,
                 )
                 out = less / cnt
+            elif stat == "conservative":
+                # FilterConservativeSmoothing.java:170-213: clamp the center
+                # into the [min, max] envelope of its available 8 neighbors
+                nb = np.delete(stack, 4, axis=0)
+                cnt = (~np.isnan(nb)).sum(axis=0).astype(np.float64)
+                mn = np.nanmin(nb, axis=0)
+                mx = np.nanmax(nb, axis=0)
+                out = np.minimum(np.maximum(centerv, mn), mx)
+                out = np.where(cnt < 1, np.nan, out)
+            elif stat == "difffrommean":
+                # DifferenceFromMeanElevation.java:175-198: z - window mean
+                # (center included; dyadic sum exact, division IEEE-identical)
+                cnt = (~np.isnan(stack)).sum(axis=0).astype(np.float64)
+                s = np.nansum(np.where(np.isnan(stack), 0.0, stack), axis=0)
+                out = centerv - s / cnt
             elif stat in ("majority", "diversity"):
                 # classes = floor(value); majority tie-break: smallest class
                 cls = np.floor(stack)

@@ -3534,3 +3534,181 @@ def q_elev_rel_watershed(spark, sf):
         )
         .orderBy("row", "col")
     )
+
+
+# -- composed 3x3 convolutions (§2.5/§2.13: FilterDoG.java, FilterLoG.java) ---
+# DoG/LoG with only 1-cell halos: the wide Gaussian is the 3x3 binomial
+# applied twice (5x5 effective support), so both filters are compositions of
+# the existing halo-strip stencil runner — two focal passes, each a single
+# strip exchange, no new shuffle shape.  Each pass rounds half-up to 6
+# decimals (the shared float policy), replicated in the oracle's g1 CTE.
+_G3 = "(nw + 2e0 * nn + ne + 2e0 * wv + 4e0 * cv + 2e0 * ev + sw + 2e0 * ss + se) / 16e0"
+
+
+def _w9_over(src: str, out: str) -> str:
+    """The _W9 window fragment re-targeted at another CTE's (row,col,value)."""
+    return (_W9.replace("w9 AS", f"{out} AS")
+               .replace("FROM ras a JOIN ras b", f"FROM {src} a JOIN {src} b"))
+
+
+_G1_CTE = (
+    f"g1 AS (SELECT row, col, (FLOOR(({_G3}) * 1e6 + 0.5e0) / 1e6) AS value "
+    f"FROM w9 {_FULLW})"
+)
+_FULLW2 = (
+    "WHERE nw IS NOT NULL AND nn IS NOT NULL AND ne IS NOT NULL AND wv IS NOT NULL "
+    "AND ev IS NOT NULL AND sw IS NOT NULL AND ss IS NOT NULL AND se IS NOT NULL "
+)
+
+
+@Q.register(
+    "focal_dog",
+    f"WITH {_RASF}, {_W9}, {_G1_CTE}, {_w9_over('g1', 'w9b')} "
+    f"SELECT row, col, (cv - (FLOOR(({_G3}) * 1e6 + 0.5e0) / 1e6)) AS value "
+    f"FROM w9b {_FULLW2} ORDER BY row, col",
+)
+def q_focal_dog(spark, sf):
+    g1 = R.focal(_demf(spark), "gaussian")
+    g2 = R.focal(g1, "gaussian")
+    a = R.explode_cells(g1, "g1v")
+    b = R.explode_cells(g2, "g2v")
+    return (
+        a.join(b, ["row", "col"])
+        .where((F.col("g1v") != _ND) & (F.col("g2v") != _ND))
+        .select("row", "col", (F.col("g1v") - F.col("g2v")).alias("value"))
+        .orderBy("row", "col")
+    )
+
+
+@Q.register(
+    "focal_log",
+    f"WITH {_RASF}, {_W9}, {_G1_CTE}, {_w9_over('g1', 'w9b')} "
+    "SELECT row, col, (FLOOR((4e0 * cv - nn - ss - wv - ev) * 1e6 + 0.5e0) / 1e6) AS value "
+    f"FROM w9b {_FULLW2} ORDER BY row, col",
+)
+def q_focal_log(spark, sf):
+    g1 = R.focal(_demf(spark), "gaussian")
+    out = R.explode_cells(R.focal(g1, "laplacian"))
+    return out.where(F.col("value") != _ND).orderBy("row", "col")
+
+
+# -- morphological opening / closing (§2.5; ClosingFilter.java,
+# OpeningFilter.java) — erode/dilate composition over the binary indicator,
+# same available-window min/max semantics as `morphology`.
+_IND_CTE = (
+    "ind AS (SELECT row, col, CASE WHEN value > 100e0 THEN 1e0 ELSE 0e0 END AS value "
+    f"FROM ras WHERE value != {NODATA!r}e0)"
+)
+
+
+def _minmax_cte(src: str, out: str, agg: str) -> str:
+    return (
+        f"{out} AS (SELECT a.row AS row, a.col AS col, {agg}(b.value) AS value "
+        f"FROM {src} a JOIN {src} b ON b.row BETWEEN a.row - 1 AND a.row + 1 "
+        "AND b.col BETWEEN a.col - 1 AND a.col + 1 GROUP BY 1, 2)"
+    )
+
+
+@Q.register(
+    "morph_open",
+    f"WITH {_RASF}, {_IND_CTE}, {_minmax_cte('ind', 'er', 'MIN')}, "
+    f"{_minmax_cte('er', 'op', 'MAX')} "
+    "SELECT row, col, CAST(value AS BIGINT) AS value FROM op ORDER BY row, col",
+)
+def q_morph_open(spark, sf):
+    ind = R.map_algebra(_demf(spark), "CASE WHEN v > 100e0 THEN 1e0 ELSE 0e0 END")
+    out = R.explode_cells(R.focal(R.focal(ind, "min"), "max"))
+    return (
+        out.where(F.col("value") != _ND)
+        .select("row", "col", F.col("value").cast("bigint").alias("value"))
+        .orderBy("row", "col")
+    )
+
+
+@Q.register(
+    "morph_close",
+    f"WITH {_RASF}, {_IND_CTE}, {_minmax_cte('ind', 'di', 'MAX')}, "
+    f"{_minmax_cte('di', 'cl', 'MIN')} "
+    "SELECT row, col, CAST(value AS BIGINT) AS value FROM cl ORDER BY row, col",
+)
+def q_morph_close(spark, sf):
+    ind = R.map_algebra(_demf(spark), "CASE WHEN v > 100e0 THEN 1e0 ELSE 0e0 END")
+    out = R.explode_cells(R.focal(R.focal(ind, "max"), "min"))
+    return (
+        out.where(F.col("value") != _ND)
+        .select("row", "col", F.col("value").cast("bigint").alias("value"))
+        .orderBy("row", "col")
+    )
+
+
+# -- conservative smoothing (§2.5; FilterConservativeSmoothing.java:170-213) --
+@Q.register(
+    "focal_conservative",
+    f"WITH {_RASF}, {_NBR2}, nb AS (SELECT row, col, av, bv FROM nbr2 "
+    f"WHERE NOT is_c AND bv != {NODATA!r}e0) "
+    "SELECT row, col, CASE WHEN MAX(av) > MAX(bv) THEN MAX(bv) "
+    "WHEN MAX(av) < MIN(bv) THEN MIN(bv) ELSE MAX(av) END AS value "
+    "FROM nb GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_focal_conservative(spark, sf):
+    return _explode_focal(spark, "conservative")
+
+
+# -- difference from mean elevation (§2.5;
+# DifferenceFromMeanElevation.java:175-198): z - 3x3 window mean -------------
+@Q.register(
+    "diff_from_mean",
+    f"WITH {_RASF}, {_NBR2} SELECT row, col, "
+    f"(MAX(av) - (SUM(bv) FILTER (bv != {NODATA!r}e0)) "
+    f"/ (COUNT(*) FILTER (bv != {NODATA!r}e0))) AS value "
+    "FROM nbr2 GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_diff_from_mean(spark, sf):
+    return _explode_focal(spark, "difffrommean")
+
+
+# -- elevation above the draining pit (§2.12; ElevAbovePit.java:162-218) ------
+# z - z(pit): the D8 walk terminal is each basin's pit; composition of the
+# watershed labeling (tile-Kahn + condensed graph) with one equi-join back
+# onto the elevation table keyed by the pit id — both sides shuffle on ws,
+# no driver work beyond what watershed already does.
+_WS_WALK = (
+    "edges AS (SELECT row * 1000000 + col AS id, "
+    "(row + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1 "
+    "WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1 ELSE 1 END) * 1000000 + "
+    "(col + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 1 "
+    "WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN 0 ELSE 1 END) AS nid "
+    "FROM d8 WHERE code > 0), "
+    "terminals AS (SELECT row * 1000000 + col AS id FROM d8 WHERE code = 0), "
+    "walk(id, cur) AS (SELECT id, id FROM (SELECT row * 1000000 + col AS id FROM d8) "
+    "UNION SELECT w.id, e.nid FROM walk w JOIN edges e ON e.id = w.cur), "
+    "root AS (SELECT w.id, w.cur AS ws FROM walk w JOIN terminals t ON w.cur = t.id)"
+)
+
+
+@Q.register(
+    "elev_above_pit",
+    f"WITH RECURSIVE {_HYD_BASE}, {_WS_WALK}, "
+    "zc AS (SELECT r.id, r.ws, l.v AS z FROM root r "
+    "JOIN live l ON l.row * 1000000 + l.col = r.id WHERE l.v IS NOT NULL), "
+    "zp AS (SELECT l2.row * 1000000 + l2.col AS ws, l2.v AS zpit FROM live l2 "
+    "WHERE l2.v IS NOT NULL) "
+    "SELECT CAST(FLOOR(zc.id / 1000000) AS BIGINT) AS row, "
+    "CAST(zc.id % 1000000 AS BIGINT) AS col, "
+    "(zc.z - p.zpit) AS value "
+    "FROM zc JOIN zp p USING (ws) ORDER BY row, col",
+)
+def q_elev_above_pit(spark, sf):
+    from .operators.hydro import flow_pointer_d8, watershed
+
+    dem = _hydem(spark)
+    ws = watershed(flow_pointer_d8(dem))
+    z = R.explode_cells(dem).where(F.col("value") != _ND)
+    wz = ws.join(z, ["row", "col"])
+    zp = z.select((F.col("row") * 1000000 + F.col("col")).alias("ws"),
+                  F.col("value").alias("zpit"))
+    return (
+        wz.join(zp, "ws")
+        .select("row", "col", (F.col("value") - F.col("zpit")).alias("value"))
+        .orderBy("row", "col")
+    )
