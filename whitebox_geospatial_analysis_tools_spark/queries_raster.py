@@ -2670,7 +2670,7 @@ def q_fd8_accum(spark, sf):
     from .operators.hydro import fd8_accum
 
     dem = R.synth_raster(spark, _DROWS, _DCOLS)
-    return fd8_accum(dem, tile=16).orderBy("row", "col")
+    return fd8_accum(dem, tile=30).orderBy("row", "col")
 
 
 # -- RGB -> HSI color transform (§2.13; RgbToIhs.java) ------------------------
@@ -2874,7 +2874,7 @@ def q_dinf_accum(spark, sf):
     from .operators.hydro import dinf_accum
 
     dem = R.synth_raster(spark, _DROWS, _DCOLS)
-    return dinf_accum(dem, tile=16).orderBy("row", "col")
+    return dinf_accum(dem, tile=30).orderBy("row", "col")
 
 
 # -- MD-infinity accumulation (§2.12; GeasyTools FlowAccumMDInf.java:631) -----
@@ -2936,7 +2936,7 @@ def q_mdinf_accum(spark, sf):
     from .operators.hydro import mdinf_accum
 
     dem = R.synth_raster(spark, _DROWS, _DCOLS)
-    return mdinf_accum(dem, tile=16).orderBy("row", "col")
+    return mdinf_accum(dem, tile=30).orderBy("row", "col")
 
 
 # -- D-infinity flow pointer (§2.12; FlowPointerDinf.java, Tarboton 1997) -----
