@@ -3712,3 +3712,165 @@ def q_elev_above_pit(spark, sf):
         .select("row", "col", (F.col("value") - F.col("zpit")).alias("value"))
         .orderBy("row", "col")
     )
+
+
+# -- raster patch statistics (§2.4 patch-shape family over clump labels:
+# GISTools RadiusOfGyration.java, LinearityIndex.java, PatchOrientation.java,
+# EdgeProportion.java) — per-patch aggregates over the connected-component
+# labeling; one clump pass + Catalyst-only moment aggregations (integer cell
+# coords -> exact sums; only the final transcendental/ordered outputs round).
+def _patch_cells(spark):
+    from .operators.clump import clump
+
+    cells = (
+        R.explode_cells(R.synth_raster(spark, _CROWS, _CCOLS))
+        .where(F.col("value") != _ND)
+        .select("row", "col",
+                F.expr("CAST(FLOOR(value / 50e0) AS BIGINT)").alias("cls"))
+    )
+    return clump(cells, _CCOLS)
+
+
+@Q.register(
+    "radius_gyration",
+    f"WITH RECURSIVE {_CBASE}, "
+    "pc AS (SELECT b.cls, l.label, b.row, b.col FROM base b JOIN lab l USING (id)), "
+    "cent AS (SELECT cls, label, SUM(col) / COUNT(*) AS cx, "
+    "SUM(row) / COUNT(*) AS cy, COUNT(*) AS n FROM pc GROUP BY 1, 2) "
+    "SELECT p.cls, p.label, CAST(ROUND(SUM(SQRT((p.col - c.cx) * (p.col - c.cx) "
+    "+ (p.row - c.cy) * (p.row - c.cy))) / MAX(c.n), 6) AS DOUBLE) AS gyradius "
+    "FROM pc p JOIN cent c ON c.cls = p.cls AND c.label = p.label "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_radius_gyration(spark, sf):
+    """RadiusOfGyration.java:245-296: mean distance of patch cells from the
+    patch centroid (integer coord sums exact; ordered sqrt-sum rounds 6)."""
+    pc = _patch_cells(spark)
+    cent = pc.groupBy("cls", "label").agg(
+        (F.sum("col") / F.count(F.lit(1))).alias("cx"),
+        (F.sum("row") / F.count(F.lit(1))).alias("cy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        pc.join(cent, ["cls", "label"])
+        .groupBy("cls", "label")
+        .agg(F.round(
+            F.sum(F.sqrt((F.col("col") - F.col("cx")) * (F.col("col") - F.col("cx"))
+                         + (F.col("row") - F.col("cy")) * (F.col("row") - F.col("cy"))))
+            / F.max("n"), 6).cast("double").alias("gyradius"))
+        .orderBy("cls", "label")
+    )
+
+
+_PATCH_MOM = (
+    "mom AS (SELECT cls, label, COUNT(*) AS n, SUM(col) AS sx, SUM(row) AS sy, "
+    "SUM(col * row) AS sxy, SUM(col * col) AS sxx, SUM(row * row) AS syy "
+    "FROM pc GROUP BY 1, 2)"
+)
+# central second moments (translation-invariant, so raw coords match the
+# reference's min-offset coords exactly on integer sums)
+_SXXC = "(sxx - CAST(sx AS DOUBLE) * sx / n)"
+_SYYC = "(syy - CAST(sy AS DOUBLE) * sy / n)"
+_SXYC = "(sxy - CAST(sx AS DOUBLE) * sy / n)"
+
+
+@Q.register(
+    "linearity_index",
+    f"WITH RECURSIVE {_CBASE}, "
+    "pc AS (SELECT b.cls, l.label, b.row, b.col FROM base b JOIN lab l USING (id)), "
+    f"{_PATCH_MOM} "
+    "SELECT cls, label, CAST(CASE WHEN n > 1 AND {sxx} * {syy} > 0e0 THEN "
+    "ROUND(({sxy} / SQRT({sxx} * {syy})) * ({sxy} / SQRT({sxx} * {syy})), 6) "
+    "ELSE 0e0 END AS DOUBLE) AS linearity "
+    "FROM mom ORDER BY cls, label".format(sxx=_SXXC, syy=_SYYC, sxy=_SXYC),
+)
+def q_linearity_index(spark, sf):
+    """LinearityIndex.java:280-321: r-squared of the patch-cell col~row
+    regression (0 for single-cell or degenerate patches)."""
+    pc = _patch_cells(spark)
+    mom = pc.groupBy("cls", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("col").alias("sx"),
+        F.sum("row").alias("sy"),
+        F.sum(F.col("col") * F.col("row")).alias("sxy"),
+        F.sum(F.col("col") * F.col("col")).alias("sxx"),
+        F.sum(F.col("row") * F.col("row")).alias("syy"),
+    )
+    expr = (
+        "CAST(CASE WHEN n > 1 AND {sxx} * {syy} > 0e0 THEN "
+        "ROUND(({sxy} / SQRT({sxx} * {syy})) * ({sxy} / SQRT({sxx} * {syy})), 6) "
+        "ELSE 0e0 END AS DOUBLE)"
+    ).format(sxx=_SXXC, syy=_SYYC, sxy=_SXYC)
+    return mom.select("cls", "label", F.expr(expr).alias("linearity")) \
+              .orderBy("cls", "label")
+
+
+@Q.register(
+    "patch_orientation",
+    f"WITH RECURSIVE {_CBASE}, "
+    "pc AS (SELECT b.cls, l.label, b.row, b.col FROM base b JOIN lab l USING (id)), "
+    f"{_PATCH_MOM} "
+    "SELECT cls, label, CAST(CASE WHEN n > 1 AND {sxx} > 0e0 THEN "
+    "FLOOR((90e0 - DEGREES(ATAN(-({sxy}) / ({sxx})))) * 1e6 + 0.5e0) / 1e6 "
+    "ELSE 0e0 END AS DOUBLE) AS orientation "
+    "FROM mom ORDER BY cls, label".format(sxx=_SXXC, sxy=_SXYC),
+)
+def q_patch_orientation(spark, sf):
+    """PatchOrientation.java:280-301 (raster regression form): long-axis
+    orientation 90 - atan(-Sxy/Sxx) degrees; 0 for degenerate patches."""
+    pc = _patch_cells(spark)
+    mom = pc.groupBy("cls", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("col").alias("sx"),
+        F.sum("row").alias("sy"),
+        F.sum(F.col("col") * F.col("row")).alias("sxy"),
+        F.sum(F.col("col") * F.col("col")).alias("sxx"),
+    )
+    expr = (
+        "CAST(CASE WHEN n > 1 AND {sxx} > 0e0 THEN "
+        "FLOOR((90e0 - DEGREES(ATAN(-({sxy}) / ({sxx})))) * 1e6 + 0.5e0) / 1e6 "
+        "ELSE 0e0 END AS DOUBLE)"
+    ).format(sxx=_SXXC, sxy=_SXYC)
+    return mom.select("cls", "label", F.expr(expr).alias("orientation")) \
+              .orderBy("cls", "label")
+
+
+@Q.register(
+    "edge_proportion",
+    f"WITH RECURSIVE {_CBASE}, "
+    "pc AS (SELECT b.cls, l.label, b.row, b.col, b.id FROM base b JOIN lab l USING (id)), "
+    "edge AS (SELECT p.cls, p.label, p.id, "
+    "MAX(CASE WHEN q.id IS NULL OR ql.label != p.label THEN 1 ELSE 0 END) AS is_edge "
+    "FROM pc p CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) o(dr, dc) "
+    f"LEFT JOIN base q ON q.row = p.row + o.dr AND q.col = p.col + o.dc "
+    "LEFT JOIN lab ql ON ql.id = q.id "
+    "GROUP BY 1, 2, 3) "
+    "SELECT cls, label, CAST(SUM(is_edge) AS DOUBLE) / COUNT(*) AS edge_prop "
+    "FROM edge GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def q_edge_proportion(spark, sf):
+    """EdgeProportion.java:213-248: fraction of patch cells with any
+    8-neighbor outside the patch (off-grid / nodata neighbors count)."""
+    pc = _patch_cells(spark)
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    o = F.explode(F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc")) for dr, dc in offs
+    ])).alias("_o")
+    probes = pc.select("cls", "label", "row", "col", o).select(
+        "cls", "label", "row", "col",
+        (F.col("row") + F.col("_o.dr")).alias("nr"),
+        (F.col("col") + F.col("_o.dc")).alias("nc"),
+    )
+    nb = pc.select(F.col("row").alias("nr"), F.col("col").alias("nc"),
+                   F.col("label").alias("nlabel"))
+    edge = (
+        probes.join(nb, ["nr", "nc"], "left")
+        .groupBy("cls", "label", "row", "col")
+        .agg(F.max(
+            F.when(F.col("nlabel").isNull()
+                   | (F.col("nlabel") != F.col("label")), 1).otherwise(0)
+        ).alias("is_edge"))
+    )
+    return (
+        edge.groupBy("cls", "label")
+        .agg((F.sum("is_edge").cast("double") / F.count(F.lit(1))).alias("edge_prop"))
+        .orderBy("cls", "label")
+    )

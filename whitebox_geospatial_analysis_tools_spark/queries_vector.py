@@ -1049,3 +1049,43 @@ def q_line_clip_predicates(spark, sf):
         F.expr("(y1 + y2) / 2e0 + (y2 - (y1 + y2) / 2e0) / 64e0").alias("y2"),
     )
     return line_clip_predicates(spark, raw.unionAll(shrunk))
+
+
+# -- hole proportion (§2.4 patch-shape family; GISTools
+# HoleProportion.java:344-348: 1 - netArea/grossArea = holeArea/grossArea,
+# 0 for hole-free features) — per-ring Catalyst lambdas over the polygon
+# layer, no shuffle beyond the source scan.
+@Q.register(
+    "hole_proportion",
+    f"WITH {_VTX}, {_RING_AGG}, "
+    "per AS (SELECT poly_id, "
+    "SUM(CASE WHEN ring = 0 THEN ABS(signed_area) ELSE 0e0 END) AS gross, "
+    "SUM(CASE WHEN ring != 0 THEN ABS(signed_area) ELSE 0e0 END) AS holes "
+    "FROM rings GROUP BY 1) "
+    "SELECT poly_id, CAST(CASE WHEN holes > 0e0 THEN "
+    "FLOOR((holes / gross) * 1e6 + 0.5e0) / 1e6 ELSE 0e0 END AS DOUBLE) AS hole_prop "
+    "FROM per ORDER BY poly_id",
+)
+def q_hole_proportion(spark, sf):
+    from .operators.vector import _RING_CROSS
+    from .sources.polygons import polygons_df
+
+    df = polygons_df(spark).withColumn(
+        "_areas", F.expr(f"transform(rings, r -> abs({_RING_CROSS}) / 2e0)")
+    )
+    return (
+        df.select(
+            "poly_id",
+            F.col("_areas")[0].alias("gross"),
+            F.expr("aggregate(slice(_areas, 2, size(_areas) - 1), 0e0, (a, v) -> a + v)")
+            .alias("holes"),
+        )
+        .select(
+            "poly_id",
+            F.expr(
+                "CAST(CASE WHEN holes > 0e0 THEN "
+                "FLOOR((holes / gross) * 1e6 + 0.5e0) / 1e6 ELSE 0e0 END AS DOUBLE)"
+            ).alias("hole_prop"),
+        )
+        .orderBy("poly_id")
+    )
