@@ -45,6 +45,8 @@ CROSSJOIN_ALLOW = [
      "1-row min/max/total aggregates (stretch/equalize/CDF/viewpoint scalars)"),
     (r"queries_raster\.py", r"crossJoin\(F\.broadcast\(lv\)\)",
      "fixed 3-row contour level list"),
+    (r"queries_raster\.py", r"dem\.crossJoin\(F\.broadcast\(vpz\)\)",
+     "fixed 9-station viewpoint grid (visibility_index, constant _VI_VPS)"),
     (r"operators/distance\.py", r"crossJoin\(F\.broadcast\(bounds\)\)",
      "1-row target bounding-box aggregate (uncovered-block radius fallback)"),
     (r"queries_vector\.py", r"spark\.range\(_DG_N\)\.selectExpr.*crossJoin\(",

@@ -473,6 +473,36 @@ def _zs_luts() -> tuple[list[int], list[int]]:
     return lut1, lut2
 
 
+def thicken_line(cells: DataFrame) -> DataFrame:
+    """ThickenRasterLine (Scripts/ThickenRasterLine.groovy): make an
+    8-connected line raster 4-connected by filling the elbow of every
+    diagonal step — a background cell turns on when two of its ORTHOGONAL
+    neighbors that are diagonal to each other (N&E, E&S, S&W, W&N) are both
+    line cells.  One exploded 4-offset probe + bitmask aggregation, all
+    Catalyst; scales as a single narrow shuffle on (row, col)."""
+    # candidate = line cell shifted by one orthogonal step; the direction the
+    # SOURCE is seen from the candidate gets one bit: N=1, E=2, S=4, W=8
+    offs = F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"), F.lit(bit).alias("bit"))
+        for dr, dc, bit in [(1, 0, 1), (0, -1, 2), (-1, 0, 4), (0, 1, 8)]
+    ])
+    s = cells.select("row", "col")
+    cand = (
+        s.withColumn("_o", F.explode(offs))
+        .groupBy(
+            (F.col("row") + F.col("_o.dr")).alias("row"),
+            (F.col("col") + F.col("_o.dc")).alias("col"),
+        )
+        .agg(F.sum(F.col("_o.bit")).alias("m"))
+        .where(
+            F.expr("(m & 3) = 3 OR (m & 6) = 6 OR (m & 12) = 12 OR (m & 9) = 9")
+        )
+        .join(s, ["row", "col"], "left_anti")
+        .select("row", "col")
+    )
+    return s.unionByName(cand)
+
+
 def remove_spurs(cells: DataFrame, *, passes: int = 2) -> DataFrame:
     """RemoveSpurs (ImageProcessingTools RemoveSpurs.java): iteratively
     delete skeleton endpoints (cells with <= 1 remaining 8-neighbor) for a

@@ -2432,6 +2432,35 @@ def q_hillslopes(spark, sf):
     return hillslopes(flow_pointer_d8(dem), _VT).orderBy("row", "col")
 
 
+# -- Strahler-order basins (§2.12; HydroTools/src/plugins/
+# StrahlerOrderBasins.java:393): every cell labeled with the Strahler order
+# of the stream link whose subbasin drains it (-1 off-network / pit cells).
+# Pure composition: the subbasin chase joined to the per-link order table —
+# one extra broadcast join over the link table on top of `subbasins`.
+@Q.register(
+    "strahler_basins",
+    f"WITH RECURSIVE {_VHYD_BASE}, {_stream_net_sql(_VT)}, "
+    + _sb_chase_sql("stream")
+    + f" SELECT t2.row, t2.col, COALESCE(o.ord, -1) AS strahler "
+    f"FROM term t2 LEFT JOIN slab sl ON sl.id = t2.t "
+    f"LEFT JOIN om{_OM_K} o ON o.link = sl.link ORDER BY 1, 2",
+)
+def q_strahler_basins(spark, sf):
+    from .operators.hydro import flow_pointer_d8, stream_network, subbasins
+
+    dem = R.synth_raster(spark, _VROWS, _VCOLS, value_sql=VALLEY_VAL)
+    ptr = flow_pointer_d8(dem)
+    sub = subbasins(ptr, _VT)
+    order = stream_network(ptr, _VT).select(
+        F.col("link").alias("sub"), F.col("strahler").alias("_ord")
+    )
+    return (
+        sub.join(F.broadcast(order), ["sub"], "left")
+        .select("row", "col", F.coalesce("_ord", F.lit(-1)).alias("strahler"))
+        .orderBy("row", "col")
+    )
+
+
 # -- stream link slope (§2.12; StreamLinkSlope.java:396): per junction-cut
 # link, elevation range along the link / link length -------------------------
 @Q.register(
@@ -2554,6 +2583,121 @@ def q_viewshed(spark, sf):
     return (
         tgt.join(blk, ["row", "col"], "left")
         .select("row", "col", F.expr("COALESCE(b, FALSE) = FALSE").alias("visible"))
+        .orderBy("row", "col")
+    )
+
+
+# -- visibility index (§2.11; TerrainAnalysisTools/src/plugins/
+# VisibilityIndex.java:1029 — per-cell fraction of a viewpoint grid that sees
+# the cell; the reference runs one viewshed per resampled-grid station on a
+# thread pool, here the station axis is just one more join key so all nine
+# viewsheds evaluate in a single distributed pass).  Same exact R3
+# cross-multiplied LOS kernel as `viewshed`; the index is an integer count
+# divided once (bit-exact both engines).  100x path: per-station wavefront
+# sweeps with running max gradient, stations partitioned across executors.
+_VI_VPS = [(v, 10 + 30 * (v // 3), 10 + 20 * (v % 3)) for v in range(9)]
+_VI_PR = "CAST(vr AS DOUBLE) + CAST(k * (row - vr) AS DOUBLE) / kk"
+_VI_PC = "CAST(vc AS DOUBLE) + CAST(k * (col - vc) AS DOUBLE) / kk"
+
+
+@Q.register(
+    "visibility_index",
+    f"""WITH vras AS (SELECT r.r AS row, c.c AS col, {VALLEY_VAL.format(row='r.r', col='c.c')} AS value
+  FROM range(0, {_VROWS}) r(r), range(0, {_VCOLS}) c(c)),
+vp AS (SELECT * FROM (VALUES {', '.join(f'({v}, {vr}, {vc})' for v, vr, vc in _VI_VPS)}) t(vid, vr, vc)),
+vpz AS (SELECT vid, vr, vc, value + {_VS_H!r}e0 AS zv FROM vp JOIN vras ON row = vr AND col = vc),
+tgt AS (SELECT t.row, t.col, t.value AS zt, p.vid, p.vr, p.vc, p.zv,
+        GREATEST(ABS(t.row - p.vr), ABS(t.col - p.vc)) AS kk
+  FROM vras t CROSS JOIN vpz p WHERE NOT (t.row = p.vr AND t.col = p.vc)),
+smp AS (SELECT row, col, vid, zt, zv, kk, s.k, {_VI_PR} AS pr, {_VI_PC} AS pc
+  FROM tgt JOIN range(1, {max(_VROWS, _VCOLS)}) s(k) ON s.k < kk),
+bil AS (SELECT row, col, vid, zt, zv, kk, k,
+        CAST(FLOOR(pr) AS BIGINT) AS r0, pr - CAST(FLOOR(pr) AS BIGINT) AS fr,
+        CAST(FLOOR(pc) AS BIGINT) AS c0, pc - CAST(FLOOR(pc) AS BIGINT) AS fc
+  FROM smp),
+zsam AS (SELECT b.row, b.col, b.vid, b.zt, b.zv, b.kk, b.k,
+        COALESCE(z00.value, 0e0) AS z00v, COALESCE(z01.value, 0e0) AS z01v,
+        COALESCE(z10.value, 0e0) AS z10v, COALESCE(z11.value, 0e0) AS z11v,
+        b.fr, b.fc
+  FROM bil b
+  LEFT JOIN vras z00 ON z00.row = b.r0 AND z00.col = b.c0
+  LEFT JOIN vras z01 ON z01.row = b.r0 AND z01.col = b.c0 + 1
+  LEFT JOIN vras z10 ON z10.row = b.r0 + 1 AND z10.col = b.c0
+  LEFT JOIN vras z11 ON z11.row = b.r0 + 1 AND z11.col = b.c0 + 1),
+blk AS (SELECT row, col, vid, BOOL_OR({_VS_BLK.replace('zs', f'({_VS_ZS})')}) AS b
+  FROM zsam GROUP BY 1, 2, 3),
+vis AS (SELECT t.row, t.col, t.vid, COALESCE(b.b, FALSE) = FALSE AS visible
+  FROM tgt t LEFT JOIN blk b USING (row, col, vid))
+SELECT row, col, CAST(SUM(CASE WHEN visible THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS vis_index
+FROM vis GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q_visibility_index(spark, sf):
+    dem = R.explode_cells(R.synth_raster(spark, _VROWS, _VCOLS, value_sql=VALLEY_VAL))
+    vp = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({v}, {vr}, {vc})" for v, vr, vc in _VI_VPS)
+        + " AS t(vid, vr, vc)"
+    )
+    vpz = vp.join(
+        dem.select(F.col("row").alias("vr"), F.col("col").alias("vc"),
+                   (F.col("value") + F.lit(_VS_H)).alias("zv")),
+        ["vr", "vc"],
+    )
+    tgt = (
+        dem.crossJoin(F.broadcast(vpz))
+        .where(~((F.col("row") == F.col("vr")) & (F.col("col") == F.col("vc"))))
+        .select(
+            "row", "col", F.col("value").alias("zt"), "vid", "vr", "vc", "zv",
+            F.greatest(
+                F.abs(F.col("row") - F.col("vr")),
+                F.abs(F.col("col") - F.col("vc")),
+            ).alias("kk"),
+        )
+    )
+    smp = (
+        tgt.withColumn(
+            "k",
+            F.explode(
+                F.when(F.col("kk") > 1, F.sequence(F.lit(1), F.col("kk") - 1))
+                .otherwise(F.array())
+            ),
+        )
+        .withColumn("pr", F.expr(_VI_PR))
+        .withColumn("pc", F.expr(_VI_PC))
+        .select(
+            "row", "col", "vid", "zt", "zv", "kk", "k",
+            F.expr("CAST(FLOOR(pr) AS BIGINT)").alias("r0"),
+            F.expr("pr - CAST(FLOOR(pr) AS BIGINT)").alias("fr"),
+            F.expr("CAST(FLOOR(pc) AS BIGINT)").alias("c0"),
+            F.expr("pc - CAST(FLOOR(pc) AS BIGINT)").alias("fc"),
+        )
+    )
+    j = smp
+    for name, dr, dc in (("z00", 0, 0), ("z01", 0, 1), ("z10", 1, 0), ("z11", 1, 1)):
+        z = dem.select(
+            (F.col("row") - dr).alias("_jr"), (F.col("col") - dc).alias("_jc"),
+            F.col("value").alias(f"{name}_raw"),
+        )
+        j = j.join(
+            z,
+            (F.col("r0") == F.col("_jr")) & (F.col("c0") == F.col("_jc")),
+            "left",
+        ).withColumn(f"{name}v", F.coalesce(f"{name}_raw", F.lit(0.0))) \
+         .drop("_jr", "_jc", f"{name}_raw")
+    blk = (
+        j.withColumn("zs", F.expr(_VS_ZS))
+        .groupBy("row", "col", "vid")
+        .agg(F.expr(f"BOOL_OR({_VS_BLK})").alias("b"))
+    )
+    vis = tgt.join(blk, ["row", "col", "vid"], "left").select(
+        "row", "col", F.expr("COALESCE(b, FALSE) = FALSE").alias("visible")
+    )
+    return (
+        vis.groupBy("row", "col")
+        .agg(
+            (F.sum(F.when(F.col("visible"), 1).otherwise(0)).cast("double")
+             / F.count(F.lit(1))).alias("vis_index")
+        )
         .orderBy("row", "col")
     )
 
@@ -3159,6 +3303,34 @@ def q_remove_spurs(spark, sf):
     return remove_spurs(
         line_thinning(cells, pairs=_ZS_PAIRS), passes=2
     ).orderBy("row", "col")
+
+
+# -- thicken raster line (§2.5 morphology triple; Scripts/
+# ThickenRasterLine.groovy): fill the elbow of every diagonal step so the
+# skeleton becomes 4-connected — completes LineThinning / RemoveSpurs /
+# Thicken.  One 4-offset probe + bitmask aggregation (see operators/
+# vectorize.thicken_line).
+@Q.register(
+    "thicken_line",
+    f"""WITH {_RASF}, {_zs_oracle()},
+tl0 AS MATERIALIZED (SELECT row, col FROM zs{_ZS_PAIRS * 2}),
+tprobe AS (SELECT s.row + o.dr AS row, s.col + o.dc AS col, o.bit
+  FROM tl0 s CROSS JOIN (VALUES (1, 0, 1), (0, -1, 2), (-1, 0, 4), (0, 1, 8)) o(dr, dc, bit)),
+tmask AS (SELECT row, col, SUM(bit) AS m FROM tprobe GROUP BY 1, 2),
+tfill AS (SELECT m.row, m.col FROM tmask m
+  WHERE ((m & 3) = 3 OR (m & 6) = 6 OR (m & 12) = 12 OR (m & 9) = 9)
+    AND NOT EXISTS (SELECT 1 FROM tl0 t WHERE t.row = m.row AND t.col = m.col))
+SELECT row, col FROM tl0 UNION ALL SELECT row, col FROM tfill ORDER BY row, col""",
+)
+def q_thicken_line(spark, sf):
+    from .operators.vectorize import line_thinning, thicken_line
+
+    cells = (
+        R.explode_cells(_demf(spark))
+        .where((F.col("value") > 100.0) & (F.col("value") != _ND))
+        .select("row", "col")
+    )
+    return thicken_line(line_thinning(cells, pairs=_ZS_PAIRS)).orderBy("row", "col")
 
 
 

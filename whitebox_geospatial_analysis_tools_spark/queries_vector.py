@@ -1089,3 +1089,60 @@ def q_hole_proportion(spark, sf):
         )
         .orderBy("poly_id")
     )
+
+
+# -- polygon -> polyline conversion (§2.10; VectorTools/src/plugins/
+# PolygonsToLines.java:90-308: every polygon ring becomes one polyline
+# feature whose vertices are the ring's, closed back to the start).  Output
+# is the per-line structural record: vertex count, closed length, start
+# vertex.  Pure Catalyst ring lambdas — no shuffle beyond the layer scan.
+@Q.register(
+    "polygons_to_lines",
+    f"WITH {_VTX}, {_RING_AGG}, "
+    "v0 AS (SELECT poly_id, ring, nv, x AS x0, y AS y0 FROM vtx WHERE vi = 0) "
+    "SELECT v.poly_id, v.ring AS line_ring, v.nv AS n_vertices, "
+    "CAST(ROUND(r.perim, 6) AS DOUBLE) AS length, v.x0, v.y0 "
+    "FROM v0 v JOIN rings r ON r.poly_id = v.poly_id AND r.ring = v.ring "
+    "ORDER BY 1, 2",
+)
+def q_polygons_to_lines(spark, sf):
+    from .operators.vector import _RING_PERIM
+    from .sources.polygons import polygons_df
+
+    df = polygons_df(spark).select(
+        "poly_id", F.posexplode("rings").alias("line_ring", "r")
+    )
+    return df.select(
+        "poly_id", "line_ring",
+        F.expr("size(r)").alias("n_vertices"),
+        F.round(F.expr(_RING_PERIM), 6).cast("double").alias("length"),
+        F.expr("r[0][0]").alias("x0"),
+        F.expr("r[0][1]").alias("y0"),
+    ).orderBy("poly_id", "line_ring")
+
+
+# -- polyline -> polygon conversion (§2.10; Scripts/LinesToPolygons.groovy):
+# close each polyline back to its start vertex and measure the resulting
+# polygon — signed shoelace area and winding orientation.  The ring
+# polylines of the layer are the input features (the inverse of
+# polygons_to_lines above).
+@Q.register(
+    "lines_to_polygons",
+    f"WITH {_VTX}, {_RING_AGG} "
+    "SELECT poly_id, ring AS line_ring, "
+    "CAST(ROUND(ABS(signed_area), 6) AS DOUBLE) AS area, "
+    "signed_area > 0e0 AS is_ccw "
+    "FROM rings ORDER BY 1, 2",
+)
+def q_lines_to_polygons(spark, sf):
+    from .operators.vector import _RING_CROSS
+    from .sources.polygons import polygons_df
+
+    df = polygons_df(spark).select(
+        "poly_id", F.posexplode("rings").alias("line_ring", "r")
+    )
+    return df.select(
+        "poly_id", "line_ring",
+        F.round(F.expr(f"abs(({_RING_CROSS}) / 2e0)"), 6).cast("double").alias("area"),
+        F.expr(f"({_RING_CROSS}) / 2e0 > 0e0").alias("is_ccw"),
+    ).orderBy("poly_id", "line_ring")

@@ -109,8 +109,8 @@ def edges_sql_values() -> str:
     """The full edge table as a DuckDB VALUES list (exact double literals)."""
     layer = make_polygon_layer()
     rows = ", ".join(
-        f"({int(p)},CAST({x1!r} AS DOUBLE),CAST({y1!r} AS DOUBLE),"
-        f"CAST({x2!r} AS DOUBLE),CAST({y2!r} AS DOUBLE))"
+        f"({int(p)},CAST('{x1!r}' AS DOUBLE),CAST('{y1!r}' AS DOUBLE),"
+        f"CAST('{x2!r}' AS DOUBLE),CAST('{y2!r}' AS DOUBLE))"
         for p, x1, y1, x2, y2 in zip(layer.edge_poly, layer.x1, layer.y1, layer.x2, layer.y2)
     )
     return f"(VALUES {rows})"
@@ -125,14 +125,14 @@ def vertices_sql_values() -> str:
         for ri, ring in enumerate(layer.rings[i]):
             nv = len(ring)
             for vi, (x, y) in enumerate(ring):
-                rows.append(f"({pid},{ri},{vi},{nv},CAST({x!r} AS DOUBLE),CAST({y!r} AS DOUBLE))")
+                rows.append(f"({pid},{ri},{vi},{nv},CAST('{x!r}' AS DOUBLE),CAST('{y!r}' AS DOUBLE))")
     return f"(VALUES {', '.join(rows)})"
 
 
 def bbox_sql_values() -> str:
     layer = make_polygon_layer()
     rows = ", ".join(
-        f"({int(p)},'{c}',{b[0]!r},{b[1]!r},{b[2]!r},{b[3]!r})"
+        f"({int(p)},'{c}',CAST('{b[0]!r}' AS DOUBLE),CAST('{b[1]!r}' AS DOUBLE),CAST('{b[2]!r}' AS DOUBLE),CAST('{b[3]!r}' AS DOUBLE))"
         for p, c, b in zip(layer.poly_id, layer.category, layer.bbox)
     )
     return f"(VALUES {rows})"
@@ -200,8 +200,8 @@ def clip_edges_sql_values() -> str:
         for k in range(len(ring)):
             rows.append(
                 f"({int(layer.poly_id[i])},{k},"
-                f"CAST({ring[k, 0]!r} AS DOUBLE),CAST({ring[k, 1]!r} AS DOUBLE),"
-                f"CAST({nxt[k, 0]!r} AS DOUBLE),CAST({nxt[k, 1]!r} AS DOUBLE))"
+                f"CAST('{ring[k, 0]!r}' AS DOUBLE),CAST('{ring[k, 1]!r}' AS DOUBLE),"
+                f"CAST('{nxt[k, 0]!r}' AS DOUBLE),CAST('{nxt[k, 1]!r}' AS DOUBLE))"
             )
     return f"(VALUES {', '.join(rows)})"
 
@@ -285,8 +285,8 @@ def concave_tri_edges_sql_values() -> str:
         for k in range(3):
             rows.append(
                 f"({cid},{t},{k},"
-                f"CAST({tri[k, 0]!r} AS DOUBLE),CAST({tri[k, 1]!r} AS DOUBLE),"
-                f"CAST({nxt[k, 0]!r} AS DOUBLE),CAST({nxt[k, 1]!r} AS DOUBLE))"
+                f"CAST('{tri[k, 0]!r}' AS DOUBLE),CAST('{tri[k, 1]!r}' AS DOUBLE),"
+                f"CAST('{nxt[k, 0]!r}' AS DOUBLE),CAST('{nxt[k, 1]!r}' AS DOUBLE))"
             )
     return f"(VALUES {', '.join(rows)})"
 
@@ -294,8 +294,8 @@ def concave_tri_edges_sql_values() -> str:
 def concave_bbox_sql_values() -> str:
     layer = make_concave_clip_layer()
     rows = ", ".join(
-        f"({int(p)},CAST({b[0]!r} AS DOUBLE),CAST({b[1]!r} AS DOUBLE),"
-        f"CAST({b[2]!r} AS DOUBLE),CAST({b[3]!r} AS DOUBLE))"
+        f"({int(p)},CAST('{b[0]!r}' AS DOUBLE),CAST('{b[1]!r}' AS DOUBLE),"
+        f"CAST('{b[2]!r}' AS DOUBLE),CAST('{b[3]!r}' AS DOUBLE))"
         for p, b in zip(layer.poly_id, layer.bbox)
     )
     return f"(VALUES {rows})"
@@ -312,8 +312,8 @@ def concave_boundary_edges_sql_values() -> str:
         for k in range(len(ring)):
             rows.append(
                 f"({int(layer.poly_id[i])},"
-                f"CAST({ring[k, 0]!r} AS DOUBLE),CAST({ring[k, 1]!r} AS DOUBLE),"
-                f"CAST({nxt[k, 0]!r} AS DOUBLE),CAST({nxt[k, 1]!r} AS DOUBLE))"
+                f"CAST('{ring[k, 0]!r}' AS DOUBLE),CAST('{ring[k, 1]!r}' AS DOUBLE),"
+                f"CAST('{nxt[k, 0]!r}' AS DOUBLE),CAST('{nxt[k, 1]!r}' AS DOUBLE))"
             )
     return f"(VALUES {', '.join(rows)})"
 
