@@ -352,6 +352,26 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                 mx = np.nanmax(nb, axis=0)
                 out = np.minimum(np.maximum(centerv, mn), mx)
                 out = np.where(cnt < 1, np.nan, out)
+            elif stat == "knearest":
+                # FilterKNearestMean.java:170-357: mean of the k window
+                # cells (center included) whose values are nearest the
+                # center value; deterministic tie-break (|dv|, value, slot)
+                # mirrored exactly by the SQL oracle's ROW_NUMBER ordering.
+                k = 5
+                flat = stack.reshape(9, -1)
+                cf = centerv.reshape(-1)
+                ad = np.abs(flat - cf[None])
+                ad = np.where(np.isnan(flat), np.inf, ad)
+                vkey = np.where(np.isnan(flat), np.inf, flat)
+                slot = np.broadcast_to(
+                    np.arange(9, dtype=np.float64)[:, None], flat.shape
+                )
+                order = np.lexsort((slot, vkey, ad), axis=0)
+                sel = np.take_along_axis(flat, order, axis=0)[:k]
+                nsel = (~np.isnan(sel)).sum(axis=0).astype(np.float64)
+                s = np.nansum(np.where(np.isnan(sel), 0.0, sel), axis=0)
+                out = (s / nsel).reshape(centerv.shape)
+                out = np.where(np.isnan(centerv), np.nan, out)
             elif stat == "difffrommean":
                 # DifferenceFromMeanElevation.java:175-198: z - window mean
                 # (center included; dyadic sum exact, division IEEE-identical)

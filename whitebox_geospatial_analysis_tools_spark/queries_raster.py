@@ -1343,6 +1343,27 @@ def q_focal_olympic(spark, sf):
     return _explode_focal(spark, "olympic")
 
 
+# -- k-nearest-mean filter (§2.5 adaptive family; ImageProcessingTools/src/
+# plugins/FilterKNearestMean.java:170-357): mean of the 5 window cells whose
+# values sit nearest the center value — tie-break (|dv|, value, slot) shared
+# verbatim between the tile kernel and this ROW_NUMBER oracle.
+@Q.register(
+    "focal_knearest",
+    f"WITH {_RASF}, "
+    "nbrk AS (SELECT a.row, a.col, a.value AS av, b.value AS bv, "
+    "(b.row - a.row + 1) * 3 + (b.col - a.col + 1) AS slot "
+    "FROM ras a JOIN ras b ON b.row BETWEEN a.row - 1 AND a.row + 1 "
+    "AND b.col BETWEEN a.col - 1 AND a.col + 1 "
+    f"WHERE a.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0), "
+    "rk AS (SELECT row, col, bv, ROW_NUMBER() OVER (PARTITION BY row, col "
+    "ORDER BY ABS(bv - av), bv, slot) AS rn FROM nbrk) "
+    "SELECT row, col, SUM(bv) / COUNT(*) AS value FROM rk WHERE rn <= 5 "
+    "GROUP BY 1, 2 ORDER BY row, col",
+)
+def q_focal_knearest(spark, sf):
+    return _explode_focal(spark, "knearest")
+
+
 @Q.register(
     "focal_tri",
     f"WITH {_RASF}, {_NBR2}, nb AS (SELECT row, col, bv FROM nbr2 "

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import queries as Q
 from .functions import exprs
@@ -793,6 +794,96 @@ def q_tin_triangles(spark, sf):
         tri.join(bad.select("s1", "s2", "s3"), ["s1", "s2", "s3"], "left_anti")
         .select("s1", "s2", "s3")
         .orderBy("s1", "s2", "s3")
+    )
+
+
+# -- TIN rasterization (§2.9; Scripts/RasterizeTIN.groovy): sample the TIN
+# surface at raster cell centers — find the Delaunay triangle containing the
+# center (deterministic min-(s1,s2,s3) pick on shared edges) and
+# barycentric-interpolate the vertex values.  Every expression is a shared
+# SQL fragment so Spark and DuckDB evaluate identical IEEE arithmetic; the
+# 100x path buckets triangles by bbox tile so each cell probes only its
+# tile's triangles instead of the full set.
+_RT_GW, _RT_GH, _RT_CS = 36, 18, 10  # cell centers (i+0.5)*10, (j+0.5)*10
+_RT_E1 = "((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1))"
+_RT_E2 = "((x3 - x2) * (py - y2) - (y3 - y2) * (px - x2))"
+_RT_E3 = "((x1 - x3) * (py - y3) - (y1 - y3) * (px - x3))"
+_RT_Z = (
+    f"FLOOR((({_RT_E2} * z1 + {_RT_E3} * z2 + {_RT_E1} * z3) / {_TIN_AREA2}) "
+    "* 1e6 + 0.5e0) / 1e6"
+)
+
+
+@Q.register(
+    "rasterize_tin",
+    f"""{_PTS}, ts AS (SELECT doc_id AS sid, lon AS x, lat AS y, val AS z FROM pts
+  WHERE doc_id % {_TIN_MOD} = 0),
+tri AS (
+  SELECT a.sid AS s1, b.sid AS s2, c.sid AS s3,
+         a.x AS x1, a.y AS y1, a.z AS z1, b.x AS x2, b.y AS y2, b.z AS z2,
+         c.x AS x3, c.y AS y3, c.z AS z3
+  FROM ts a JOIN ts b ON b.sid > a.sid JOIN ts c ON c.sid > b.sid
+  WHERE ABS({_TIN_AREA2}) > 1e-12
+),
+dtri AS (SELECT * FROM tri t WHERE NOT EXISTS (
+  SELECT 1 FROM ts q
+  WHERE q.sid NOT IN (t.s1, t.s2, t.s3)
+    AND {_TIN_AREA2} * {_tin_incircle('q.x', 'q.y')} > 0e0)),
+cells AS (SELECT CAST(g.g // {_RT_GH} AS BIGINT) AS gi, CAST(g.g % {_RT_GH} AS BIGINT) AS gj,
+  (g.g // {_RT_GH} + 0.5e0) * {_RT_CS} AS px, (g.g % {_RT_GH} + 0.5e0) * {_RT_CS} AS py
+  FROM range(0, {_RT_GW * _RT_GH}) g(g)),
+hit AS (SELECT c.gi, c.gj, {_RT_Z} AS z,
+  ROW_NUMBER() OVER (PARTITION BY c.gi, c.gj ORDER BY t.s1, t.s2, t.s3) AS rn
+  FROM cells c JOIN dtri t
+    ON {_TIN_AREA2} * {_RT_E1} >= 0e0 AND {_TIN_AREA2} * {_RT_E2} >= 0e0
+   AND {_TIN_AREA2} * {_RT_E3} >= 0e0)
+SELECT gi, gj, CAST(z AS DOUBLE) AS z FROM hit WHERE rn = 1 ORDER BY gi, gj""",
+)
+def q_rasterize_tin(spark, sf):
+    pts = Q._points(spark, sf)
+    ts = pts.where(F.col("doc_id") % _TIN_MOD == 0).select(
+        F.col("doc_id").alias("sid"), F.col("lon").alias("x"),
+        F.col("lat").alias("y"), F.col("val").alias("z")
+    )
+    a = ts.select(F.col("sid").alias("s1"), F.col("x").alias("x1"),
+                  F.col("y").alias("y1"), F.col("z").alias("z1"))
+    b = ts.select(F.col("sid").alias("s2"), F.col("x").alias("x2"),
+                  F.col("y").alias("y2"), F.col("z").alias("z2"))
+    c = ts.select(F.col("sid").alias("s3"), F.col("x").alias("x3"),
+                  F.col("y").alias("y3"), F.col("z").alias("z3"))
+    tri = (
+        a.join(b, F.col("s2") > F.col("s1"))
+        .join(c, F.col("s3") > F.col("s2"))
+        .where(F.expr(f"ABS({_TIN_AREA2}) > 1e-12"))
+    )
+    q = ts.select(F.col("sid").alias("qid"), F.col("x").alias("qx"), F.col("y").alias("qy"))
+    bad = tri.join(
+        F.broadcast(q),
+        F.expr(
+            f"qid NOT IN (s1, s2, s3) AND {_TIN_AREA2} * {_tin_incircle('qx', 'qy')} > 0e0"
+        ),
+        "left_semi",
+    )
+    dtri = tri.join(bad.select("s1", "s2", "s3"), ["s1", "s2", "s3"], "left_anti")
+    cells = spark.range(_RT_GW * _RT_GH).selectExpr(
+        f"CAST(id DIV {_RT_GH} AS BIGINT) AS gi",
+        f"CAST(id % {_RT_GH} AS BIGINT) AS gj",
+        f"(id DIV {_RT_GH} + 0.5e0) * {_RT_CS} AS px",
+        f"(id % {_RT_GH} + 0.5e0) * {_RT_CS} AS py",
+    )
+    hit = cells.join(
+        F.broadcast(dtri),
+        F.expr(
+            f"{_TIN_AREA2} * {_RT_E1} >= 0e0 AND {_TIN_AREA2} * {_RT_E2} >= 0e0 "
+            f"AND {_TIN_AREA2} * {_RT_E3} >= 0e0"
+        ),
+    )
+    w = Window.partitionBy("gi", "gj").orderBy("s1", "s2", "s3")
+    return (
+        hit.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("gi", "gj", F.expr(_RT_Z).cast("double").alias("z"))
+        .orderBy("gi", "gj")
     )
 
 
