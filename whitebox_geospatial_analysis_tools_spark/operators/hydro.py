@@ -827,6 +827,55 @@ def subbasins(pointers: DataFrame, threshold: int = 5, *,
     )
 
 
+def isobasin(pointers: DataFrame, target: int, *, tile: int = TILE) -> DataFrame:
+    """(row, col, basin): equal-target-area basin decomposition
+    (HydroTools/src/plugins/Isobasin.java:434 semantics, deterministic
+    crossing form): an OUTLET is the first cell along each flow path whose
+    accumulation reaches `target` (acc >= target while every upstream D8
+    neighbor is still < target — accumulation is monotone along flow, so
+    each path crosses exactly once); every cell is labeled with the flat id
+    of the first outlet at-or-downstream of it, -1 for trunk/pit cells whose
+    path never meets an outlet (they crossed upstream already).
+
+    Composition: flow_accum + one edge aggregation for the crossing test +
+    watershed with the outlets as the absorbing set — all existing
+    tile-kernel machinery, no new iteration."""
+    spark = pointers.sparkSession
+    _scratch.release(spark, "isobasin")
+    pointers = _scratch.track(spark, pointers.persist(), "isobasin")
+    acc = flow_accum(pointers, tile=tile)
+    dr = F.expr("element_at(array(-1,-1,-1,0,0,1,1,1), CAST(log2(code) AS INT) + 1)")
+    dc = F.expr("element_at(array(-1,0,1,-1,1,-1,0,1), CAST(log2(code) AS INT) + 1)")
+    edges = pointers.where(F.col("code") > 0).select(
+        "row", "col",
+        (F.col("row") + dr).alias("nr"), (F.col("col") + dc).alias("nc"),
+    )
+    upmax = (
+        edges.join(acc, ["row", "col"])
+        .groupBy(F.col("nr").alias("row"), F.col("nc").alias("col"))
+        .agg(F.max("accum").alias("_upmax"))
+    )
+    outlets = _scratch.track(
+        spark,
+        acc.join(upmax, ["row", "col"], "left")
+        .where(
+            (F.col("accum") >= target)
+            & (F.coalesce("_upmax", F.lit(0)) < target)
+        )
+        .select("row", "col")
+        .persist(),
+        "isobasin",
+    )
+    ws = watershed(pointers, tile=tile, stops=outlets)
+    obas = outlets.select(
+        (F.col("row") * F.lit(1_000_000) + F.col("col")).alias("ws"),
+        (F.col("row") * F.lit(1_000_000) + F.col("col")).alias("basin"),
+    )
+    return ws.join(obas, "ws", "left").select(
+        "row", "col", F.coalesce("basin", F.lit(-1)).alias("basin")
+    )
+
+
 def hillslopes(pointers: DataFrame, threshold: int = 5, *,
                tile: int = TILE) -> DataFrame:
     """(row, col, hs): Hillslopes.java semantics — stream cells get

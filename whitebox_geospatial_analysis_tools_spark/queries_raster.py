@@ -2453,6 +2453,48 @@ def q_hillslopes(spark, sf):
     return hillslopes(flow_pointer_d8(dem), _VT).orderBy("row", "col")
 
 
+# -- isobasin (§2.12; HydroTools/src/plugins/Isobasin.java:434,
+# deterministic crossing form — see operators/hydro.isobasin): outlets are
+# the accumulation-crossing cells for the target size; basins are the
+# absorbing-set watershed of those outlets, trunk/pit cells -1.
+_IB_T = 150
+
+
+def _acc_sql(acc_iters: int = 200) -> str:
+    """Lean D8 accumulation CTEs (fedge/accit/acc) over a `d8` CTE — the
+    accumulation slice of _stream_net_sql without the link machinery."""
+    return (
+        f"fedge AS MATERIALIZED (SELECT row, col, row + {_DRC} AS nr, "
+        f"col + {_DCC} AS nc, 0 AS selfe FROM d8 WHERE code > 0 "
+        "UNION ALL SELECT row, col, row, col, 1 FROM d8), "
+        "accit(it, row, col, a) AS (SELECT 0, row, col, CAST(1 AS BIGINT) FROM d8 "
+        "UNION ALL SELECT u.it + 1, e.nr, e.nc, "
+        "CAST(1 + COALESCE(SUM(CASE WHEN e.selfe = 0 THEN u.a END), 0) AS BIGINT) "
+        "FROM accit u JOIN fedge e ON e.row = u.row AND e.col = u.col "
+        f"WHERE u.it < {acc_iters} GROUP BY 1, 2, 3), "
+        f"acc AS MATERIALIZED (SELECT row, col, a AS accum FROM accit WHERE it = {acc_iters})"
+    )
+
+
+@Q.register(
+    "isobasin",
+    f"WITH RECURSIVE {_VHYD_BASE}, {_acc_sql()}, "
+    "upn AS (SELECT e.nr AS row, e.nc AS col, MAX(a.accum) AS upmax "
+    "FROM fedge e JOIN acc a ON a.row = e.row AND a.col = e.col "
+    "WHERE e.selfe = 0 GROUP BY 1, 2), "
+    "obasin AS MATERIALIZED (SELECT a.row, a.col FROM acc a "
+    "LEFT JOIN upn u ON u.row = a.row AND u.col = a.col "
+    f"WHERE a.accum >= {_IB_T} AND COALESCE(u.upmax, 0) < {_IB_T}), "
+    + _sb_chase_sql("obasin")
+    + " SELECT t2.row, t2.col, t2.t AS basin FROM term t2 ORDER BY 1, 2",
+)
+def q_isobasin(spark, sf):
+    from .operators.hydro import flow_pointer_d8, isobasin
+
+    dem = R.synth_raster(spark, _VROWS, _VCOLS, value_sql=VALLEY_VAL)
+    return isobasin(flow_pointer_d8(dem), _IB_T).orderBy("row", "col")
+
+
 # -- Strahler-order basins (§2.12; HydroTools/src/plugins/
 # StrahlerOrderBasins.java:393): every cell labeled with the Strahler order
 # of the stream link whose subbasin drains it (-1 off-network / pit cells).
