@@ -2999,6 +2999,54 @@ def q_hsi_to_rgb(spark, sf):
     ).orderBy("row", "col")
 
 
+# -- IHS pan-sharpen (§2.13; PanSharpening.java IHS mode): transform RGB to
+# IHS, substitute the intensity with the panchromatic band, inverse-transform
+# back — pure composition of the shared _HSI_FWD / _ihs_inv_exprs fragments
+# (Brovey mode is `pan_sharpen`).
+@Q.register(
+    "pan_sharpen_ihs",
+    f"""WITH {_RAS}, {_RAS2}, ras3 AS (SELECT r.r AS row, c.c AS col, {_VAL2} AS value
+FROM range(0, {ROWS}) r(r), range(0, {COLS}) c(c)), {_RAS4},
+hsix AS (SELECT r.row, r.col, p.pv AS i, {_HSI_FWD['s']} AS s, {_HSI_FWD['h']} AS h
+FROM (SELECT row, col, value AS rv FROM ras) r
+JOIN (SELECT row, col, value AS gv FROM ras2) g USING (row, col)
+JOIN (SELECT row, col, value AS bv FROM ras3) b USING (row, col)
+JOIN (SELECT row, col, value AS pv FROM ras4) p USING (row, col)
+WHERE rv != {NODATA!r}e0 AND gv != {NODATA!r}e0 AND bv != {NODATA!r}e0
+  AND pv != {NODATA!r}e0)
+SELECT row, col,
+  (FLOOR(({_ihs_inv_exprs()['r2']}) * 1e6 + 0.5e0) / 1e6) AS r_sharp,
+  (FLOOR(({_ihs_inv_exprs()['g2']}) * 1e6 + 0.5e0) / 1e6) AS g_sharp,
+  (FLOOR(({_ihs_inv_exprs()['b2']}) * 1e6 + 0.5e0) / 1e6) AS b_sharp
+FROM hsix ORDER BY row, col""",
+)
+def q_pan_sharpen_ihs(spark, sf):
+    r = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "rv")
+    g = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "gv")
+    b = R.explode_cells(_dem(spark, 2)).withColumnRenamed("value", "bv")
+    p = R.explode_cells(_dem(spark, 3)).withColumnRenamed("value", "pv")
+    j = (
+        r.join(g, ["row", "col"]).join(b, ["row", "col"]).join(p, ["row", "col"])
+        .where(
+            (F.col("rv") != _ND) & (F.col("gv") != _ND)
+            & (F.col("bv") != _ND) & (F.col("pv") != _ND)
+        )
+        .select(
+            "row", "col",
+            F.col("pv").alias("i"),
+            F.expr(_HSI_FWD["s"]).alias("s"),
+            F.expr(_HSI_FWD["h"]).alias("h"),
+        )
+    )
+    inv = _ihs_inv_exprs()
+    return j.select(
+        "row", "col",
+        F.expr(f"FLOOR(({inv['r2']}) * 1e6 + 0.5e0) / 1e6").alias("r_sharp"),
+        F.expr(f"FLOOR(({inv['g2']}) * 1e6 + 0.5e0) / 1e6").alias("g_sharp"),
+        F.expr(f"FLOOR(({inv['b2']}) * 1e6 + 0.5e0) / 1e6").alias("b_sharp"),
+    ).orderBy("row", "col")
+
+
 # Tarboton 8-facet angle/slope SQL, parameterized by the 9-cell window CTE
 _DINF_SQL_FACETS = [
     ("n4", "n2", 0, 1), ("n1", "n2", 1, -1), ("n1", "n0", 1, 1),
