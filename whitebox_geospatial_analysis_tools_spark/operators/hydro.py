@@ -506,6 +506,113 @@ def flow_accum(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
     )
 
 
+def weighted_flow_accum(pointers: DataFrame, weights: DataFrame, *,
+                        tile: int = TILE) -> DataFrame:
+    """(row, col, waccum): integer-weighted D8 accumulation — waccum(c) =
+    w0(c) + Σ w0(u) over strictly-upslope cells u (the building block of
+    AverageUpslopeFlowpathLength.java: accumulate a per-cell quantity
+    instead of a count).
+
+    Reuses _tile_flow_kernel UNCHANGED: the kernel computes 1 + ext, so
+    feeding ext = w0 - 1 in pass A makes the tile-local Kahn accumulate the
+    integer weights exactly (order-independent), and pass B adds the
+    condensed entry masses on top.  `weights` must cover every pointer cell
+    with an integer column `w0` (scale fractional quantities to micro-units
+    first — integer sums keep the cross-engine bit-exactness the counting
+    path has)."""
+    spark = pointers.sparkSession
+    _scratch.release(spark, "wflow_accum")
+    ext0 = weights.select(
+        "row", "col", (F.col("w0") - F.lit(1)).cast("long").alias("_e0")
+    )
+    cells = _with_tiles(pointers, tile).join(ext0, ["row", "col"], "left")
+    pass_a = _scratch.track(
+        spark,
+        cells.withColumn("ext", F.coalesce("_e0", F.lit(0)))
+        .groupBy("_tr", "_tc").applyInPandas(
+            _tile_flow_kernel(tile), _FLOW_SCHEMA
+        ).persist(),
+        "wflow_accum",
+    )
+    small = pass_a.where(F.col("kind") >= 1).limit(_MAX_DRIVER_ROWS + 1).toPandas()
+    if len(small) > _MAX_DRIVER_ROWS:
+        from .condense import graph_masses
+
+        base = pass_a.where(F.col("kind") == 1).groupBy(
+            F.col("x_row").alias("row"), F.col("x_col").alias("col")
+        ).agg(F.sum("acc").cast("double").alias("base"))
+        tr = pass_a.where(F.col("kind") == 2).select(
+            "row", "col",
+            F.col("x_row").alias("f_row"), F.col("x_col").alias("f_col"),
+        )
+        nodes = base.join(tr, ["row", "col"], "left").select(
+            "row", "col", "base",
+            F.coalesce("f_row", F.lit(-1)).alias("f_row"),
+            F.coalesce("f_col", F.lit(-1)).alias("f_col"),
+            F.lit(0.0).alias("w"),
+        )
+        mass_df = graph_masses(
+            nodes, group_cell=tile * 8, driver_max=_MAX_DRIVER_ROWS
+        )
+        ext_df = mass_df.where(F.col("mass") > 0).select(
+            "row", "col", F.col("mass").cast("long").alias("_m")
+        )
+        cells_b = cells.join(ext_df, ["row", "col"], "left")
+    else:
+        xedges = small[small["kind"] == 1]
+        transit = small[small["kind"] == 2]
+        mass = _solve_entry_masses(xedges, transit)
+        if not mass:
+            return pass_a.where(F.col("kind") == 0).select(
+                "row", "col", F.col("acc").alias("waccum")
+            )
+        ext_df = spark.createDataFrame(
+            [(r, c, m) for (r, c), m in mass.items() if m != 0],
+            "row long, col long, _m long",
+        )
+        cells_b = cells.join(F.broadcast(ext_df), ["row", "col"], "left")
+    pass_b = cells_b.withColumn(
+        "ext", F.coalesce("_e0", F.lit(0)) + F.coalesce("_m", F.lit(0))
+    ).groupBy("_tr", "_tc").applyInPandas(
+        _tile_flow_kernel(tile), _FLOW_SCHEMA
+    )
+    return pass_b.where(F.col("kind") == 0).select(
+        "row", "col", F.col("acc").alias("waccum")
+    )
+
+
+def avg_upslope_length(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
+    """(row, col, avg_len): mean downslope flow-path length from each
+    strictly-upslope cell to this cell (AverageUpslopeFlowpathLength.java),
+    0 where no cell drains in.
+
+    Identity: every upslope cell's path to c runs THROUGH c, so
+    pathlen(u -> c) = D(u) - D(c) with D = downslope flow-path length to the
+    terminal; hence avg(c) = (Σ_upslope D(u) - N·D(c)) / N.  Σ D over the
+    upslope set is a weighted accumulation of the micro-scaled (exact
+    integer) D field — no new kernel, three existing passes."""
+    D = flowpath_length(pointers, tile=tile)
+    dm = D.select(
+        "row", "col",
+        F.expr("CAST(FLOOR(fp_len * 1e6 + 0.5e0) AS BIGINT)").alias("w0"),
+    )
+    acc = flow_accum(pointers, tile=tile)
+    w = weighted_flow_accum(pointers, dm, tile=tile)
+    j = (
+        w.join(dm, ["row", "col"]).join(acc, ["row", "col"])
+    )
+    return j.select(
+        "row", "col",
+        F.when(
+            F.col("accum") > 1,
+            F.expr(
+                "FLOOR(CAST(waccum - accum * w0 AS DOUBLE) "
+                "/ CAST(accum - 1 AS DOUBLE) + 0.5e0) / 1e6"
+            ),
+        ).otherwise(F.lit(0.0)).alias("avg_len"),
+    )
+
+
 def extract_streams(pointers: DataFrame, threshold: int) -> DataFrame:
     """Stream cells: accumulation >= threshold (ExtractStreams.java)."""
     return flow_accum(pointers).where(F.col("accum") >= threshold)

@@ -3251,6 +3251,52 @@ def q_flowpath_length(spark, sf):
     return flowpath_length(flow_pointer_d8(_hydem(spark))).orderBy("row", "col")
 
 
+# -- average upslope flow-path length (§2.12; AverageUpslopeFlowpathLength
+# .java): mean over strictly-upslope cells of their path length down to this
+# cell; 0 where nothing drains in.  Identity avg = (ΣD_up − N·D)/N with D =
+# downslope flow-path length (paths merge, so pathlen(u→c) = D(u) − D(c));
+# ΣD_up is an exact integer-weighted accumulation of the micro-scaled D
+# field through the unchanged counting kernel (operators/hydro.
+# weighted_flow_accum: ext = w0 − 1).
+@Q.register(
+    "avg_upslope_length",
+    f"""WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES},
+fe AS (SELECT row, col,
+  row + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1
+       WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1 ELSE 1 END AS nr,
+  col + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 1
+       WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN 0 ELSE 1 END AS nc,
+  CASE CAST(log2(code) AS INT) WHEN 0 THEN 1.4142135623730951e0 WHEN 2 THEN 1.4142135623730951e0
+       WHEN 5 THEN 1.4142135623730951e0 WHEN 7 THEN 1.4142135623730951e0 ELSE 1e0 END AS step
+  FROM d8 WHERE code > 0
+  UNION ALL SELECT row, col, row, col, 0e0 FROM d8 WHERE code = 0),
+fp(it, row, col, d) AS (
+  SELECT 0, row, col, 0e0 FROM d8
+  UNION ALL
+  SELECT u.it + 1, f.row, f.col, f.step + u.d
+  FROM fp u JOIN fe f ON f.nr = u.row AND f.nc = u.col
+  WHERE u.it < {_FPK}
+),
+fpl AS MATERIALIZED (SELECT row, col, row * 1000000 + col AS id,
+  CAST(FLOOR(ROUND(d, 6) * 1e6 + 0.5e0) AS BIGINT) AS dm
+  FROM fp WHERE it = {_FPK}),
+wsu AS (SELECT r.nid, SUM(f.dm) AS wsum FROM reach r JOIN fpl f ON f.id = r.id GROUP BY 1)
+SELECT d.row, d.col, CAST(CASE WHEN a.accum > 1 THEN
+  FLOOR(CAST(COALESCE(w.wsum, 0) - (a.accum - 1) * f.dm AS DOUBLE)
+        / CAST(a.accum - 1 AS DOUBLE) + 0.5e0) / 1e6
+  ELSE 0e0 END AS DOUBLE) AS avg_len
+FROM d8 d
+JOIN fpl f ON f.row = d.row AND f.col = d.col
+JOIN acc a ON a.row = d.row AND a.col = d.col
+LEFT JOIN wsu w ON w.nid = d.row * 1000000 + d.col
+ORDER BY d.row, d.col""",
+)
+def q_avg_upslope_length(spark, sf):
+    from .operators.hydro import avg_upslope_length, flow_pointer_d8
+
+    return avg_upslope_length(flow_pointer_d8(_hydem(spark))).orderBy("row", "col")
+
+
 # -- upslope (longest) flow-path length (§2.12; UpslopeFlowpathLength.java) ---
 @Q.register(
     "upslope_length",
