@@ -818,6 +818,73 @@ def q_trend_surface(spark, sf):
     )
 
 
+# -- quadratic trend surface: z = c00 + c10 u + c01 v + c20 u^2 + c11 uv
+# + c02 v^2 (§2.9; TrendSurface.java polyOrder=2 path — the reference builds
+# the Vandermonde normal equations and dense-solves them,
+# TerrainAnalysisTools/src/plugins/TrendSurface.java:216-268).  Coordinates
+# normalize to u=(lon-180)/180, v=(lat-90)/90 so the 6x6 normal matrix stays
+# O(n)-conditioned — raw degree-4 power sums of magnitudes up to 360 would
+# amplify last-ulp sum-order noise past the round-4 grid.  The pivot-free
+# Gaussian elimination runs as ONE shared SQL text on both engines (fixed
+# IEEE op sequence, the kriging policy); pivoting is safe because the matrix
+# is the Gram matrix of 6 independent monomials over >6 distinct points,
+# hence positive-definite.  Coefficients are reported in the normalized
+# (u, v) basis (exactly descalable by the caller).
+_TS2_EXP = [(0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2)]
+
+
+def _ts2_sql(src: str) -> str:
+    def mono(p: int, q: int) -> str:
+        f = ["u"] * p + ["v"] * q
+        return " * ".join(f) if f else "1e0"
+
+    pows = sorted({(pi + pj, qi + qj) for pi, qi in _TS2_EXP for pj, qj in _TS2_EXP})
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS s0_0"] + [
+        f"SUM({mono(p, q)}) AS s{p}_{q}" for p, q in pows if (p, q) != (0, 0)
+    ] + [f"SUM({mono(p, q)} * w) AS t{p}_{q}" for p, q in _TS2_EXP]
+    init = [
+        f"s{_TS2_EXP[i][0] + _TS2_EXP[j][0]}_{_TS2_EXP[i][1] + _TS2_EXP[j][1]} AS a{i}_{j}"
+        for i in range(6) for j in range(6)
+    ] + [f"t{p}_{q} AS b{i}" for i, (p, q) in enumerate(_TS2_EXP)]
+    ctes = [
+        f"ts2p AS (SELECT ((lon - 180e0) / 180e0) AS u, "
+        f"((lat - 90e0) / 90e0) AS v, val AS w FROM {src})",
+        f"ts2s AS (SELECT {', '.join(sums)} FROM ts2p)",
+        f"ts2m0 AS (SELECT {', '.join(init)} FROM ts2s)",
+    ]
+    m = 6
+    for ks in range(m - 1):
+        sel = []
+        for i in range(m):
+            for j in range(m):
+                if i > ks and j >= ks:
+                    sel.append(
+                        f"a{i}_{j} - (a{i}_{ks} / a{ks}_{ks}) * a{ks}_{j} AS a{i}_{j}"
+                    )
+                else:
+                    sel.append(f"a{i}_{j}")
+            sel.append(
+                f"b{i} - (a{i}_{ks} / a{ks}_{ks}) * b{ks} AS b{i}"
+                if i > ks else f"b{i}"
+            )
+        ctes.append(f"ts2m{ks + 1} AS (SELECT {', '.join(sel)} FROM ts2m{ks})")
+    ctes.append("ts2x5 AS (SELECT *, b5 / a5_5 AS x5 FROM ts2m5)")
+    for i in range(4, -1, -1):
+        terms = "".join(f" - a{i}_{j} * x{j}" for j in range(i + 1, 6))
+        ctes.append(
+            f"ts2x{i} AS (SELECT *, (b{i}{terms}) / a{i}_{i} AS x{i} FROM ts2x{i + 1})"
+        )
+    names = ["c00", "c10", "c01", "c20", "c11", "c02"]
+    out = ", ".join(f"(FLOOR(x{i} * 1e4 + 0.5e0) / 1e4) AS {names[i]}" for i in range(6))
+    return ", ".join(ctes) + f" SELECT {out} FROM ts2x0"
+
+
+@Q.register("trend_surface2", f"WITH {Q.pts_cte()}, {_ts2_sql('pts')}")
+def q_trend_surface2(spark, sf):
+    Q._points(spark, sf).createOrReplaceTempView("ts2_pts")
+    return spark.sql(f"WITH {_ts2_sql('ts2_pts')}")
+
+
 # -- hillshade (TerrainAnalysisTools/src/plugins/Hillshade.java) --------------
 _FX = "((ne + 2e0 * ev + se - nw - 2e0 * wv - sw) / 8e0)"
 _FY = "((sw + 2e0 * ss + se - nw - 2e0 * nn - ne) / 8e0)"
