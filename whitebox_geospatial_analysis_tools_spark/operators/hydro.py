@@ -1669,11 +1669,19 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
     `weights` overrides the FD8 weight table with any (row, col, ws[8])
     multiple-flow-direction split (e.g. dinf_weights).
 
-    Iterative tile-local solves: the static weight table is one stencil
-    pass; each round runs an exact Kahn accumulation per tile given the
-    current cross-tile inflows, then exchanges the (border-sized) outflow
-    masses.  Inflows grow monotonically and every flow path is finite, so
-    the iteration reaches the exact fixpoint in tile-graph-depth rounds.
+    Two-pass condensed solve (the same shape as flow_accum's D8
+    condensation): MFD accumulation is *linear* in the cross-tile inflows,
+    so pass 1 computes, per tile, the outflow masses with zero inflow plus
+    the response coefficient of every border outflow to a unit inflow at
+    each perimeter slot; the condensed border system m = b + C·m
+    (O(grid/tile) variables) is solved on the driver, and a single second
+    kernel pass with the exact inflows produces the result.  When the
+    condensed system exceeds _MAX_DRIVER_ROWS the operator falls back to
+    the fully distributed iterative tile-round exchange (rounds ~
+    tile-graph depth).  The pass-1 response state is a dense (cells ×
+    perimeter) matrix per tile — O(4·tile³) doubles, ~67 MB at tile=128;
+    cap MFD tiles at 128 on memory-tight executors (or swap the state to
+    float32/sparse) — pass 2 and the fallback are O(cells) regardless.
     Output rounds to `decimals` (parent-sum association differs between
     engines; error ~1e-13 relative)."""
     spark = tiles.sparkSession
@@ -1687,7 +1695,6 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
         "fd8",
     )
     wdf.count()
-    ext = None  # (row, col, ext) — cross-tile inflow masses
 
     schema = "row long, col long, acc double, x_row long, x_col long, kind int"
 
@@ -1768,6 +1775,152 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
                 }))
         return pd.concat(parts, ignore_index=True)
 
+    # ---- pass 1: per-tile base outflows + linear border response ---------
+    rschema = ("x_row long, x_col long, slot_row long, slot_col long, "
+               "coef double, kind int")
+
+    def kernel_resp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * tile, tc * tile
+        rr = pdf["row"].to_numpy(np.int64)
+        cc = pdf["col"].to_numpy(np.int64)
+        n = len(rr)
+        ws = np.asarray([list(x) for x in pdf["ws"]], dtype=np.float64)
+        lr, lc = rr - r0, cc - c0
+        h, w = int(lr.max()) + 1, int(lc.max()) + 1
+        gid = np.full((h, w), -1, dtype=np.int64)
+        gid[lr, lc] = np.arange(n)
+        tgt = np.full((n, 8), -1, dtype=np.int64)
+        for j, (dr, dc, _) in enumerate(D8_OFFS):
+            t_lr, t_lc = lr + dr, lc + dc
+            m = (ws[:, j] > 0.0) & (t_lr >= 0) & (t_lr < min(tile, h)) \
+                & (t_lc >= 0) & (t_lc < min(tile, w))
+            tgt[m, j] = gid[t_lr[m], t_lc[m]]
+            tgt[m & (tgt[:, j] < 0), j] = -1
+        internal = tgt >= 0
+        # perimeter slots: only cells on the tile's geometric boundary can
+        # receive cross-tile mass
+        slots = np.flatnonzero(
+            (lr == 0) | (lc == 0) | (lr == tile - 1) | (lc == tile - 1)
+        )
+        nb = slots.size
+        # state col 0 = base accumulation (ext = 0); col 1+k = response to a
+        # unit inflow at slot k (acc = 1 + ext, so d acc[s] / d ext[s] = 1)
+        state = np.zeros((n, 1 + nb))
+        state[:, 0] = 1.0
+        state[slots, 1 + np.arange(nb)] = 1.0
+        indeg = np.bincount(tgt[internal].ravel(), minlength=n)
+        processed = np.zeros(n, dtype=bool)
+        frontier = np.flatnonzero(indeg == 0)
+        while frontier.size:
+            processed[frontier] = True
+            dec = np.zeros(n, dtype=np.int64)
+            for j in range(8):
+                fe = frontier[internal[frontier, j]]
+                if fe.size:
+                    t = tgt[fe, j]
+                    np.add.at(state, t, ws[fe, j, None] * state[fe])
+                    dec += np.bincount(t, minlength=n)
+            indeg = indeg - dec
+            frontier = np.flatnonzero((indeg == 0) & ~processed)
+        rem = np.flatnonzero(~processed)
+        if rem.size:
+            base = state.copy()
+            inrem = np.zeros(n, dtype=bool)
+            inrem[rem] = True
+            for _ in range(10_000):
+                new = base.copy()
+                for j in range(8):
+                    fe = rem[internal[rem, j]]
+                    if fe.size:
+                        np.add.at(new, tgt[fe, j], ws[fe, j, None] * state[fe])
+                delta = np.abs(new[rem] - state[rem]).max()
+                state[rem] = new[rem]
+                if delta <= 1e-12:
+                    break
+        parts = []
+        for j, (dr, dc, _) in enumerate(D8_OFFS):
+            m = (ws[:, j] > 0.0) & ~internal[:, j]
+            if not m.any():
+                continue
+            src = np.flatnonzero(m)
+            wj = ws[src, j]
+            dstr, dstc = rr[src] + dr, cc[src] + dc
+            parts.append(pd.DataFrame({
+                "x_row": dstr, "x_col": dstc,
+                "slot_row": np.full(src.size, -1, dtype=np.int64),
+                "slot_col": np.full(src.size, -1, dtype=np.int64),
+                "coef": wj * state[src, 0],
+                "kind": np.ones(src.size, dtype=np.int32),
+            }))
+            resp = wj[:, None] * state[src, 1:]
+            ei, bi = np.nonzero(resp)
+            if ei.size:
+                parts.append(pd.DataFrame({
+                    "x_row": dstr[ei], "x_col": dstc[ei],
+                    "slot_row": rr[slots[bi]], "slot_col": cc[slots[bi]],
+                    "coef": resp[ei, bi],
+                    "kind": np.full(ei.size, 2, dtype=np.int32),
+                }))
+        if not parts:
+            return pd.DataFrame({
+                "x_row": np.array([], np.int64), "x_col": np.array([], np.int64),
+                "slot_row": np.array([], np.int64),
+                "slot_col": np.array([], np.int64),
+                "coef": np.array([], np.float64), "kind": np.array([], np.int32),
+            })
+        return pd.concat(parts, ignore_index=True)
+
+    res1 = wdf.groupBy("_tr", "_tc").applyInPandas(kernel_resp, rschema)
+    # single-job guard: fetch at most guard+1 rows; an over-limit result is
+    # discarded and the distributed fallback below runs instead
+    cond = res1.limit(_MAX_DRIVER_ROWS + 1).toPandas()
+    if len(cond) <= _MAX_DRIVER_ROWS:
+        ext = None
+        if len(cond):
+            k1 = (cond[cond["kind"] == 1]
+                  .groupby(["x_row", "x_col"])["coef"].sum())
+            k2 = (cond[cond["kind"] == 2]
+                  .groupby(["x_row", "x_col", "slot_row", "slot_col"])["coef"]
+                  .sum().reset_index())
+            idx = {cell: i for i, cell in enumerate(k1.index)}
+            b_vec = k1.to_numpy(np.float64)
+            n_ext = b_vec.size
+            # a slot that never receives cross-tile mass has ext = 0 forever
+            keep = [i for i, s in enumerate(zip(k2["slot_row"], k2["slot_col"]))
+                    if s in idx]
+            m = b_vec.copy()
+            if keep:
+                kk = k2.iloc[keep]
+                dst_i = np.array(
+                    [idx[c] for c in zip(kk["x_row"], kk["x_col"])], np.int64)
+                slot_i = np.array(
+                    [idx[c] for c in zip(kk["slot_row"], kk["slot_col"])],
+                    np.int64)
+                coef = kk["coef"].to_numpy(np.float64)
+                # monotone fixpoint of the condensed system (coef >= 0);
+                # doubles stabilize exactly once increments underflow
+                for _ in range(100_000):
+                    m_new = b_vec + np.bincount(
+                        dst_i, weights=coef * m[slot_i], minlength=n_ext)
+                    if np.array_equal(m_new, m):
+                        break
+                    m = m_new
+            ext = spark.createDataFrame(pd.DataFrame({
+                "row": np.array([r for r, _ in k1.index], np.int64),
+                "col": np.array([c for _, c in k1.index], np.int64),
+                "ext": m,
+            }))
+        inp = wdf if ext is None else wdf.join(
+            F.broadcast(ext), ["row", "col"], "left"
+        )
+        out = inp.groupBy("_tr", "_tc").applyInPandas(kernel, schema)
+        return out.where(F.col("kind") == 0).select(
+            "row", "col", F.round("acc", decimals).cast("double").alias("accum")
+        )
+
+    # ---- distributed fallback: iterative tile-round exchange -------------
+    ext = None  # (row, col, ext) — cross-tile inflow masses
     out = None
     for _ in range(max_rounds):
         inp = wdf if ext is None else wdf.join(
