@@ -448,3 +448,171 @@ def line_clip_predicates(spark: SparkSession, lines: DataFrame) -> DataFrame:
         )
         .orderBy("line_id", "clip_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# full location-predicate set over parcel pairs (touches / covers / distance)
+# ---------------------------------------------------------------------------
+# Completes the reference's 11 IsolateVectorFeaturesByLocation modes
+# (VectorTools/src/plugins/IsolateVectorFeaturesByLocation.java:240-261):
+# spatial_predicates already classifies disjoint/overlaps/contains/within
+# from Sutherland-Hodgman pair areas, and line_clip_predicates handles
+# crosses/within for lines — what neither can see is BOUNDARY-ONLY contact
+# ("touches", and the covers/coveredBy flush-boundary cases) plus the
+# "are within a distance of" mode.  This operator adds those via general
+# segment-orientation contact tests (exact integer cross products on the
+# parcel fixture), aggregated per candidate pair.
+#
+# Shared SQL fragments: spliced verbatim into the DuckDB oracle.  Edge pair
+# columns are (ax1, ay1, ax2, ay2) for parcel A's edge and (bx1 .. by2) for
+# parcel B's; everything is integer arithmetic -> exact on both engines.
+PAIR_D1 = "((bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1))"
+PAIR_D2 = "((bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1))"
+PAIR_D3 = "((ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1))"
+PAIR_D4 = "((ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1))"
+# segment-segment contact: proper crossing, or an endpoint collinear with
+# and inside the other segment's bbox (covers endpoint/vertex touches)
+PAIR_CONTACT = (
+    "(((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
+    " AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))) "
+    "OR (d1 = 0 AND ax1 BETWEEN LEAST(bx1, bx2) AND GREATEST(bx1, bx2) "
+    "    AND ay1 BETWEEN LEAST(by1, by2) AND GREATEST(by1, by2)) "
+    "OR (d2 = 0 AND ax2 BETWEEN LEAST(bx1, bx2) AND GREATEST(bx1, bx2) "
+    "    AND ay2 BETWEEN LEAST(by1, by2) AND GREATEST(by1, by2)) "
+    "OR (d3 = 0 AND bx1 BETWEEN LEAST(ax1, ax2) AND GREATEST(ax1, ax2) "
+    "    AND by1 BETWEEN LEAST(ay1, ay2) AND GREATEST(ay1, ay2)) "
+    "OR (d4 = 0 AND bx2 BETWEEN LEAST(ax1, ax2) AND GREATEST(ax1, ax2) "
+    "    AND by2 BETWEEN LEAST(ay1, ay2) AND GREATEST(ay1, ay2))"
+)
+# collinear segments sharing a POSITIVE-length stretch (1-D boundary overlap
+# = JTS touches along an edge when interiors are disjoint); d1 = d2 = 0
+# forces the carrier lines to coincide, so a positive overlap in either
+# axis projection is a positive shared length
+PAIR_COLLINEAR = (
+    "d1 = 0 AND d2 = 0 AND ("
+    "LEAST(GREATEST(ax1, ax2), GREATEST(bx1, bx2)) > "
+    "GREATEST(LEAST(ax1, ax2), LEAST(bx1, bx2)) "
+    "OR LEAST(GREATEST(ay1, ay2), GREATEST(by1, by2)) > "
+    "GREATEST(LEAST(ay1, ay2), LEAST(by1, by2)))"
+)
+# per-pair interior overlap (axis-aligned parcels ARE their bboxes; the
+# general convex case routes through the SH pair-area path instead)
+PAIR_AREAS = (
+    "GREATEST(0, LEAST(axmax, bxmax) - GREATEST(axmin, bxmin)) * "
+    "GREATEST(0, LEAST(aymax, bymax) - GREATEST(aymin, bymin))"
+)
+PAIR_GAP2 = (
+    "GREATEST(0, GREATEST(axmin - bxmax, bxmin - axmax)) * "
+    "GREATEST(0, GREATEST(axmin - bxmax, bxmin - axmax)) + "
+    "GREATEST(0, GREATEST(aymin - bymax, bymin - aymax)) * "
+    "GREATEST(0, GREATEST(aymin - bymax, bymin - aymax))"
+)
+PAIR_PRED = (
+    "CASE WHEN axmin = bxmin AND aymin = bymin AND axmax = bxmax "
+    "AND aymax = bymax THEN 'equals' "
+    "WHEN areai > 0 AND areai = (bxmax - bxmin) * (bymax - bymin) "
+    "THEN 'contains' "
+    "WHEN areai > 0 AND areai = (axmax - axmin) * (aymax - aymin) "
+    "THEN 'within' "
+    "WHEN areai > 0 THEN 'overlaps' "
+    "WHEN anyo = 1 THEN 'touches_edge' "
+    "WHEN anyc = 1 THEN 'touches_point' "
+    "ELSE 'disjoint' END"
+)
+
+_LAT = 16   # lattice cell size (>= max expanded parcel extent)
+_TAU = 4    # "within a distance of" threshold
+
+
+def _parcel_edges(pc: DataFrame, prefix: str) -> DataFrame:
+    """Parcel boundary as 4 directed segments (pure Catalyst explode)."""
+    p = prefix
+    seg = "explode(array(" + ", ".join(
+        f"struct({a} AS {p}x1, {b} AS {p}y1, {c} AS {p}x2, {d} AS {p}y2)"
+        for a, b, c, d in [
+            ("xmin", "ymin", "xmax", "ymin"),
+            ("xmax", "ymin", "xmax", "ymax"),
+            ("xmax", "ymax", "xmin", "ymax"),
+            ("xmin", "ymax", "xmin", "ymin"),
+        ]
+    ) + "))"
+    return pc.select(F.col("pid").alias(f"p{p}"), F.expr(seg).alias("_s")) \
+             .select(f"p{p}", "_s.*")
+
+
+def location_predicates(spark: SparkSession) -> DataFrame:
+    """Classify every near-candidate parcel pair with the full predicate set
+    (equals / contains / within / overlaps / touches_edge / touches_point /
+    disjoint) plus the intersects and within-distance(tau) modes.
+
+    Physical shape for two BIG layers: candidate pairing is a lattice-cell
+    equi-join (each parcel's tau-expanded bbox explodes to the <=4 covering
+    cells of a grid sized past the max feature extent — the same cover-cell
+    discipline as the PIP index), never a cross join; contact testing joins
+    each pair to its 4+4 boundary segments and aggregates two MAX flags
+    (map-side combinable); everything stays in whole-stage codegen."""
+    from ..sources.parcels import parcels_df
+
+    pc = parcels_df(spark)
+    cell = pc.select(
+        "pid", "ymin", "ymax",
+        F.expr(f"explode(sequence(CAST(FLOOR((xmin - {_TAU}) / {_LAT}) AS BIGINT), "
+               f"CAST(FLOOR((xmax + {_TAU}) / {_LAT}) AS BIGINT)))").alias("cx"),
+    ).select(
+        "pid", "cx",
+        F.expr(f"explode(sequence(CAST(FLOOR((ymin - {_TAU}) / {_LAT}) AS BIGINT), "
+               f"CAST(FLOOR((ymax + {_TAU}) / {_LAT}) AS BIGINT)))").alias("cy"),
+    )
+    a = cell.alias("a").join(cell.alias("b"), ["cx", "cy"]) \
+        .where(F.col("a.pid") < F.col("b.pid")) \
+        .select(F.col("a.pid").alias("pa"), F.col("b.pid").alias("pb")) \
+        .distinct()
+    pa_box = pc.select(F.col("pid").alias("pa"),
+                       F.col("xmin").alias("axmin"), F.col("ymin").alias("aymin"),
+                       F.col("xmax").alias("axmax"), F.col("ymax").alias("aymax"))
+    pb_box = pc.select(F.col("pid").alias("pb"),
+                       F.col("xmin").alias("bxmin"), F.col("ymin").alias("bymin"),
+                       F.col("xmax").alias("bxmax"), F.col("ymax").alias("bymax"))
+    cand = (
+        a.join(pa_box, "pa").join(pb_box, "pb")
+        .where(F.expr(
+            f"axmin - {_TAU} <= bxmax AND axmax + {_TAU} >= bxmin "
+            f"AND aymin - {_TAU} <= bymax AND aymax + {_TAU} >= bymin"
+        ))
+    )
+    ea = _parcel_edges(pc, "a")
+    eb = _parcel_edges(pc, "b")
+    flags = (
+        cand.select("pa", "pb")
+        .join(ea, "pa").join(eb, "pb")
+        .select(
+            "pa", "pb",
+            F.expr(PAIR_D1).alias("d1"), F.expr(PAIR_D2).alias("d2"),
+            F.expr(PAIR_D3).alias("d3"), F.expr(PAIR_D4).alias("d4"),
+            "ax1", "ay1", "ax2", "ay2", "bx1", "by1", "bx2", "by2",
+        )
+        .groupBy("pa", "pb")
+        .agg(
+            F.expr(f"MAX(CASE WHEN {PAIR_CONTACT} THEN 1 ELSE 0 END)").alias("anyc"),
+            F.expr(f"MAX(CASE WHEN {PAIR_COLLINEAR} THEN 1 ELSE 0 END)").alias("anyo"),
+        )
+    )
+    return (
+        cand.join(flags, ["pa", "pb"])
+        .select(
+            F.col("pa").alias("pid_a"), F.col("pb").alias("pid_b"),
+            F.expr(PAIR_AREAS).cast("long").alias("areai"),
+            F.expr(PAIR_GAP2).cast("long").alias("gap2"),
+            "axmin", "aymin", "axmax", "aymax",
+            "bxmin", "bymin", "bxmax", "bymax", "anyc", "anyo",
+        )
+        .select(
+            "pid_a", "pid_b",
+            F.expr(PAIR_PRED).alias("predicate"),
+            F.expr("CASE WHEN areai > 0 OR anyc = 1 THEN 1 ELSE 0 END")
+            .cast("int").alias("intersects"),
+            F.expr(f"CASE WHEN gap2 <= {_TAU * _TAU} THEN 1 ELSE 0 END")
+            .cast("int").alias("within_dist"),
+        )
+        .orderBy("pid_a", "pid_b")
+    )

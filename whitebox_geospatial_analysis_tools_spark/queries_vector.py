@@ -1146,3 +1146,54 @@ def q_lines_to_polygons(spark, sf):
         F.round(F.expr(f"abs(({_RING_CROSS}) / 2e0)"), 6).cast("double").alias("area"),
         F.expr(f"({_RING_CROSS}) / 2e0 > 0e0").alias("is_ccw"),
     ).orderBy("poly_id", "line_ring")
+
+
+# -- full location-predicate set over parcel pairs (§2.2 row 17;
+# IsolateVectorFeaturesByLocation.java:240-261 — adds touches / covers-flush
+# / equals / within-a-distance to the SH-area predicate family).  Oracle
+# splices the operator's own fragment texts; everything is integer
+# arithmetic, exact on both engines.
+def _location_pred_sql() -> str:
+    from .operators.overlay import (
+        PAIR_AREAS, PAIR_COLLINEAR, PAIR_CONTACT, PAIR_D1, PAIR_D2, PAIR_D3,
+        PAIR_D4, PAIR_GAP2, PAIR_PRED, _TAU,
+    )
+    from .sources.parcels import parcels_sql_values
+
+    return (
+        f"WITH pc AS (SELECT * FROM {parcels_sql_values()} "
+        "t(pid, xmin, ymin, xmax, ymax)), "
+        "ed AS (SELECT pid, xmin AS x1, ymin AS y1, xmax AS x2, ymin AS y2 FROM pc "
+        "UNION ALL SELECT pid, xmax, ymin, xmax, ymax FROM pc "
+        "UNION ALL SELECT pid, xmax, ymax, xmin, ymax FROM pc "
+        "UNION ALL SELECT pid, xmin, ymax, xmin, ymin FROM pc), "
+        "cand AS (SELECT a.pid AS pa, b.pid AS pb, "
+        "a.xmin AS axmin, a.ymin AS aymin, a.xmax AS axmax, a.ymax AS aymax, "
+        "b.xmin AS bxmin, b.ymin AS bymin, b.xmax AS bxmax, b.ymax AS bymax "
+        "FROM pc a JOIN pc b ON a.pid < b.pid "
+        f"AND a.xmin - {_TAU} <= b.xmax AND a.xmax + {_TAU} >= b.xmin "
+        f"AND a.ymin - {_TAU} <= b.ymax AND a.ymax + {_TAU} >= b.ymin), "
+        "ep AS (SELECT c.pa, c.pb, "
+        "ea.x1 AS ax1, ea.y1 AS ay1, ea.x2 AS ax2, ea.y2 AS ay2, "
+        "eb.x1 AS bx1, eb.y1 AS by1, eb.x2 AS bx2, eb.y2 AS by2 "
+        "FROM cand c JOIN ed ea ON ea.pid = c.pa JOIN ed eb ON eb.pid = c.pb), "
+        f"dd AS (SELECT *, {PAIR_D1} AS d1, {PAIR_D2} AS d2, "
+        f"{PAIR_D3} AS d3, {PAIR_D4} AS d4 FROM ep), "
+        f"fl AS (SELECT pa, pb, MAX(CASE WHEN {PAIR_CONTACT} THEN 1 ELSE 0 END) AS anyc, "
+        f"MAX(CASE WHEN {PAIR_COLLINEAR} THEN 1 ELSE 0 END) AS anyo "
+        "FROM dd GROUP BY 1, 2), "
+        f"cls AS (SELECT c.*, f.anyc, f.anyo, {PAIR_AREAS} AS areai, "
+        f"{PAIR_GAP2} AS gap2 FROM cand c JOIN fl f ON f.pa = c.pa AND f.pb = c.pb) "
+        f"SELECT CAST(pa AS BIGINT) AS pid_a, CAST(pb AS BIGINT) AS pid_b, "
+        f"{PAIR_PRED} AS predicate, "
+        "CAST(CASE WHEN areai > 0 OR anyc = 1 THEN 1 ELSE 0 END AS INT) AS intersects, "
+        f"CAST(CASE WHEN gap2 <= {_TAU * _TAU} THEN 1 ELSE 0 END AS INT) AS within_dist "
+        "FROM cls ORDER BY pid_a, pid_b"
+    )
+
+
+@Q.register("location_predicates", _location_pred_sql())
+def q_location_predicates(spark, sf):
+    from .operators.overlay import location_predicates
+
+    return location_predicates(spark)
