@@ -4270,3 +4270,62 @@ def q_edge_proportion(spark, sf):
         .agg((F.sum("is_edge").cast("double") / F.count(F.lit(1))).alias("edge_prop"))
         .orderBy("cls", "label")
     )
+
+
+# -- random field / random sample (§2.6 row 69; StatsTools RandomField.java
+# / RandomSample.java) -- the reference fills a raster with java.util.Random
+# draws; the engine's determinization is the shared integer LCG chain
+# (functions/exprs.py), so both engines generate the IDENTICAL field and the
+# sample is reproducible (the published tools' own outputs are not).
+_RF_KEY = "(row * 1000003 + col)"
+_RF_U = f"((({_RF_KEY} * {A} % {M}) + {C}) * {A}) % {M}"
+_RF_EXPR = f"(CAST({_RF_U} AS DOUBLE) / {M}e0)"
+_RS_N = 97
+
+
+@Q.register(
+    "random_field",
+    f"WITH {_RASF} SELECT row, col, {_RF_EXPR} AS u FROM ras "
+    "ORDER BY row, col",
+)
+def q_random_field(spark, sf):
+    return (
+        R.explode_cells(_demf(spark))
+        .select("row", "col", F.expr(_RF_EXPR).alias("u"))
+        .orderBy("row", "col")
+    )
+
+
+@Q.register(
+    "random_sample",
+    f"WITH {_RASF}, fld AS (SELECT row, col, {_RF_EXPR} AS u FROM ras), "
+    f"pick AS (SELECT * FROM fld ORDER BY u, row, col LIMIT {_RS_N}) "
+    "SELECT row, col, u FROM pick ORDER BY row, col",
+)
+def q_random_sample(spark, sf):
+    # orderBy().limit() compiles to TakeOrderedAndProject — a distributed
+    # top-k (per-partition heads + driver merge), not a global sort
+    fld = (
+        R.explode_cells(_demf(spark))
+        .select("row", "col", F.expr(_RF_EXPR).alias("u"))
+    )
+    return fld.orderBy("u", "row", "col").limit(_RS_N).orderBy("row", "col")
+
+
+# -- ChangeDataScale / ChangeDataType (§2.2 row 21; GISTools
+# ChangeDataScale.java, ChangeDataType.java): linear rescale with nodata
+# pass-through plus the integer-type conversion (half-up).  Scale 0.25 keeps
+# the dyadic cell values exact; the int cast shares the floor(x+0.5) idiom.
+@Q.register(
+    "change_data_scale",
+    f"WITH {_RASF} SELECT row, col, value * 0.25e0 + 100e0 AS scaled, "
+    "CAST(FLOOR(value * 0.25e0 + 100e0 + 0.5e0) AS BIGINT) AS as_int "
+    f"FROM ras WHERE {_NDF} ORDER BY row, col",
+)
+def q_change_data_scale(spark, sf):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    return live.select(
+        "row", "col",
+        (F.col("value") * 0.25 + 100.0).alias("scaled"),
+        F.floor(F.col("value") * 0.25 + 100.0 + 0.5).cast("long").alias("as_int"),
+    ).orderBy("row", "col")
