@@ -4329,3 +4329,67 @@ def q_change_data_scale(spark, sf):
         (F.col("value") * 0.25 + 100.0).alias("scaled"),
         F.floor(F.col("value") * 0.25 + 100.0 + 0.5).cast("long").alias("as_int"),
     ).orderBy("row", "col")
+
+
+# -- ClipRasterToPolygon / Erase as named tools (§2.3 row 34, §2.7 row 74;
+# GISTools ClipRasterToPolygon.java, Erase.java): keep (or blank) the cells
+# whose CENTER falls inside the polygon layer — the reference's
+# cell-center-in-polygon rule (VectorPolygonsToRaster.java:400-470 even-odd
+# crossings).  Cell centers map onto the polygon extent exactly
+# (lon = 2*col+1, lat = 1.5*row+0.75 — dyadic), and the big side routes
+# through the broadcast classified cell index (pip_semi), never a shuffle.
+_CLIP_CELLS = (
+    f"cells AS (SELECT row, col, value, CAST(2 * col + 1 AS DOUBLE) AS lon, "
+    f"1.5e0 * row + 0.75e0 AS lat FROM ras WHERE {_NDF})"
+)
+_CLIP_PIP = """
+clip_pp AS (
+  SELECT p.row, p.col, e.poly_id,
+    SUM(CASE WHEN ((e.y1 > p.lat) != (e.y2 > p.lat))
+             AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+        THEN 1 ELSE 0 END) % 2 AS pp
+  FROM cells p JOIN edges e ON TRUE
+  GROUP BY 1, 2, 3
+),
+clip_raw AS (SELECT row, col, MAX(pp) AS par FROM clip_pp GROUP BY 1, 2)"""
+
+
+def _clip_cells_df(spark):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    return live.select(
+        "row", "col", "value",
+        (2.0 * F.col("col") + 1.0).alias("lon"),
+        (1.5 * F.col("row") + 0.75).alias("lat"),
+        (F.col("row") * FCOLS + F.col("col")).alias("_cid"),
+        F.lit(0).cast("long").alias("tile_id"),  # pip_join projects tile_id
+    )
+
+
+def _q_clip_raster(spark, negate: bool):
+    from .operators.spatial_join import pip_semi
+
+    kept = pip_semi(_clip_cells_df(spark), spark, "_cid", negate=negate)
+    return kept.select("row", "col", "value").orderBy("row", "col")
+
+
+from . import queries as _QQ  # noqa: E402  (edges_cte for the clip oracles)
+
+
+@Q.register(
+    "clip_raster_to_polygon",
+    f"WITH {_RASF}, {_CLIP_CELLS}, {_QQ.edges_cte()}, {_CLIP_PIP} "
+    "SELECT c.row, c.col, c.value FROM cells c JOIN clip_raw r "
+    "ON r.row = c.row AND r.col = c.col WHERE r.par = 1 ORDER BY 1, 2",
+)
+def q_clip_raster_to_polygon(spark, sf):
+    return _q_clip_raster(spark, negate=False)
+
+
+@Q.register(
+    "erase_raster",
+    f"WITH {_RASF}, {_CLIP_CELLS}, {_QQ.edges_cte()}, {_CLIP_PIP} "
+    "SELECT c.row, c.col, c.value FROM cells c JOIN clip_raw r "
+    "ON r.row = c.row AND r.col = c.col WHERE r.par = 0 ORDER BY 1, 2",
+)
+def q_erase_raster(spark, sf):
+    return _q_clip_raster(spark, negate=True)

@@ -432,3 +432,32 @@ def q_pca_scores(spark, sf):
     return stats.pca2_scores(
         df, "l_quantity", "l_extendedprice", ["l_orderkey", "l_linenumber"]
     )
+
+
+# -- MergeTableWithCsv as a named tool (§2.3 row 26; Scripts
+# MergeTableWithCsv.groovy): append CSV columns onto an attribute table by
+# key.  The Spark side exercises the REAL csv parse path — the nation table
+# is serialized to CSV lines and re-parsed with from_csv before the
+# broadcast merge — so a garbled parse would mismatch the oracle, which
+# reads the same columns straight from parquet.
+@Q.register(
+    "merge_table_csv",
+    "SELECT c.c_custkey, c.c_name, n.n_name AS nation, n.n_regionkey AS regionkey "
+    "FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey "
+    "ORDER BY c.c_custkey",
+)
+def q_merge_table_csv(spark, sf):
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    csv_lines = spark.read.parquet(f"{sf}/nation.parquet").select(
+        F.concat_ws(",", "n_nationkey", "n_name", "n_regionkey").alias("line")
+    )
+    parsed = csv_lines.select(
+        F.from_csv("line", "nk long, nation string, regionkey long").alias("r")
+    ).select("r.*")
+    return (
+        cust.join(F.broadcast(parsed), cust["c_nationkey"] == parsed["nk"])
+        .select("c_custkey", "c_name", "nation", "regionkey")
+        .orderBy("c_custkey")
+    )
