@@ -334,6 +334,21 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                 d = np.abs(nb - centerv[None])
                 out = np.nansum(np.where(np.isnan(d), 0.0, d), axis=0) / cnt
                 out = np.where(cnt < 1, np.nan, out)
+            elif stat == "bilateral":
+                # edge-preserving smoothing (ImageProcessingTools
+                # FilterEdgePreservingSmoothing.java:235-290): distance x
+                # intensity Gaussian weights, normalized; sigma_d = 1,
+                # sigma_i = 10 (the 1/sqrt(2 pi sigma) prefactors cancel in
+                # the normalization).  Transcendental -> callers round(6).
+                wd = np.array(
+                    [np.exp(-(dr * dr + dc * dc) / 2.0) for dr, dc in _OFFS]
+                )[:, None, None]
+                dv = stack - centerv[None]
+                wgt = wd * np.exp(-(dv * dv) / 200.0)
+                wgt = np.where(np.isnan(stack), 0.0, wgt)
+                out = (wgt * np.where(np.isnan(stack), 0.0, stack)).sum(axis=0) \
+                    / wgt.sum(axis=0)
+                out = np.floor(out * 1e6 + 0.5) / 1e6  # shared half-up round
             elif stat == "percentile":
                 # ElevationPercentile: fraction of window cells strictly
                 # below the center (center included in the denominator)

@@ -4393,3 +4393,24 @@ def q_clip_raster_to_polygon(spark, sf):
 )
 def q_erase_raster(spark, sf):
     return _q_clip_raster(spark, negate=True)
+
+
+# -- edge-preserving (bilateral) smoothing (§2.5 row 59;
+# FilterEdgePreservingSmoothing.java:235-290): normalized distance x
+# intensity Gaussian weights, sigma_d = 1 / sigma_i = 10.  Transcendental
+# weights -> shared half-up round(6); the 9-term weighted sums agree to
+# well under 1e-6 across engines.
+@Q.register(
+    "focal_bilateral",
+    f"WITH {_RASF}, nbrb AS (SELECT a.row, a.col, a.value AS av, b.value AS bv, "
+    "b.row - a.row AS dr, b.col - a.col AS dc "
+    "FROM ras a JOIN ras b ON b.row BETWEEN a.row - 1 AND a.row + 1 "
+    "AND b.col BETWEEN a.col - 1 AND a.col + 1 "
+    f"WHERE a.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0), "
+    "wt AS (SELECT row, col, bv, EXP(-(dr * dr + dc * dc) / 2e0) * "
+    "EXP(-((bv - av) * (bv - av)) / 200e0) AS w FROM nbrb) "
+    "SELECT row, col, FLOOR(SUM(w * bv) / SUM(w) * 1e6 + 0.5e0) / 1e6 AS value "
+    "FROM wt GROUP BY 1, 2 ORDER BY row, col",
+)
+def q_focal_bilateral(spark, sf):
+    return _explode_focal(spark, "bilateral")

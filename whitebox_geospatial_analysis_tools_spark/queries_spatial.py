@@ -981,3 +981,56 @@ def q_lidar_segments(spark, sf):
         )
         .orderBy("label")
     )
+
+
+# -- XYZ text <-> raster round trip as a named tool (§2.10 row 94;
+# ConversionTools XYZTextToRaster.java / ExportXYZ): points serialize to
+# fixed-point "x y z" text lines (micro-degrees / milli-values — float
+# repr differs between engines, integers do not), the TEXT is re-parsed,
+# and the re-derived coordinates grid back to per-tile stats.  Both engines
+# run the same serialize -> split -> cast -> re-tile pipeline, so a parse
+# error on either side breaks the hash.
+def _xyz_sql() -> str:
+    t2 = exprs.tile_id_expr("lon2", "lat2")
+    return f"""{_PTS}, q AS (
+  SELECT CAST(CAST(FLOOR(lon * 1e6 + 0.5e0) AS BIGINT) AS VARCHAR) || ' ' ||
+         CAST(CAST(FLOOR(lat * 1e6 + 0.5e0) AS BIGINT) AS VARCHAR) || ' ' ||
+         CAST(CAST(FLOOR(val * 1e3 + 0.5e0) AS BIGINT) AS VARCHAR) AS line
+  FROM pts),
+p AS (
+  SELECT CAST(str_split(line, ' ')[1] AS BIGINT) / 1e6 AS lon2,
+         CAST(str_split(line, ' ')[2] AS BIGINT) / 1e6 AS lat2,
+         CAST(str_split(line, ' ')[3] AS BIGINT) AS vmilli
+  FROM q)
+SELECT {t2} AS tile_id, COUNT(*) AS n, CAST(SUM(vmilli) AS BIGINT) AS sum_milli,
+       MIN(vmilli) AS vmin_milli, MAX(vmilli) AS vmax_milli
+FROM p GROUP BY 1 ORDER BY 1"""
+
+
+@Q.register("xyz_roundtrip", _xyz_sql())
+def q_xyz_roundtrip(spark, sf):
+    pts = Q._points(spark, sf)
+    line = F.concat_ws(
+        " ",
+        F.floor(F.col("lon") * 1e6 + 0.5).cast("long").cast("string"),
+        F.floor(F.col("lat") * 1e6 + 0.5).cast("long").cast("string"),
+        F.floor(F.col("val") * 1e3 + 0.5).cast("long").cast("string"),
+    )
+    q = pts.select(line.alias("line"))
+    p = q.select(
+        (F.split("line", " ")[0].cast("long") / 1e6).alias("lon2"),
+        (F.split("line", " ")[1].cast("long") / 1e6).alias("lat2"),
+        F.split("line", " ")[2].cast("long").alias("vmilli"),
+    )
+    t2 = exprs.tile_id_expr("lon2", "lat2")
+    return (
+        p.select(F.expr(t2).alias("tile_id"), "vmilli")
+        .groupBy("tile_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vmilli").cast("long").alias("sum_milli"),
+            F.min("vmilli").alias("vmin_milli"),
+            F.max("vmilli").alias("vmax_milli"),
+        )
+        .orderBy("tile_id")
+    )
