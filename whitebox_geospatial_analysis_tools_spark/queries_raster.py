@@ -1190,18 +1190,70 @@ def q_fill_depressions(spark, sf):
 
 
 # BreachDepressions (§2.12; HydroTools/src/plugins/BreachDepressions.java):
-# constrained-window breach conditioning.  The per-pit least-cost carve is
-# not SQL-expressible (bounded Dijkstra + path reconstruction), so like
-# kriging this entry has no DuckDB oracle; the sequential numpy oracle +
-# tile-invariance + drains properties live in tests/test_breach.py.
-@Q.register("breach_depressions")
+# constrained-window breach conditioning.  The oracle runs on a crater DEM
+# engineered so each pit's bounded-Dijkstra optimum is PROVABLY one straight
+# 2-step breach (pit -> cheapest trench-adjacent rim -> trench): the plane
+# descends 1/16 per column so no plane cell within the 8-step window reaches
+# p - k*eps, every rim carve costs ~8 vs ~4 for any extra detour cell, the 3
+# candidate rims share a column (same base) with distinct dyadic jitters, and
+# the trench itself is a target-less pit that stays put.  The closed-form
+# carve (argmin of 3 jitters, value p - eps) is exact SQL; the operator under
+# test is the real general kernel (tests/test_breach.py keeps the organic DEM
+# + sequential numpy oracle + tile-invariance / drains properties).
+_BROWS, _BCOLS = 40, 64
+_B_EPS = 2.0 ** -12
+# shared DEM text ({r}/{c} = row/col column names); all values dyadic.
+# KR/KC = crater indices: floor((r|c)/12) is constant over each crater's
+# local cells (row offsets 5..7, col offsets 5..8 stay inside one block).
+_B_KR = "CAST(FLOOR(({r}) / 12e0) AS BIGINT)"
+_B_KC = "CAST(FLOOR(({c}) / 12e0) AS BIGINT)"
+_B_DEM = (
+    "CASE "
+    f"WHEN ({{r}}) % 12 = 6 AND ({{c}}) % 12 = 6 THEN 196e0 - {_B_KC} * 0.75e0 "   # pit: B0 - 4
+    f"WHEN ({{r}}) % 12 = 6 AND ({{c}}) % 12 = 8 THEN 192e0 - {_B_KC} * 0.75e0 "   # trench: B0 - 8
+    "WHEN ({r}) % 12 BETWEEN 5 AND 7 AND ({c}) % 12 BETWEEN 5 AND 7 "
+    f"THEN 204e0 - {_B_KC} * 0.75e0 "
+    "   + CAST(((({r}) % 12 - 5) * 3 + (({c}) % 12 - 5) "
+    f"      + 7 * ({_B_KR} * 5 + {_B_KC})) % 9 AS DOUBLE) / 16e0 "                  # rim: B0 + 4 + jit
+    "ELSE 200e0 - CAST(({c}) AS DOUBLE) / 16e0 END"
+)
+# B0 = 200 - c0/16 with c0 = 12*kc + 6 -> 200 - 0.375 - 0.75*kc; the pit/
+# trench/rim arms above fold the 0.375 into the constant (only relative
+# levels matter: plane stays >= p + 3 everywhere within the search window).
+
+
+@Q.register(
+    "breach_depressions",
+    f"WITH g AS (SELECT r.r AS row, c.c AS col, "
+    + _B_DEM.format(r="r.r", c="c.c")
+    + f" AS dem FROM range(0, {_BROWS}) r(r), range(0, {_BCOLS}) c(c)), "
+    f"cr AS (SELECT kr.k AS kr, kc.k AS kc FROM range(0, {(_BROWS - 7) // 12 + 1}) kr(k), "
+    f"range(0, {(_BCOLS - 9) // 12 + 1}) kc(k)), "
+    "jt AS (SELECT kr * 12 + 6 AS r0, kc * 12 + 6 AS c0, kc, "
+    "((2 + 7 * (kr * 5 + kc)) % 9) AS j2, ((5 + 7 * (kr * 5 + kc)) % 9) AS j5, "
+    "((8 + 7 * (kr * 5 + kc)) % 9) AS j8 FROM cr), "
+    "cv AS (SELECT r0 + CASE WHEN j2 <= j5 AND j2 <= j8 THEN -1 "
+    "WHEN j5 <= j8 THEN 0 ELSE 1 END AS row, c0 + 1 AS col, "
+    f"196e0 - kc * 0.75e0 - {_B_EPS!r}e0 AS carved FROM jt "
+    # the flat plane makes (r0, c0-2) a pit too (east wall = rim, equal
+    # neighbors N/S): its optimum is the eps-cost path over equal ground
+    # (r0,c0-2) -> carve (r0-1,c0-2) -> target (r0-2,c0-1), unique by the
+    # lexicographic (cost, steps, row, col) tuple
+    "UNION ALL SELECT r0 - 1 AS row, c0 - 2 AS col, "
+    f"199.75e0 - kc * 0.75e0 - {_B_EPS!r}e0 AS carved FROM jt) "
+    "SELECT g.row, g.col, COALESCE(cv.carved, g.dem) AS breached FROM g "
+    "LEFT JOIN cv ON cv.row = g.row AND cv.col = g.col ORDER BY g.row, g.col",
+)
 def q_breach_depressions(spark, sf):
     from .operators.hydro import breach_depressions
 
     cells = (
-        R.explode_cells(R.synth_raster(spark, _DROWS, _DCOLS))
-        .where(F.col("value") != _ND)
-        .withColumnRenamed("value", "dem")
+        spark.range(_BROWS * _BCOLS)
+        .select(
+            (F.col("id") / _BCOLS).cast("long").alias("row"),
+            (F.col("id") % _BCOLS).alias("col"),
+        )
+        .select("row", "col", F.expr(_B_DEM.format(r="row", c="col")).alias("dem"))
     )
     return breach_depressions(cells, tile=16).orderBy("row", "col")
 
