@@ -4466,3 +4466,55 @@ def q_erase_raster(spark, sf):
 )
 def q_focal_bilateral(spark, sf):
     return _explode_focal(spark, "bilateral")
+
+
+# -- RGB colour composite (§2.13 row 113; ImageProcessingTools
+# CreateColourComposite.java:279-300): per-band min-max stretch to 0..255
+# (truncating int cast, clamped) packed as (255<<24)|(b<<16)|(g<<8)|r.
+# Per-band extrema are broadcast scalars (one partial-agg exchange each);
+# the pack is pure integer arithmetic.
+# explicit FLOOR: the reference truncates via (int) cast; a bare CAST
+# truncates in Spark but ROUNDS in DuckDB
+_CC_CH = ("CAST(FLOOR(({v} - {lo}) / ({hi} - {lo}) * 255e0) AS BIGINT)")
+
+
+def _cc_clamp(x: str) -> str:
+    return f"LEAST(GREATEST({x}, 0), 255)"
+
+
+@Q.register(
+    "colour_composite",
+    f"""WITH {_RAS}, {_RAS2}, {_RAS3},
+j AS (SELECT r.row, r.col, r.value AS rv, g.value AS gv, b.value AS bv
+      FROM ras r JOIN ras2 g USING (row, col) JOIN ras3 b USING (row, col)
+      WHERE r.value != {NODATA!r}e0 AND g.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0),
+mm AS (SELECT MIN(rv) AS rlo, MAX(rv) AS rhi, MIN(gv) AS glo, MAX(gv) AS ghi,
+       MIN(bv) AS blo, MAX(bv) AS bhi FROM j)
+SELECT row, col, 4278190080 + {_cc_clamp(_CC_CH.format(v='bv', lo='blo', hi='bhi'))} * 65536
+  + {_cc_clamp(_CC_CH.format(v='gv', lo='glo', hi='ghi'))} * 256
+  + {_cc_clamp(_CC_CH.format(v='rv', lo='rlo', hi='rhi'))} AS argb
+FROM j, mm ORDER BY row, col""",
+)
+def q_colour_composite(spark, sf):
+    r = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "rv")
+    g = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "gv")
+    b = R.explode_cells(_dem(spark, 2)).withColumnRenamed("value", "bv")
+    j = (
+        r.join(g, ["row", "col"]).join(b, ["row", "col"])
+        .where((F.col("rv") != _ND) & (F.col("gv") != _ND) & (F.col("bv") != _ND))
+    )
+    mm = j.agg(
+        F.min("rv").alias("rlo"), F.max("rv").alias("rhi"),
+        F.min("gv").alias("glo"), F.max("gv").alias("ghi"),
+        F.min("bv").alias("blo"), F.max("bv").alias("bhi"),
+    )
+    ch = lambda v, lo, hi: F.expr(_cc_clamp(_CC_CH.format(v=v, lo=lo, hi=hi)))
+    return (
+        j.crossJoin(F.broadcast(mm))
+        .select(
+            "row", "col",
+            (F.lit(4278190080) + ch("bv", "blo", "bhi") * 65536
+             + ch("gv", "glo", "ghi") * 256 + ch("rv", "rlo", "rhi")).alias("argb"),
+        )
+        .orderBy("row", "col")
+    )
