@@ -58,3 +58,42 @@ def test_stateful_totals_across_batches(spark, tmp_path):
     assert got.groupby("tile_id")["n_total"].apply(
         lambda s: s.is_monotonic_increasing or len(s) == 1
     ).all()
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Duplicate texts across micro-batches survive exactly once."""
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_spark.streaming import ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ts = pd.Timestamp("2026-01-01 00:00:00")
+    for i, batch in enumerate([
+        [("u1", "alpha"), ("u2", "beta")],
+        [("u3", "alpha"), ("u4", "gamma")],   # duplicate of u1's text
+    ]):
+        pdf = pd.DataFrame(
+            {
+                "url": [u for u, _ in batch],
+                "warc_ts": [ts + pd.Timedelta(minutes=i)] * len(batch),
+                "html": [b""] * len(batch),
+                "text": [t for _, t in batch],
+                "lang": ["en"] * len(batch),
+            }
+        )
+        spark.createDataFrame(pdf, ingest.PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+    stream = ingest.read_pages_stream(spark, str(src), max_files_per_trigger=1)
+    deduped = ingest.streaming_dedup(stream)
+    q = (
+        deduped.select("url", "text").writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out")).select("text").toPandas()
+    assert sorted(got["text"]) == ["alpha", "beta", "gamma"]

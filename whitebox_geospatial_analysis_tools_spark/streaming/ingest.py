@@ -111,3 +111,18 @@ def run_update_mode(stream_df: DataFrame, checkpoint_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup(pages: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on content hash (the webtext-pipeline front
+    door): md5(text) within the event-time watermark via
+    dropDuplicatesWithinWatermark — state for a hash is kept only one
+    watermark interval, so state size is bounded by the duplicate horizon,
+    not the stream length.  Batch-side twin: operators/textops.py
+    dedup_exact (same hash expression), so a backfill and the live stream
+    agree on survivors."""
+    hashed = pages.withColumn("content_hash", F.md5(F.col("text")))
+    return (
+        hashed.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
