@@ -349,6 +349,10 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                 out = (wgt * np.where(np.isnan(stack), 0.0, stack)).sum(axis=0) \
                     / wgt.sum(axis=0)
                 out = np.floor(out * 1e6 + 0.5) / 1e6  # shared half-up round
+            elif stat == "minnbr":
+                # min over the 8 NEIGHBORS (center excluded) — the FillPits
+                # pit test / fill level (HydroTools FillPits.java:208-230)
+                out = np.nanmin(np.delete(stack, 4, axis=0), axis=0)
             elif stat == "percentile":
                 # ElevationPercentile: fraction of window cells strictly
                 # below the center (center included in the denominator)
@@ -482,6 +486,20 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                     # (exact on dyadic cells, no rounding drift)
                     out = centerv - np.minimum.reduce(
                         [nw, nn, ne, wv, ev, sw, ss, se])
+                elif stat == "mindrop":
+                    # MinDownslopeElevationChange.java:240-266: the elevation
+                    # drop of the GENTLEST non-negative downslope direction
+                    # (slope = drop/dist); ties keep the reference's scan
+                    # order c = NE,E,SE,S,SW,W,NW,N (argmin first-occurrence)
+                    r2 = 1.4142135623730951
+                    nbs = np.stack([ne, ev, se, ss, sw, wv, nw, nn])
+                    dist = np.array(
+                        [r2, 1.0, r2, 1.0, r2, 1.0, r2, 1.0])[:, None, None]
+                    sl = (centerv[None] - nbs) / dist
+                    sl = np.where(sl < 0, np.inf, sl)
+                    idx = np.argmin(sl, axis=0)
+                    zch = centerv - np.take_along_axis(nbs, idx[None], 0)[0]
+                    out = np.where(np.isinf(np.min(sl, axis=0)), 0.0, zch)
                 elif stat in ("curv_plan", "curv_profile", "curv_total",
                               "curv_tang"):
                     # Zevenbergen-Thorne quadratic-fit coefficients

@@ -4518,3 +4518,233 @@ def q_colour_composite(spark, sf):
         )
         .orderBy("row", "col")
     )
+
+
+# -- MinDownslopeElevationChange (§2.5; TerrainAnalysisTools
+# MinDownslopeElevationChange.java:240-266): the drop along the GENTLEST
+# non-negative downslope direction (slope = drop / distance); 0 when the
+# cell has no downslope neighbor.  Tie-break = the reference's scan order
+# NE,E,SE,S,SW,W,NW,N, realized as a first-match CASE cascade here and a
+# first-occurrence argmin in the tile kernel.
+_MDC_SQ2 = "1.4142135623730951e0"
+_MDC_S = {
+    "ne": f"(cv - ne) / {_MDC_SQ2}", "ev": "(cv - ev)",
+    "se": f"(cv - se) / {_MDC_SQ2}", "ss": "(cv - ss)",
+    "sw": f"(cv - sw) / {_MDC_SQ2}", "wv": "(cv - wv)",
+    "nw": f"(cv - nw) / {_MDC_SQ2}", "nn": "(cv - nn)",
+}
+_MDC_DEFS = ", ".join(
+    f"CASE WHEN {e} >= 0e0 THEN {e} END AS s_{n}" for n, e in _MDC_S.items()
+)
+_MDC_PICK = (
+    "CASE WHEN m IS NULL THEN 0e0 "
+    + " ".join(f"WHEN s_{n} = m THEN cv - {n}" for n in _MDC_S)
+    + " END"
+)
+
+
+@Q.register(
+    "min_downslope_change",
+    f"WITH {_RASF}, {_W9}, sl AS (SELECT row, col, cv, nw, nn, ne, wv, ev, sw, ss, se, "
+    f"{_MDC_DEFS} FROM w9 {_FULLW}), "
+    "mm AS (SELECT *, LEAST(s_ne, s_ev, s_se, s_ss, s_sw, s_wv, s_nw, s_nn) AS m FROM sl) "
+    f"SELECT row, col, (FLOOR(({_MDC_PICK}) * 1e6 + 0.5e0) / 1e6) AS value "
+    "FROM mm ORDER BY row, col",
+)
+def q_min_downslope_change(spark, sf):
+    return _explode_focal(spark, "mindrop")
+
+
+# -- small named HydroTools: FillPits / FindNoFlowCells /
+# NumInflowingNeighbours / FindParallelFlow / BurnStreams /
+# JensonSnapPourPoints -----------------------------------------------------
+_FP_EPS = "2.44140625e-4"  # 2^-12, dyadic (determinizes FillPits aSmallValue)
+_D8_OUT = (
+    "CASE WHEN {dr} = -1 AND {dc} = -1 THEN 1 WHEN {dr} = -1 AND {dc} = 0 THEN 2 "
+    "WHEN {dr} = -1 AND {dc} = 1 THEN 4 WHEN {dr} = 0 AND {dc} = -1 THEN 8 "
+    "WHEN {dr} = 0 AND {dc} = 1 THEN 16 WHEN {dr} = 1 AND {dc} = -1 THEN 32 "
+    "WHEN {dr} = 1 AND {dc} = 0 THEN 64 ELSE 128 END"
+)
+_D8_TGT_DR = ("CASE WHEN code IN (1, 2, 4) THEN -1 WHEN code IN (8, 16) THEN 0 "
+              "ELSE 1 END")
+_D8_TGT_DC = ("CASE WHEN code IN (1, 8, 32) THEN -1 WHEN code IN (2, 64) THEN 0 "
+              "ELSE 1 END")
+
+
+# FillPits.java:208-230: raise each single-cell pit (every PRESENT neighbor
+# strictly higher) to its lowest neighbor + eps; everything else unchanged.
+@Q.register(
+    "fill_pits",
+    f"WITH {_HYD_BASE} SELECT row, col, "
+    "CASE WHEN LEAST(n0, n1, n2, n3, n4, n5, n6, n7) > cv "
+    f"THEN LEAST(n0, n1, n2, n3, n4, n5, n6, n7) + {_FP_EPS} ELSE cv END AS filled "
+    "FROM w9 ORDER BY row, col",
+)
+def q_fill_pits(spark, sf):
+    cells = R.explode_cells(_hydem(spark)).where(F.col("value") != _ND)
+    mn = (
+        R.explode_cells(R.focal(_hydem(spark), "minnbr"))
+        .where(F.col("value") != _ND)
+        .withColumnRenamed("value", "mn")
+    )
+    return (
+        cells.join(mn, ["row", "col"], "left")
+        .select(
+            "row", "col",
+            F.expr(f"CASE WHEN mn > value THEN mn + {_FP_EPS} "
+                   "ELSE value END").alias("filled"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+# FindNoFlowCells.java: cells whose D8 pointer is 0 (pits/flats)
+@Q.register(
+    "find_noflow",
+    f"WITH {_HYD_BASE} SELECT row, col FROM d8 WHERE code = 0 ORDER BY row, col",
+)
+def q_find_noflow(spark, sf):
+    from .operators.hydro import flow_pointer_d8
+
+    return (
+        flow_pointer_d8(_hydem(spark))
+        .where(F.col("code") == 0).select("row", "col").orderBy("row", "col")
+    )
+
+
+# NumInflowingNeighbours.java: count of 8-neighbors whose pointer targets
+# the cell — a groupBy on the DECODED pointer target (one shuffle on the
+# target key; no neighborhood join at all)
+@Q.register(
+    "num_inflowing",
+    f"WITH {_HYD_BASE}, tg AS (SELECT row + {_D8_TGT_DR} AS trow, "
+    f"col + {_D8_TGT_DC} AS tcol FROM d8 WHERE code > 0), "
+    "cnt AS (SELECT trow, tcol, COUNT(*) AS n FROM tg GROUP BY 1, 2) "
+    "SELECT d.row, d.col, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_inflow "
+    "FROM d8 d LEFT JOIN cnt c ON c.trow = d.row AND c.tcol = d.col "
+    "ORDER BY d.row, d.col",
+)
+def q_num_inflowing(spark, sf):
+    from .operators.hydro import flow_pointer_d8
+
+    ptr = flow_pointer_d8(_hydem(spark))
+    tg = ptr.where(F.col("code") > 0).select(
+        (F.col("row") + F.expr(_D8_TGT_DR)).alias("trow"),
+        (F.col("col") + F.expr(_D8_TGT_DC)).alias("tcol"),
+    )
+    cnt = tg.groupBy("trow", "tcol").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ptr.join(cnt, (F.col("trow") == F.col("row")) & (F.col("tcol") == F.col("col")), "left")
+        .select("row", "col", F.coalesce("n", F.lit(0)).cast("long").alias("n_inflow"))
+        .orderBy("row", "col")
+    )
+
+
+# FindParallelFlow.java:230-255: a cell flows parallel when some neighbor
+# (that is neither its downslope target nor an inflowing cell) carries the
+# SAME pointer code
+_PF_OUT = _D8_OUT.format(dr="(b.row - a.row)", dc="(b.col - a.col)")
+_PF_IN = _D8_OUT.format(dr="(a.row - b.row)", dc="(a.col - b.col)")
+
+
+@Q.register(
+    "find_parallel_flow",
+    f"WITH {_HYD_BASE}, pf AS (SELECT a.row, a.col, "
+    f"MAX(CASE WHEN b.code = a.code AND a.code != {_PF_OUT} "
+    f"AND a.code != {_PF_IN} THEN 1 ELSE 0 END) AS parallel "
+    "FROM d8 a JOIN d8 b ON b.row BETWEEN a.row - 1 AND a.row + 1 "
+    "AND b.col BETWEEN a.col - 1 AND a.col + 1 "
+    "AND NOT (b.row = a.row AND b.col = a.col) GROUP BY 1, 2) "
+    "SELECT d.row, d.col, CAST(COALESCE(p.parallel, 0) AS INT) AS parallel "
+    "FROM d8 d LEFT JOIN pf p ON p.row = d.row AND p.col = d.col "
+    "ORDER BY d.row, d.col",
+)
+def q_find_parallel_flow(spark, sf):
+    from .operators.hydro import flow_pointer_d8
+
+    a = flow_pointer_d8(_hydem(spark)).alias("a")
+    b = flow_pointer_d8(_hydem(spark)).alias("b")
+    pf = (
+        a.join(
+            b,
+            F.expr("b.row BETWEEN a.row - 1 AND a.row + 1 "
+                   "AND b.col BETWEEN a.col - 1 AND a.col + 1 "
+                   "AND NOT (b.row = a.row AND b.col = a.col)"),
+        )
+        .groupBy(F.col("a.row").alias("row"), F.col("a.col").alias("col"))
+        .agg(F.max(F.expr(
+            f"CASE WHEN b.code = a.code AND a.code != {_PF_OUT} "
+            f"AND a.code != {_PF_IN} THEN 1 ELSE 0 END")).alias("parallel"))
+    )
+    return (
+        flow_pointer_d8(_hydem(spark))
+        .join(pf, ["row", "col"], "left")
+        .select("row", "col",
+                F.coalesce("parallel", F.lit(0)).cast("int").alias("parallel"))
+        .orderBy("row", "col")
+    )
+
+
+# BurnStreams.java semantics (stream-cell DEM decrement; streams = the
+# engine's accumulation >= 20 mask, depth = 8, both dyadic)
+@Q.register(
+    "burn_streams",
+    f"WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES} "
+    "SELECT c.row, c.col, CASE WHEN a.accum >= 20 THEN c.v - 8e0 ELSE c.v END AS burned "
+    "FROM live c JOIN acc a ON a.row = c.row AND a.col = c.col "
+    "WHERE c.v IS NOT NULL ORDER BY c.row, c.col",
+)
+def q_burn_streams(spark, sf):
+    from .operators.hydro import flow_accum, flow_pointer_d8
+
+    cells = R.explode_cells(_hydem(spark)).where(F.col("value") != _ND)
+    acc = flow_accum(flow_pointer_d8(_hydem(spark)))
+    return (
+        cells.join(acc, ["row", "col"])
+        .select(
+            "row", "col",
+            F.expr("CASE WHEN accum >= 20 THEN value - 8e0 ELSE value END")
+            .alias("burned"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+# JensonSnapPourPoints.java: snap each outlet to the NEAREST stream cell
+# within the radius (min squared distance; (row, col) tie-break).  Radius 12
+# (vs snap_pour's 3): the Jenson variant is meant to reach the stream network
+_JSNAP_R = 12
+@Q.register(
+    "jenson_snap",
+    f"WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES} "
+    "SELECT pp_id, row AS srow, col AS scol FROM ("
+    "SELECT p.pp_id, a.row, a.col, "
+    "ROW_NUMBER() OVER (PARTITION BY p.pp_id ORDER BY "
+    "(a.row - p.r) * (a.row - p.r) + (a.col - p.c) * (a.col - p.c), a.row, a.col) AS rn "
+    f"FROM (VALUES {', '.join(f'({i},{r},{c})' for i, r, c in _SNAP_PP)}) p(pp_id, r, c) "
+    f"JOIN acc a ON a.accum >= 10 AND a.row BETWEEN p.r - {_JSNAP_R} AND p.r + {_JSNAP_R} "
+    f"AND a.col BETWEEN p.c - {_JSNAP_R} AND p.c + {_JSNAP_R}"
+    ") WHERE rn = 1 ORDER BY pp_id",
+)
+def q_jenson_snap(spark, sf):
+    from pyspark.sql import Window
+
+    from .operators.hydro import flow_accum, flow_pointer_d8
+
+    acc = flow_accum(flow_pointer_d8(_hydem(spark)))
+    stream = acc.where(F.col("accum") >= 10).select("row", "col")
+    pour = spark.createDataFrame(_SNAP_PP, "pp_id long, r long, c long")
+    cand = pour.join(
+        stream,
+        (F.col("row").between(F.col("r") - _JSNAP_R, F.col("r") + _JSNAP_R))
+        & (F.col("col").between(F.col("c") - _JSNAP_R, F.col("c") + _JSNAP_R)),
+    )
+    d2 = (F.col("row") - F.col("r")) ** 2 + (F.col("col") - F.col("c")) ** 2
+    rn = F.row_number().over(
+        Window.partitionBy("pp_id").orderBy(d2.asc(), "row", "col")
+    )
+    return (
+        cand.withColumn("rn", rn).where(F.col("rn") == 1)
+        .select("pp_id", F.col("row").alias("srow"), F.col("col").alias("scol"))
+        .orderBy("pp_id")
+    )
