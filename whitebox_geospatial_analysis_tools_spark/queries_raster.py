@@ -4748,3 +4748,109 @@ def q_jenson_snap(spark, sf):
         .select("pp_id", F.col("row").alias("srow"), F.col("col").alias("scol"))
         .orderBy("pp_id")
     )
+
+
+# -- FuzzyMembership (StatsTools FuzzyMembership.java:275-295, sigmoidal
+# model): cos^2 ramp between thresholds p1<p2<=p3<p4.  Transcendental ->
+# shared half-up round(6).
+_FZ_P = (120.0, 150.0, 180.0, 210.0)
+
+
+def _fuzzy_expr(v: str) -> str:
+    p1, p2, p3, p4 = _FZ_P
+    hp = "1.5707963267948966e0"  # pi/2
+    r1, r2 = p2 - p1, p4 - p3
+    return (
+        f"CASE WHEN {v} <= {p1}e0 THEN 0e0 "
+        f"WHEN {v} < {p2}e0 THEN FLOOR((1e0 - COS(({v} - {p1}e0) / {r1}e0 * {hp}) "
+        f"* COS(({v} - {p1}e0) / {r1}e0 * {hp})) * 1e6 + 0.5e0) / 1e6 "
+        f"WHEN {v} <= {p3}e0 THEN 1e0 "
+        f"WHEN {v} < {p4}e0 THEN FLOOR(COS(({v} - {p3}e0) / {r2}e0 * {hp}) "
+        f"* COS(({v} - {p3}e0) / {r2}e0 * {hp}) * 1e6 + 0.5e0) / 1e6 "
+        "ELSE 0e0 END"
+    )
+
+
+@Q.register(
+    "fuzzy_membership",
+    f"WITH {_RASF} SELECT row, col, {_fuzzy_expr('value')} AS membership "
+    f"FROM ras WHERE {_NDF} ORDER BY row, col",
+)
+def q_fuzzy_membership(spark, sf):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    return live.select(
+        "row", "col", F.expr(_fuzzy_expr("value")).alias("membership")
+    ).orderBy("row", "col")
+
+
+# -- CompareImagesForDifferences (StatsTools
+# CompareImagesForDifferences.java:328-334): paired-sample t statistic of
+# two bands — the exact moment formulas from the reference, computed on
+# milli-quantized integer sums (exact) with one final rounded division.
+@Q.register(
+    "compare_images",
+    f"""WITH {_RAS}, {_RAS2},
+d AS (SELECT CAST(ROUND(a.value * 1e3) AS BIGINT) AS z1,
+             CAST(ROUND(b.value * 1e3) AS BIGINT) AS z2
+      FROM ras a JOIN ras2 b USING (row, col)
+      WHERE a.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0),
+m AS (SELECT COUNT(*) AS n, CAST(SUM(z1 - z2) AS BIGINT) AS s,
+      CAST(SUM((z1 - z2) * (z1 - z2)) AS BIGINT) AS s2 FROM d)
+SELECT n, FLOOR((CAST(s AS DOUBLE) / n) / 
+  SQRT((n * CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (n * (n - 1e0)) / n)
+  * 1e6 + 0.5e0) / 1e6 AS t_stat FROM m""",
+)
+def q_compare_images(spark, sf):
+    a = R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "v1")
+    b = R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "v2")
+    d = (
+        a.join(b, ["row", "col"])
+        .where((F.col("v1") != _ND) & (F.col("v2") != _ND))
+        .select(
+            (F.round(F.col("v1") * 1e3).cast("long")
+             - F.round(F.col("v2") * 1e3).cast("long")).alias("dz"),
+        )
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dz").cast("long").alias("s"),
+        F.sum(F.col("dz") * F.col("dz")).cast("long").alias("s2"),
+    )
+    t = (F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        (F.col("n") * F.col("s2").cast("double")
+         - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (F.col("n") * (F.col("n") - F.lit(1.0))) / F.col("n")
+    )
+    return m.select(
+        "n", (F.floor(t * 1e6 + 0.5) / 1e6).alias("t_stat")
+    )
+
+
+# -- SplitColourComposite (ImageProcessingTools SplitColourComposite.java):
+# unpack the ARGB composite back into r/g/b channels (pure integer ops;
+# the exact inverse of colour_composite's pack)
+@Q.register(
+    "split_composite",
+    f"""WITH {_RAS}, {_RAS2}, {_RAS3},
+j AS (SELECT r.row, r.col, r.value AS rv, g.value AS gv, b.value AS bv
+      FROM ras r JOIN ras2 g USING (row, col) JOIN ras3 b USING (row, col)
+      WHERE r.value != {NODATA!r}e0 AND g.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0),
+mm AS (SELECT MIN(rv) AS rlo, MAX(rv) AS rhi, MIN(gv) AS glo, MAX(gv) AS ghi,
+       MIN(bv) AS blo, MAX(bv) AS bhi FROM j),
+pk AS (SELECT row, col, 4278190080 + {_cc_clamp(_CC_CH.format(v='bv', lo='blo', hi='bhi'))} * 65536
+  + {_cc_clamp(_CC_CH.format(v='gv', lo='glo', hi='ghi'))} * 256
+  + {_cc_clamp(_CC_CH.format(v='rv', lo='rlo', hi='rhi'))} AS argb FROM j, mm)
+SELECT row, col, argb % 256 AS r8, CAST(FLOOR(argb / 256e0) AS BIGINT) % 256 AS g8,
+  CAST(FLOOR(argb / 65536e0) AS BIGINT) % 256 AS b8
+FROM pk ORDER BY row, col""",
+)
+def q_split_composite(spark, sf):
+    from . import queries as _Qr  # registry holds the plain fn
+
+    comp = _Qr.all_queries()["colour_composite"](spark, sf)
+    return comp.select(
+        "row", "col",
+        (F.col("argb") % 256).alias("r8"),
+        (F.floor(F.col("argb") / 256.0).cast("long") % 256).alias("g8"),
+        (F.floor(F.col("argb") / 65536.0).cast("long") % 256).alias("b8"),
+    ).orderBy("row", "col")
