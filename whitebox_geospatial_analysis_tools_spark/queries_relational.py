@@ -461,3 +461,22 @@ def q_merge_table_csv(spark, sf):
         .select("c_custkey", "c_name", "nation", "regionkey")
         .orderBy("c_custkey")
     )
+
+
+# -- inverse PCA (§2.13; InversePrincipalComponentAnalysis.java):
+# reconstruct the bands from the complete score set (orthogonal rotation
+# back through the loadings).  The oracle checks the round trip lands
+# EXACTLY on the raw inputs after round(6) — reconstruction error is
+# O(1e-10) against values with 2-decimal resolution.
+@Q.register(
+    "inverse_pca",
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(ROUND(l_quantity, 6) AS DOUBLE) AS x_rec, "
+    "CAST(ROUND(l_extendedprice, 6) AS DOUBLE) AS y_rec "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+)
+def q_inverse_pca(spark, sf):
+    df = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return stats.pca2_inverse(
+        df, "l_quantity", "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )
