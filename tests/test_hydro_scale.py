@@ -253,3 +253,24 @@ def test_fd8_tile_invariance(spark):
     b = fd8_accum(dem, tile=256).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
     assert len(a) == len(b) > 0
     assert np.abs(a["accum"].to_numpy() - b["accum"].to_numpy()).max() <= 1e-4 + 1e-9
+
+
+def test_mass_flux_tile_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from whitebox_geospatial_analysis_tools_spark.operators import raster as R
+    from whitebox_geospatial_analysis_tools_spark.operators.hydro import (
+        flow_pointer_d8, mass_flux_d8,
+    )
+
+    dem = R.synth_raster(spark, 48, 64)
+    ptr = flow_pointer_d8(dem)
+    cells = ptr.select(
+        "row", "col", "code",
+        F.lit(1.0).alias("load"),
+        (F.expr("CAST(8 + (row + col) % 8 AS DOUBLE)") / 16.0).alias("eff"),
+        (F.expr("CAST((row * 3 + col) % 4 AS DOUBLE)") / 4.0).alias("absorp"),
+    )
+    a = mass_flux_d8(cells, tile=16).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    b = mass_flux_d8(cells, tile=256).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -2322,3 +2322,130 @@ def upslope_max_length(pointers: DataFrame, *, tile: int = TILE) -> DataFrame:
     return pass_b.where(F.col("kind") == 0).select(
         "row", "col", F.round("mx", 6).cast("double").alias("up_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# D8 mass flux (loading / efficiency / absorption transport)
+# ---------------------------------------------------------------------------
+def mass_flux_d8(cells: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
+                 decimals: int = 4) -> DataFrame:
+    """(row, col, flux): D8 mass transport —
+    HydroTools/src/plugins/MassFluxD8.java:255-300 semantics:
+    flux(c) = load(c) + sum over inflowing neighbors u of
+    max(0, (flux(u) - absorp(u)) * eff(u)).
+
+    cells: (row, col, code, load, eff, absorp) with code = the 2^j D8
+    pointer.  Unlike flow/FD8 accumulation the per-cell transfer is
+    CLAMPED at zero, so the condensed linear-response shortcut does not
+    apply; the plan is the iterative tile-round exchange (exact tile-local
+    Kahn solves + border mass exchange, converging in tile-graph-depth
+    rounds — each round propagates exact values one tile level, so the
+    float-equality convergence test terminates at the fixpoint).  Output
+    rounds to `decimals` (sum association differs across engines).
+    """
+    spark = cells.sparkSession
+    _scratch.release(spark, "massflux")
+    wdf = _scratch.track(
+        spark,
+        cells.withColumn("_tr", (F.col("row") / tile).cast("long"))
+             .withColumn("_tc", (F.col("col") / tile).cast("long")).persist(),
+        "massflux",
+    )
+    wdf.count()
+
+    schema = "row long, col long, acc double, x_row long, x_col long, kind int"
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * tile, tc * tile
+        rr = pdf["row"].to_numpy(np.int64)
+        cc = pdf["col"].to_numpy(np.int64)
+        n = len(rr)
+        code = pdf["code"].to_numpy(np.int64)
+        load = pdf["load"].to_numpy(np.float64)
+        eff = pdf["eff"].to_numpy(np.float64)
+        absorp = pdf["absorp"].to_numpy(np.float64)
+        extv = (
+            pdf["ext"].fillna(0.0).to_numpy(np.float64)
+            if "ext" in pdf.columns else np.zeros(n)
+        )
+        lr, lc = rr - r0, cc - c0
+        h, w = int(lr.max()) + 1, int(lc.max()) + 1
+        gid = np.full((h, w), -1, dtype=np.int64)
+        gid[lr, lc] = np.arange(n)
+        j = np.where(code > 0, np.log2(np.maximum(code, 1)).astype(np.int64), -1)
+        t_lr = np.where(j >= 0, lr + _D8_DR[np.maximum(j, 0)], -1)
+        t_lc = np.where(j >= 0, lc + _D8_DC[np.maximum(j, 0)], -1)
+        internal = (j >= 0) & (t_lr >= 0) & (t_lr < h) & (t_lc >= 0) & (t_lc < w)
+        tgt = np.full(n, -1, dtype=np.int64)
+        tgt[internal] = gid[t_lr[internal], t_lc[internal]]
+        internal &= tgt >= 0
+        acc = load + extv
+        indeg = np.bincount(tgt[internal & (tgt >= 0)], minlength=n)
+        frontier = np.flatnonzero(indeg == 0)
+        done = np.zeros(n, dtype=bool)
+        while frontier.size:
+            done[frontier] = True
+            send = np.maximum((acc[frontier] - absorp[frontier]) * eff[frontier], 0.0)
+            fi = internal[frontier]
+            ft = tgt[frontier[fi]]
+            np.add.at(acc, ft, send[fi])
+            dec = np.bincount(ft, minlength=n)
+            indeg = indeg - dec
+            frontier = np.flatnonzero((indeg == 0) & ~done)
+        parts = [pd.DataFrame({
+            "row": rr, "col": cc, "acc": acc,
+            "x_row": np.full(n, -1, np.int64), "x_col": np.full(n, -1, np.int64),
+            "kind": np.zeros(n, np.int32),
+        })]
+        xs = np.flatnonzero((j >= 0) & ~internal)
+        if xs.size:
+            send = np.maximum((acc[xs] - absorp[xs]) * eff[xs], 0.0)
+            keep = send > 0.0
+            xs = xs[keep]
+            if xs.size:
+                parts.append(pd.DataFrame({
+                    "row": rr[xs], "col": cc[xs], "acc": send[keep],
+                    "x_row": rr[xs] + _D8_DR[j[xs]],
+                    "x_col": cc[xs] + _D8_DC[j[xs]],
+                    "kind": np.ones(xs.size, np.int32),
+                }))
+        return pd.concat(parts, ignore_index=True)
+
+    ext = None
+    out = None
+    for _ in range(max_rounds):
+        inp = wdf if ext is None else wdf.join(
+            F.broadcast(ext), ["row", "col"], "left"
+        )
+        res = (
+            inp.groupBy("_tr", "_tc").applyInPandas(kernel, schema)
+            .localCheckpoint()
+        )
+        new_ext = (
+            res.where(F.col("kind") == 1)
+            .groupBy(F.col("x_row").alias("row"), F.col("x_col").alias("col"))
+            .agg(F.sum("acc").alias("ext"))
+            .join(wdf.select("row", "col"), ["row", "col"], "left_semi")
+        )
+        if ext is None:
+            changed = new_ext.limit(1).count()
+        else:
+            changed = (
+                new_ext.alias("n")
+                .join(ext.alias("o"), ["row", "col"], "full_outer")
+                .where(
+                    F.col("n.ext").isNull() | F.col("o.ext").isNull()
+                    | (F.col("n.ext") != F.col("o.ext"))
+                )
+                .limit(1).count()
+            )
+        out = res
+        ext = new_ext.localCheckpoint()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("mass_flux_d8 did not converge; raise max_rounds")
+    return out.where(F.col("kind") == 0).select(
+        "row", "col", F.round("acc", decimals).cast("double").alias("flux")
+    )

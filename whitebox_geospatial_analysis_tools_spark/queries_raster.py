@@ -4854,3 +4854,55 @@ def q_split_composite(spark, sf):
         (F.floor(F.col("argb") / 256.0).cast("long") % 256).alias("g8"),
         (F.floor(F.col("argb") / 65536.0).cast("long") % 256).alias("b8"),
     ).orderBy("row", "col")
+
+
+# -- D8 mass flux (§2.12; HydroTools MassFluxD8.java:255-300): loading 1,
+# deterministic dyadic efficiency/absorption surfaces, clamped transfer.
+# Oracle = iteration-counter Jacobi (fd8 pattern) with the same transfer
+# formula; round(4) for cross-engine sum association.
+_MF_EFF = "CAST(8 + (({r}) + ({c})) % 8 AS DOUBLE) / 16e0"
+_MF_ABS = "CAST((({r}) * 3 + ({c})) % 4 AS DOUBLE) / 4e0"
+_MF_K = 250
+
+
+def _mass_flux_oracle() -> str:
+    dr = ("CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN -1 "
+          "WHEN 2 THEN -1 WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 "
+          "WHEN 6 THEN 1 ELSE 1 END")
+    dc = ("CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN 0 "
+          "WHEN 2 THEN 1 WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 "
+          "WHEN 6 THEN 0 ELSE 1 END")
+    xfer = (
+        "GREATEST((u.a - " + _MF_ABS.format(r="u.row", c="u.col") + ") * ("
+        + _MF_EFF.format(r="u.row", c="u.col") + "), 0e0)"
+    )
+    return (
+        f"medges AS MATERIALIZED (SELECT e.row, e.col, e.nr, e.nc, 1 AS w FROM "
+        f"(SELECT row, col, row + {dr} AS nr, col + {dc} AS nc FROM d8 WHERE code > 0) e "
+        "JOIN d8 t ON t.row = e.nr AND t.col = e.nc "
+        "UNION ALL SELECT row, col, row, col, -1 FROM d8), "
+        "massit(it, row, col, a) AS (SELECT 0, row, col, 1e0 FROM d8 "
+        "UNION ALL SELECT u.it + 1, e.nr, e.nc, "
+        f"1e0 + COALESCE(SUM(CASE WHEN e.w = 1 THEN {xfer} END), 0e0) "
+        "FROM massit u JOIN medges e ON e.row = u.row AND e.col = u.col "
+        f"WHERE u.it < {_MF_K} GROUP BY 1, 2, 3)"
+    )
+
+
+@Q.register(
+    "mass_flux",
+    f"WITH RECURSIVE {_HYD_BASE}, {_mass_flux_oracle()} "
+    "SELECT row, col, CAST(ROUND(a, 4) AS DOUBLE) AS flux "
+    f"FROM massit WHERE it = {_MF_K} ORDER BY row, col",
+)
+def q_mass_flux(spark, sf):
+    from .operators.hydro import flow_pointer_d8, mass_flux_d8
+
+    ptr = flow_pointer_d8(_hydem(spark))
+    cells = ptr.select(
+        "row", "col", "code",
+        F.lit(1.0).alias("load"),
+        F.expr(_MF_EFF.format(r="row", c="col")).alias("eff"),
+        F.expr(_MF_ABS.format(r="row", c="col")).alias("absorp"),
+    )
+    return mass_flux_d8(cells, tile=16).orderBy("row", "col")
