@@ -4906,3 +4906,62 @@ def q_mass_flux(spark, sf):
         F.expr(_MF_ABS.format(r="row", c="col")).alias("absorp"),
     )
     return mass_flux_d8(cells, tile=16).orderBy("row", "col")
+
+
+# -- downslope index (§2.12; DownslopeIndex.java:262-309 tangent mode,
+# Hjerdt et al. 2004): d / (flow-path length to the point d below the
+# start), pro-rata last cell, (zSt - zEnd)/L at pit/edge terminations.
+# Spark side = binary lifting (log-round equi-joins); oracle = sequential
+# one-step-per-iteration walker — same arithmetic, round(6) for the
+# length-sum association difference.
+_DSI_D = 4.0
+_DSI_K = 300
+_DSI_SQ2 = "1.4142135623730951e0"
+
+
+def _dsi_oracle() -> str:
+    nr = "u.cr + " + _D8_TGT_DR.replace("code", "p.code")
+    nc = "u.cc + " + _D8_TGT_DC.replace("code", "p.code")
+    ln = f"CASE WHEN p.code IN (1, 4, 32, 128) THEN {_DSI_SQ2} ELSE 1e0 END"
+    d = f"{_DSI_D!r}e0"
+    term_val = "CASE WHEN u.fl > 0e0 THEN (u.zst - u.cz) / u.fl END"
+    part_val = (f"{d} / (u.fl + ({ln}) * (u.cz - (u.zst - {d})) "
+                "/ (u.cz - nz.v))")
+    return (
+        "dsd8 AS MATERIALIZED (SELECT row, col, code FROM d8), "
+        "dslive AS MATERIALIZED (SELECT row, col, v FROM live WHERE v IS NOT NULL), "
+        "dsit(it, srow, scol, zst, cr, cc, cz, fl, val, done) AS ("
+        "SELECT 0, d.row, d.col, l.v, d.row, d.col, l.v, 0e0, "
+        "CAST(NULL AS DOUBLE), 0 FROM dsd8 d JOIN dslive l "
+        "ON l.row = d.row AND l.col = d.col WHERE d.code > 0 "
+        "UNION ALL SELECT u.it + 1, u.srow, u.scol, u.zst, "
+        f"CASE WHEN u.done = 1 OR p.code = 0 OR u.zst - nz.v >= {d} THEN u.cr ELSE {nr} END, "
+        f"CASE WHEN u.done = 1 OR p.code = 0 OR u.zst - nz.v >= {d} THEN u.cc ELSE {nc} END, "
+        f"CASE WHEN u.done = 1 OR p.code = 0 OR u.zst - nz.v >= {d} THEN u.cz ELSE nz.v END, "
+        f"CASE WHEN u.done = 1 OR p.code = 0 OR u.zst - nz.v >= {d} THEN u.fl ELSE u.fl + ({ln}) END, "
+        "CASE WHEN u.done = 1 THEN u.val "
+        f"WHEN p.code = 0 THEN {term_val} "
+        f"WHEN u.zst - nz.v >= {d} THEN {part_val} END, "
+        f"CASE WHEN u.done = 1 OR p.code = 0 OR u.zst - nz.v >= {d} THEN 1 ELSE 0 END "
+        "FROM dsit u "
+        "LEFT JOIN dsd8 p ON p.row = u.cr AND p.col = u.cc "
+        f"LEFT JOIN dslive nz ON nz.row = u.cr + {_D8_TGT_DR.replace('code', 'p.code')} "
+        f"AND nz.col = u.cc + {_D8_TGT_DC.replace('code', 'p.code')} "
+        f"WHERE u.it < {_DSI_K})"
+    )
+
+
+@Q.register(
+    "downslope_index",
+    f"WITH RECURSIVE {_HYD_BASE}, {_dsi_oracle()} "
+    "SELECT srow AS row, scol AS col, CAST(ROUND(val, 6) AS DOUBLE) AS di "
+    f"FROM dsit WHERE it = {_DSI_K} AND val IS NOT NULL ORDER BY row, col",
+)
+def q_downslope_index(spark, sf):
+    from .operators.hydro import downslope_index, flow_pointer_d8
+
+    ptr = flow_pointer_d8(_hydem(spark))
+    z = R.explode_cells(_hydem(spark)).where(F.col("value") != _ND) \
+        .withColumnRenamed("value", "z")
+    cells = ptr.join(z, ["row", "col"])
+    return downslope_index(cells, d=_DSI_D).orderBy("row", "col")
