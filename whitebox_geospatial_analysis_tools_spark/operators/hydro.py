@@ -2558,3 +2558,50 @@ def downslope_index(cells: DataFrame, *, d: float = 4.0,
         )
         .where(F.col("di").isNotNull())
     )
+
+
+def remove_short_streams(pointers: DataFrame, *, threshold: int = 5,
+                         min_len: float = 3.0, tile: int = TILE) -> DataFrame:
+    """RemoveShortStreams (StreamNetworkAnalysisTools
+    RemoveShortStreams.java:274-355): drop every junction-cut stream link
+    whose along-link length is below `min_len`.  Same labeling machinery
+    as stream_link_slope (tile union-find links); returns the surviving
+    stream cells (row, col, link)."""
+    from .clump import components_from_edges
+
+    spark = pointers.sparkSession
+    _scratch.release(spark, "rmshort")
+    pointers = _scratch.track(spark, pointers.persist(), "rmshort")
+    acc = flow_accum(pointers, tile=tile)
+    stream = _scratch.track(
+        spark,
+        acc.where(F.col("accum") >= threshold).select("row", "col").persist(),
+        "rmshort",
+    )
+    dr = F.expr("element_at(array(-1,-1,-1,0,0,1,1,1), CAST(log2(code) AS INT) + 1)")
+    dc = F.expr("element_at(array(-1,0,1,-1,1,-1,0,1), CAST(log2(code) AS INT) + 1)")
+    sd = (
+        stream.join(pointers, ["row", "col"], "inner")
+        .where(F.col("code") > 0)
+        .select("row", "col",
+                (F.col("row") + dr).alias("nr"), (F.col("col") + dc).alias("nc"))
+    )
+    st_t = stream.select(F.col("row").alias("nr"), F.col("col").alias("nc"))
+    sedge = sd.join(st_t, ["nr", "nc"], "left_semi")
+    junc = (
+        sedge.groupBy("nr", "nc").agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2).select("nr", "nc")
+    )
+    kept = sedge.join(junc, ["nr", "nc"], "left_anti")
+    lab = components_from_edges(stream, kept, tile=tile)
+    dist = F.when((F.col("row") != F.col("nr")) & (F.col("col") != F.col("nc")),
+                  F.lit(_SQRT2)).otherwise(F.lit(1.0))
+    length = (
+        kept.join(lab, ["row", "col"], "inner")
+        .groupBy("label").agg(F.sum(dist).alias("_len"))
+    )
+    survivors = length.where(F.col("_len") >= min_len).select("label")
+    return (
+        lab.join(survivors, "label", "left_semi")
+        .select("row", "col", F.col("label").alias("link"))
+    )

@@ -4965,3 +4965,157 @@ def q_downslope_index(spark, sf):
         .withColumnRenamed("value", "z")
     cells = ptr.join(z, ["row", "col"])
     return downslope_index(cells, d=_DSI_D).orderBy("row", "col")
+
+
+# -- DirectDecorrelationStretch (ImageProcessingTools
+# DirectDecorrelationStretch.java:240-284, k = 0.5): per-pixel achromatic
+# subtraction r' = trunc(r - k*min(r,g,b)) clamped to [0,255], repacked as
+# ARGB — applied to the engine's colour composite (pure integer ops).
+def _dds_ch(ch: str) -> str:
+    return (f"LEAST(GREATEST(CAST(FLOOR({ch} - 0.5e0 * mn) AS BIGINT), 0), 255)")
+
+
+@Q.register(
+    "dds_stretch",
+    f"""WITH {_RAS}, {_RAS2}, {_RAS3},
+j AS (SELECT r.row, r.col, r.value AS rv, g.value AS gv, b.value AS bv
+      FROM ras r JOIN ras2 g USING (row, col) JOIN ras3 b USING (row, col)
+      WHERE r.value != {NODATA!r}e0 AND g.value != {NODATA!r}e0 AND b.value != {NODATA!r}e0),
+mm AS (SELECT MIN(rv) AS rlo, MAX(rv) AS rhi, MIN(gv) AS glo, MAX(gv) AS ghi,
+       MIN(bv) AS blo, MAX(bv) AS bhi FROM j),
+pk AS (SELECT row, col, {_cc_clamp(_CC_CH.format(v='rv', lo='rlo', hi='rhi'))} AS r8,
+       {_cc_clamp(_CC_CH.format(v='gv', lo='glo', hi='ghi'))} AS g8,
+       {_cc_clamp(_CC_CH.format(v='bv', lo='blo', hi='bhi'))} AS b8 FROM j, mm),
+dm AS (SELECT row, col, r8, g8, b8, LEAST(r8, g8, b8) AS mn FROM pk)
+SELECT row, col, 4278190080 + {_dds_ch('b8')} * 65536 + {_dds_ch('g8')} * 256
+  + {_dds_ch('r8')} AS argb
+FROM dm ORDER BY row, col""",
+)
+def q_dds_stretch(spark, sf):
+    comp = Q.all_queries()["colour_composite"](spark, sf)
+    unpack = comp.select(
+        "row", "col",
+        (F.col("argb") % 256).alias("r8"),
+        (F.floor(F.col("argb") / 256.0).cast("long") % 256).alias("g8"),
+        (F.floor(F.col("argb") / 65536.0).cast("long") % 256).alias("b8"),
+    ).withColumn("mn", F.least("r8", "g8", "b8"))
+    return unpack.select(
+        "row", "col",
+        (F.lit(4278190080) + F.expr(_dds_ch("b8")) * 65536
+         + F.expr(_dds_ch("g8")) * 256 + F.expr(_dds_ch("r8"))).alias("argb"),
+    ).orderBy("row", "col")
+
+
+# -- ExtractValleysPeuckerAndDouglas (StreamNetworkAnalysisTools
+# ExtractValleysPeuckerAndDouglas.java): mark the highest cell of every
+# 2x2 window; valleys = never-marked cells.  Tie-break = first max in the
+# window scan order (slot = 2*(row offset) + col offset).
+@Q.register(
+    "extract_valleys_pd",
+    f"WITH {_RASF}, live AS (SELECT row, col, value FROM ras WHERE {_NDF}), "
+    "blk AS (SELECT b.r AS br, b.c AS bc, l.row, l.col, l.value, "
+    "(l.row - b.r) * 2 + (l.col - b.c) AS slot "
+    f"FROM (SELECT r.r, c.c FROM range(0, {FROWS - 1}) r(r), range(0, {FCOLS - 1}) c(c)) b "
+    "JOIN live l ON l.row BETWEEN b.r AND b.r + 1 AND l.col BETWEEN b.c AND b.c + 1), "
+    "mk AS (SELECT br, bc, row, col, ROW_NUMBER() OVER (PARTITION BY br, bc "
+    "ORDER BY value DESC, slot) AS rn, COUNT(*) OVER (PARTITION BY br, bc) AS nc "
+    "FROM blk), "
+    "marked AS (SELECT DISTINCT row, col FROM mk WHERE rn = 1 AND nc = 4) "
+    "SELECT l.row, l.col, CASE WHEN m.row IS NULL THEN 1 ELSE 0 END AS valley "
+    "FROM live l LEFT JOIN marked m ON m.row = l.row AND m.col = l.col "
+    "ORDER BY l.row, l.col",
+)
+def q_extract_valleys_pd(spark, sf):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    from pyspark.sql import Window
+
+    # each live cell belongs to <= 4 2x2 blocks; explode the block ids it
+    # joins (pure Catalyst), window-rank inside each block
+    blk = live.select(
+        "row", "col", "value",
+        F.explode(F.expr(
+            "filter(array(struct(row - 1 AS br, col - 1 AS bc), "
+            "struct(row - 1 AS br, col AS bc), "
+            "struct(row AS br, col - 1 AS bc), struct(row AS br, col AS bc)), "
+            f"b -> b.br >= 0 AND b.bc >= 0 AND b.br < {FROWS - 1} AND b.bc < {FCOLS - 1})"
+        )).alias("b"),
+    ).select("row", "col", "value", "b.br", "b.bc")
+    slot = (F.col("row") - F.col("br")) * 2 + (F.col("col") - F.col("bc"))
+    w = Window.partitionBy("br", "bc")
+    mk = blk.select(
+        "row", "col",
+        F.row_number().over(w.orderBy(F.col("value").desc(), slot.asc())).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("nc"),
+    )
+    marked = mk.where((F.col("rn") == 1) & (F.col("nc") == 4)) \
+        .select("row", "col").distinct()
+    return (
+        live.join(marked.withColumn("_m", F.lit(1)), ["row", "col"], "left")
+        .select("row", "col",
+                F.when(F.col("_m").isNull(), 1).otherwise(0).alias("valley"))
+        .orderBy("row", "col")
+    )
+
+
+# -- FindPatchOrClassEdgeCells (GISTools FindPatchOrClassEdgeCells.java,
+# class mode): cells whose 4-neighborhood contains a different class or
+# leaves the grid/nodata.
+@Q.register(
+    "find_edge_cells",
+    f"WITH {_RASF}, cls AS (SELECT row, col, CAST(FLOOR(value / 50e0) AS BIGINT) AS c "
+    f"FROM ras WHERE {_NDF}), "
+    "nb AS (SELECT a.row, a.col, a.c, "
+    "MAX(CASE WHEN b.c IS NULL OR b.c != a.c THEN 1 ELSE 0 END) AS edge "
+    "FROM cls a JOIN (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dr, dc) ON TRUE "
+    "LEFT JOIN cls b ON b.row = a.row + o.dr AND b.col = a.col + o.dc "
+    "GROUP BY 1, 2, 3) "
+    "SELECT row, col, c AS cls, CAST(edge AS INT) AS edge FROM nb ORDER BY row, col",
+)
+def q_find_edge_cells(spark, sf):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    cls = live.select(
+        "row", "col", F.expr("CAST(FLOOR(value / 50e0) AS BIGINT)").alias("c")
+    )
+    offs = F.expr(
+        "explode(array(struct(-1 AS dr, 0 AS dc), struct(1 AS dr, 0 AS dc), "
+        "struct(0 AS dr, -1 AS dc), struct(0 AS dr, 1 AS dc)))"
+    )
+    probes = cls.select("row", "col", "c", offs.alias("o")).select(
+        "row", "col", "c",
+        (F.col("row") + F.col("o.dr")).alias("nr"),
+        (F.col("col") + F.col("o.dc")).alias("nc"),
+    )
+    nbc = cls.select(F.col("row").alias("nr"), F.col("col").alias("nc"),
+                     F.col("c").alias("bc"))
+    return (
+        probes.join(nbc, ["nr", "nc"], "left")
+        .groupBy("row", "col", "c")
+        .agg(F.max(F.expr("CASE WHEN bc IS NULL OR bc != c THEN 1 ELSE 0 END"))
+             .cast("int").alias("edge"))
+        .select("row", "col", F.col("c").alias("cls"), "edge")
+        .orderBy("row", "col")
+    )
+
+
+# -- RemoveShortStreams (§2.12; StreamNetworkAnalysisTools
+# RemoveShortStreams.java:274-355): drop junction-cut links shorter than
+# min_len (3 cells here); output = surviving stream cells with their link.
+@Q.register(
+    "remove_short_streams",
+    f"WITH RECURSIVE {_VHYD_BASE}, {_stream_net_sql(_VT)}, "
+    "rs_len AS (SELECT u.link, SUM(CASE WHEN k.row != k.nr AND k.col != k.nc "
+    f"THEN {_SQ2L} ELSE 1e0 END) AS len "
+    "FROM kept k JOIN slab u ON u.id = k.row * 1000000 + k.col GROUP BY 1), "
+    "surv AS (SELECT link FROM rs_len WHERE len >= 3e0) "
+    "SELECT CAST(FLOOR(u.id / 1000000e0) AS BIGINT) AS row, "
+    "u.id % 1000000 AS col, u.link "
+    "FROM slab u JOIN surv s ON s.link = u.link ORDER BY row, col",
+)
+def q_remove_short_streams(spark, sf):
+    from .operators.hydro import flow_pointer_d8, remove_short_streams
+
+    dem = R.synth_raster(spark, _VROWS, _VCOLS, value_sql=VALLEY_VAL)
+    return (
+        remove_short_streams(flow_pointer_d8(dem), threshold=_VT, min_len=3.0)
+        .orderBy("row", "col")
+    )
