@@ -227,3 +227,68 @@ def lsh_near_dup(emb: DataFrame, threshold: float = 0.35,
         .where(F.col("cos") >= threshold)
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+IVF_SEEDS = [3 + 29 * t for t in range(16)]  # deterministic coarse centroids
+IVF_NPROBE = 4
+
+
+def ivf_topk(emb: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE,
+             query_pred: str = "vec_id < 20") -> DataFrame:
+    """IVF approximate top-k: a 16-list inverted file from deterministic
+    seed centroids (k-means with zero Lloyd rounds — the seeds ARE corpus
+    vectors, so the assignment is a Voronoi coarse quantizer), query probes
+    its `nprobe` nearest lists, brute-force cosine inside the probed lists.
+
+    100 TB shape: the 16-row centroid table broadcasts; assignment is a
+    LONG-format pass (corpus x 16 rows, ONE fixed-order cosine chain per
+    row — a wide argmax projection re-inlines the 64-term chain 16x17
+    times and breaks whole-stage codegen, measured 66 s -> 9 s here) with
+    a max-by window; probing is an equi-join on list id, so only
+    nprobe/16 of the corpus is ranked per query.  round(cos, 6) + id
+    tie-breaks keep both engines value-exact."""
+    spark = emb.sparkSession
+    smap = spark.createDataFrame(
+        list(enumerate(IVF_SEEDS)), "t int, sid long"
+    )
+    seeds = smap.join(
+        emb.select(F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")),
+        "sid",
+    ).select("t", "sv")
+    cexp = cosine_expr("embedding", "sv", SPARK_AT)
+    asg = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "embedding", "t", F.expr(cexp).alias("cos")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("t"))
+    alist = (
+        asg.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"),
+                F.col("t").alias("list_id"))
+    )
+    qexp = cosine_expr("qv", "sv", SPARK_AT)
+    qasg = (
+        emb.where(F.expr(query_pred))
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(seeds))
+        .select("q_id", "qv", "t", F.expr(qexp).alias("cos"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("t"))
+    probed = (
+        qasg.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "qv", F.col("t").alias("list_id"))
+    )
+    cand = probed.join(alist, "list_id").where(F.col("q_id") != F.col("c_id"))
+    cos = F.round(F.expr(cosine_expr("qv", "cv", SPARK_AT)), 6)
+    wr = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        cand.select("q_id", "c_id", cos.alias("cos"))
+        .distinct()
+        .withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= k)
+        .orderBy("q_id", "rnk")
+    )

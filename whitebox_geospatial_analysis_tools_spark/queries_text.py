@@ -294,3 +294,36 @@ SELECT d1, d2, cos FROM p WHERE cos >= 0.35e0 ORDER BY 1, 2""",
 )
 def q_embed_lsh_near_dup(spark, sf):
     return simsearch.lsh_near_dup(_emb(spark, sf))
+
+
+# -- IVF ANN (the inverted-file scale path next to the LSH tables): 16
+# deterministic seed centroids, nprobe = 4, brute cosine inside probed
+# lists.  Assignment/probe/rank all share the fixed-order dot chain and
+# round(6)+id tie-breaks, so the oracle is value-exact.
+def _ivf_sql() -> str:
+    S = simsearch
+    seeds_vals = ", ".join(f"({t}, {s})" for t, s in enumerate(S.IVF_SEEDS))
+    cexp = S.cosine_expr("e.embedding", "sd.sv", S.DUCK_AT)
+    qexp = S.cosine_expr("q.qv", "sd.sv", S.DUCK_AT)
+    pexp = S.cosine_expr("qp.qv", "al.cv", S.DUCK_AT)
+    return f"""WITH sd AS (SELECT m.t, emb.embedding AS sv
+  FROM (VALUES {seeds_vals}) m(t, sid) JOIN embeddings emb ON emb.vec_id = m.sid),
+asg AS (SELECT e.vec_id, e.embedding, sd.t, {cexp} AS cos FROM embeddings e, sd),
+alist AS (SELECT vec_id, embedding AS cv, t AS list_id FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, t) AS rn FROM asg)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+qasg AS (SELECT q.q_id, q.qv, sd.t, {qexp} AS cos FROM q, sd),
+qp AS (SELECT q_id, qv, t AS list_id FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t) AS rn FROM qasg)
+  WHERE rn <= {S.IVF_NPROBE}),
+p AS (SELECT DISTINCT qp.q_id, al.vec_id AS c_id, round({pexp}, 6) AS cos
+  FROM qp JOIN alist al USING (list_id) WHERE qp.q_id != al.vec_id),
+r AS (SELECT q_id, c_id, cos,
+  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM p)
+SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
+
+
+@Q.register("ivf_topk", _ivf_sql())
+def q_ivf_topk(spark, sf):
+    return simsearch.ivf_topk(_emb(spark, sf))
