@@ -145,3 +145,84 @@ def points_within_distance(points: DataFrame, spark: SparkSession,
         .where(F.col("min_d2") <= float(dist) ** 2)
         .select(key, F.round(F.sqrt("min_d2"), 6).cast("double").alias("boundary_dist"))
     )
+
+
+def shell_vertices(spark: SparkSession) -> DataFrame:
+    """(poly_id, vi, x, y) — ring-0 vertices of the polygon layer."""
+    from ..sources.polygons import polygons_df
+
+    return polygons_df(spark).select(
+        "poly_id", F.posexplode(F.expr("rings[0]")).alias("vi", "p")
+    ).select("poly_id", "vi", F.expr("p[0]").alias("x"), F.expr("p[1]").alias("y"))
+
+
+def convex_hull_edges(spark: SparkSession) -> DataFrame:
+    """Hull edges by the SUPPORT TEST: directed pair (a, b) is a CCW hull
+    edge iff every vertex w of the feature lies left-of-or-on line(a, b) —
+    set-based (one triple join + groupBy), no sequential chain, which is
+    the join-friendly formulation for a distributed engine
+    (VectorTools/src/plugins/MinimumConvexHull.java computes the same hull
+    sequentially per feature).  O(n^3) per FEATURE — bounded by vertex
+    counts, not layer size.  Returns (poly_id, ax, ay, bx, by)."""
+    v = shell_vertices(spark)
+    a = v.select("poly_id", F.col("vi").alias("ai"), F.col("x").alias("ax"),
+                 F.col("y").alias("ay"))
+    b = v.select("poly_id", F.col("vi").alias("bi"), F.col("x").alias("bx"),
+                 F.col("y").alias("by"))
+    w = v.select("poly_id", F.col("x").alias("wx"), F.col("y").alias("wy"))
+    cross = F.expr("(bx - ax) * (wy - ay) - (by - ay) * (wx - ax)")
+    return (
+        a.join(b, "poly_id").where(F.col("ai") != F.col("bi"))
+        .join(w, "poly_id")
+        .groupBy("poly_id", "ai", "bi", "ax", "ay", "bx", "by")
+        .agg(F.min(cross).alias("_mc"))
+        .where(F.col("_mc") >= 0)
+        .select("poly_id", "ax", "ay", "bx", "by")
+    )
+
+
+def convex_hull_metrics(spark: SparkSession) -> DataFrame:
+    """(poly_id, n_hull, hull_area, hull_perim): the hull edge cycle needs
+    no ordering — shoelace terms sum over the (unordered) edge set."""
+    he = convex_hull_edges(spark)
+    return (
+        he.groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hull"),
+            (F.round(F.sum(F.expr("ax * by - bx * ay")) / 2.0, 6)
+             .cast("double")).alias("hull_area"),
+            (F.round(F.sum(F.expr(
+                "SQRT((bx - ax) * (bx - ax) + (by - ay) * (by - ay))")), 6)
+             .cast("double")).alias("hull_perim"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+def minimum_bounding_box(spark: SparkSession) -> DataFrame:
+    """(poly_id, mbb_area): rotating-calipers via joins — the minimum-area
+    rectangle has a side collinear with some hull edge, so project every
+    vertex onto each hull edge's direction/normal and take the minimal
+    extent product (VectorTools/src/plugins/MinimumBoundingBox.java)."""
+    he = convex_hull_edges(spark)
+    v = shell_vertices(spark).select(
+        "poly_id", F.col("x").alias("wx"), F.col("y").alias("wy")
+    )
+    s = F.expr("(wx - ax) * (bx - ax) + (wy - ay) * (by - ay)")
+    t = F.expr("(bx - ax) * (wy - ay) - (by - ay) * (wx - ax)")
+    ext = (
+        he.join(v, "poly_id")
+        .groupBy("poly_id", "ax", "ay", "bx", "by")
+        .agg(F.max(s).alias("smax"), F.min(s).alias("smin"),
+             F.max(t).alias("tmax"), F.min(t).alias("tmin"))
+        .select(
+            "poly_id",
+            F.expr("(smax - smin) * (tmax - tmin) / "
+                   "((bx - ax) * (bx - ax) + (by - ay) * (by - ay))").alias("a"),
+        )
+    )
+    return (
+        ext.groupBy("poly_id")
+        .agg(F.round(F.min("a"), 6).cast("double").alias("mbb_area"))
+        .orderBy("poly_id")
+    )

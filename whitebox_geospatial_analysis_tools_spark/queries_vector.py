@@ -1197,3 +1197,160 @@ def q_location_predicates(spark, sf):
     from .operators.overlay import location_predicates
 
     return location_predicates(spark)
+
+
+# -- convex hull + minimum bounding box (§2.4/§2.7;
+# MinimumConvexHull.java / MinimumBoundingBox.java): hull by the set-based
+# support test, MBB by join-formulated rotating calipers.
+_CH_V = (
+    f"chv AS (SELECT poly_id, vi, x, y FROM {vertices_sql_values()} "
+    "t(poly_id, ring, vi, nv, x, y) WHERE ring = 0)"
+)
+_CH_HE = (
+    "he AS (SELECT a.poly_id, a.vi AS ai, b.vi AS bi, a.x AS ax, a.y AS ay, "
+    "b.x AS bx, b.y AS by FROM chv a JOIN chv b "
+    "ON b.poly_id = a.poly_id AND b.vi != a.vi "
+    "JOIN chv w ON w.poly_id = a.poly_id "
+    "GROUP BY 1, 2, 3, 4, 5, 6, 7 "
+    "HAVING MIN((b.x - a.x) * (w.y - a.y) - (b.y - a.y) * (w.x - a.x)) >= 0)"
+)
+
+
+@Q.register(
+    "convex_hull",
+    f"WITH {_CH_V}, {_CH_HE} "
+    "SELECT poly_id, COUNT(*) AS n_hull, "
+    "CAST(ROUND(SUM(ax * by - bx * ay) / 2e0, 6) AS DOUBLE) AS hull_area, "
+    "CAST(ROUND(SUM(SQRT((bx - ax) * (bx - ax) + (by - ay) * (by - ay))), 6) AS DOUBLE) AS hull_perim "
+    "FROM he GROUP BY 1 ORDER BY 1",
+)
+def q_convex_hull(spark, sf):
+    from .operators.vector import convex_hull_metrics
+
+    return convex_hull_metrics(spark)
+
+
+@Q.register(
+    "min_bounding_box",
+    f"WITH {_CH_V}, {_CH_HE}, "
+    "ext AS (SELECT h.poly_id, h.ax, h.ay, h.bx, h.by, "
+    "MAX((w.x - h.ax) * (h.bx - h.ax) + (w.y - h.ay) * (h.by - h.ay)) AS smax, "
+    "MIN((w.x - h.ax) * (h.bx - h.ax) + (w.y - h.ay) * (h.by - h.ay)) AS smin, "
+    "MAX((h.bx - h.ax) * (w.y - h.ay) - (h.by - h.ay) * (w.x - h.ax)) AS tmax, "
+    "MIN((h.bx - h.ax) * (w.y - h.ay) - (h.by - h.ay) * (w.x - h.ax)) AS tmin "
+    "FROM he h JOIN chv w ON w.poly_id = h.poly_id GROUP BY 1, 2, 3, 4, 5) "
+    "SELECT poly_id, CAST(ROUND(MIN((smax - smin) * (tmax - tmin) / "
+    "((bx - ax) * (bx - ax) + (by - ay) * (by - ay))), 6) AS DOUBLE) AS mbb_area "
+    "FROM ext GROUP BY 1 ORDER BY 1",
+)
+def q_min_bounding_box(spark, sf):
+    from .operators.vector import minimum_bounding_box
+
+    return minimum_bounding_box(spark)
+
+
+# -- small named VectorTools: ExtractNodes / RemovePolygonHoles /
+# LayerFootprint / Smooth ----------------------------------------------------
+@Q.register(
+    "extract_nodes",
+    f"WITH vtx AS (SELECT poly_id, ring, vi, x, y FROM {vertices_sql_values()} "
+    "t(poly_id, ring, vi, nv, x, y)) "
+    "SELECT poly_id, ring, vi, x, y FROM vtx ORDER BY poly_id, ring, vi",
+)
+def q_extract_nodes(spark, sf):
+    from .sources.polygons import polygons_df
+
+    return polygons_df(spark).select(
+        "poly_id", F.posexplode("rings").alias("ring", "r")
+    ).select(
+        "poly_id", "ring", F.posexplode("r").alias("vi", "p")
+    ).select(
+        "poly_id", "ring", "vi",
+        F.expr("p[0]").alias("x"), F.expr("p[1]").alias("y"),
+    ).orderBy("poly_id", "ring", "vi")
+
+
+@Q.register(
+    "remove_polygon_holes",
+    f"WITH vtx AS (SELECT poly_id, ring, vi, x, y FROM {vertices_sql_values()} "
+    "t(poly_id, ring, vi, nv, x, y)) "
+    "SELECT poly_id, COUNT(*) AS n_shell_vertices FROM vtx WHERE ring = 0 "
+    "GROUP BY 1 ORDER BY 1",
+)
+def q_remove_polygon_holes(spark, sf):
+    from .sources.polygons import polygons_df
+
+    return (
+        polygons_df(spark)
+        .select("poly_id", F.expr("size(rings[0])").alias("n_shell_vertices")
+                .cast("long"))
+        .orderBy("poly_id")
+    )
+
+
+@Q.register(
+    "layer_footprint",
+    f"WITH vtx AS (SELECT poly_id, ring, vi, x, y FROM {vertices_sql_values()} "
+    "t(poly_id, ring, vi, nv, x, y)) "
+    "SELECT MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax, "
+    "CAST(COUNT(DISTINCT poly_id) AS BIGINT) AS n_features FROM vtx",
+)
+def q_layer_footprint(spark, sf):
+    from .operators.vector import shell_vertices
+    from .sources.polygons import polygons_df
+
+    v = polygons_df(spark).select(
+        "poly_id", F.explode("rings").alias("r")
+    ).select("poly_id", F.explode("r").alias("p")).select(
+        "poly_id", F.expr("p[0]").alias("x"), F.expr("p[1]").alias("y")
+    )
+    return v.agg(
+        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
+        F.countDistinct("poly_id").alias("n_features"),
+    )
+
+
+# Smooth.java: 3-point moving average along each ring with wraparound;
+# the mean is written as ONE shared expression text so both engines run
+# the identical float op sequence (no rounding needed).
+@Q.register(
+    "smooth_vector",
+    f"WITH vtx AS (SELECT poly_id, ring, vi, nv, x, y FROM {vertices_sql_values()} "
+    "t(poly_id, ring, vi, nv, x, y)), "
+    "sm AS (SELECT poly_id, ring, vi, "
+    "COALESCE(LAG(x) OVER w, LAST_VALUE(x) OVER w2) AS px, "
+    "COALESCE(LAG(y) OVER w, LAST_VALUE(y) OVER w2) AS py, x, y, "
+    "COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w2) AS nx, "
+    "COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w2) AS ny "
+    "FROM vtx WINDOW w AS (PARTITION BY poly_id, ring ORDER BY vi), "
+    "w2 AS (PARTITION BY poly_id, ring ORDER BY vi "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) "
+    "SELECT poly_id, ring, vi, ((px + x) + nx) / 3e0 AS sx, "
+    "((py + y) + ny) / 3e0 AS sy FROM sm ORDER BY poly_id, ring, vi",
+)
+def q_smooth_vector(spark, sf):
+    from pyspark.sql import Window
+
+    from .sources.polygons import polygons_df
+
+    vtx = polygons_df(spark).select(
+        "poly_id", F.posexplode("rings").alias("ring", "r")
+    ).select("poly_id", "ring", F.posexplode("r").alias("vi", "p")).select(
+        "poly_id", "ring", "vi",
+        F.expr("p[0]").alias("x"), F.expr("p[1]").alias("y"),
+    )
+    w = Window.partitionBy("poly_id", "ring").orderBy("vi")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    px = F.coalesce(F.lag("x").over(w), F.last("x").over(w2))
+    py = F.coalesce(F.lag("y").over(w), F.last("y").over(w2))
+    nx = F.coalesce(F.lead("x").over(w), F.first("x").over(w2))
+    ny = F.coalesce(F.lead("y").over(w), F.first("y").over(w2))
+    return vtx.select(
+        "poly_id", "ring", "vi",
+        ((px + F.col("x")) + nx).alias("_sx"),
+        ((py + F.col("y")) + ny).alias("_sy"),
+    ).select(
+        "poly_id", "ring", "vi",
+        (F.col("_sx") / 3.0).alias("sx"), (F.col("_sy") / 3.0).alias("sy"),
+    ).orderBy("poly_id", "ring", "vi")
