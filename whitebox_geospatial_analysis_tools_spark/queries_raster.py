@@ -5119,3 +5119,36 @@ def q_remove_short_streams(spark, sf):
         remove_short_streams(flow_pointer_d8(dem), threshold=_VT, min_len=3.0)
         .orderBy("row", "col")
     )
+
+
+# -- ExtractValleysJohnstonAndRosenfeld (StreamNetworkAnalysisTools
+# ExtractValleysJohnstonAndRosenfeld.java:195-215): valley when the N-S
+# pair OR the E-W pair are BOTH strictly higher (the dual of FindRidges).
+@Q.register(
+    "extract_valleys_jr",
+    f"WITH {_RASF}, {_W9} SELECT row, col, "
+    "CASE WHEN (nn IS NOT NULL AND ss IS NOT NULL AND nn > cv AND ss > cv) "
+    "OR (wv IS NOT NULL AND ev IS NOT NULL AND wv > cv AND ev > cv) "
+    "THEN 1 ELSE 0 END AS valley "
+    f"FROM w9 WHERE cv != {R.NODATA!r}e0 ORDER BY row, col",
+)
+def q_extract_valleys_jr(spark, sf):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    nb = {}
+    for name, (dr, dc) in {"nn": (-1, 0), "ss": (1, 0), "wv": (0, -1),
+                           "ev": (0, 1)}.items():
+        nb[name] = live.select(
+            (F.col("row") - dr).alias("row"), (F.col("col") - dc).alias("col"),
+            F.col("value").alias(name),
+        )
+    out = live
+    for name, df in nb.items():
+        out = out.join(df, ["row", "col"], "left")
+    return out.select(
+        "row", "col",
+        F.expr(
+            "CASE WHEN (nn IS NOT NULL AND ss IS NOT NULL AND nn > value AND ss > value) "
+            "OR (wv IS NOT NULL AND ev IS NOT NULL AND wv > value AND ev > value) "
+            "THEN 1 ELSE 0 END"
+        ).alias("valley"),
+    ).orderBy("row", "col")
