@@ -54,6 +54,12 @@ HEADLINE = [
     "dissolve_geom",     # geometric union of touching parcels + ring trace
     "dinf_accum",        # D-infinity split through the MFD tile machinery
     "concave_intersect_area",  # general overlay via star-fan decomposition
+    # round-3 second-pass additions (one per new family)
+    "location_predicates",  # full isolate-by-location predicate set
+    "mass_flux",         # clamped D8 transport (tile-Kahn exchange)
+    "ivf_topk",          # inverted-file ANN (coarse quantizer + probe)
+    "downslope_index",   # binary-lifting path walk
+    "convex_hull",       # set-based hull support test
 ]
 
 
