@@ -54,9 +54,14 @@ def main():
     from whitebox_geospatial_analysis_tools_spark import queries as Q
 
     spark = get_spark(shuffle_partitions=16)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        return c
+
+    con = fresh_con()
 
     qs, os_ = Q.all_queries(), Q.all_oracles()
     fails = 0
@@ -77,9 +82,16 @@ def main():
         try:
             odf = con.sql(os_[name]).df()
         except Exception as e:
-            print(f"{name:24s} ORACLE-ERROR {type(e).__name__}: {str(e)[:200]}")
-            fails += 1
-            continue
+            # a DuckDB InternalException poisons the connection and every
+            # later query fails with "closed pending query result" —
+            # reconnect and retry once before declaring failure
+            try:
+                con = fresh_con()
+                odf = con.sql(os_[name]).df()
+            except Exception:
+                print(f"{name:24s} ORACLE-ERROR {type(e).__name__}: {str(e)[:200]}")
+                fails += 1
+                continue
         verdict = compare(sdf, odf)
         status = "OK " if verdict == "OK" else "FAIL"
         if verdict != "OK":

@@ -2605,3 +2605,77 @@ def remove_short_streams(pointers: DataFrame, *, threshold: int = 5,
         lab.join(survivors, "label", "left_semi")
         .select("row", "col", F.col("label").alias("link"))
     )
+
+
+def avg_slope_to_divide(pointers: DataFrame, dem_cells: DataFrame, *,
+                        tile: int = TILE) -> DataFrame:
+    """(row, col, asd): mean slope gradient (degrees) from each cell to its
+    upslope divide cells — TerrainAnalysisTools
+    AverageSlopeToDivide.java:296-385: atan((meanDivideElev - z) /
+    meanFlowpathLen), 0 where no divide drains in.
+
+    Three integer-weighted accumulations over the unchanged tile flow
+    kernel (divide count, divide elevation, divide downslope-path length)
+    plus the flowpath-length identity pathlen(d -> c) = D(d) - D(c); all
+    sums are exact micro-scaled integers, with one transcendental atan at
+    the end (round 6).  dem_cells: (row, col, v)."""
+    inflow_tgt = pointers.where(F.col("code") > 0).select(
+        (F.col("row") + F.expr(
+            "element_at(array(-1,-1,-1,0,0,1,1,1), CAST(log2(code) AS INT) + 1)"
+        )).alias("row"),
+        (F.col("col") + F.expr(
+            "element_at(array(-1,0,1,-1,1,-1,0,1), CAST(log2(code) AS INT) + 1)"
+        )).alias("col"),
+    ).distinct()
+    isdiv = pointers.join(inflow_tgt, ["row", "col"], "left_anti") \
+        .select("row", "col", F.lit(1).alias("_d")) \
+        .unionByName(
+            pointers.join(inflow_tgt, ["row", "col"], "left_semi")
+            .select("row", "col", F.lit(0).alias("_d"))
+        )
+    D = flowpath_length(pointers, tile=tile)
+    base = (
+        pointers.select("row", "col")
+        .join(isdiv, ["row", "col"])
+        .join(D, ["row", "col"])
+        .join(dem_cells.select("row", "col", "v"), ["row", "col"])
+        .select(
+            "row", "col", "_d", "v",
+            F.expr("CAST(FLOOR(fp_len * 1e6 + 0.5e0) AS BIGINT)").alias("_dm"),
+            F.expr("CAST(FLOOR(v * 1e6 + 0.5e0) AS BIGINT)").alias("_zm"),
+        )
+        .localCheckpoint()  # consumed 4x; flowpath scratch gets evicted below
+    )
+    # eager localCheckpoint: each weighted_flow_accum call releases its
+    # predecessor's scratch caches, so a lazy result would recompute its
+    # whole kernel lineage at the final join
+    wN = weighted_flow_accum(
+        pointers, base.select("row", "col", F.col("_d").cast("long").alias("w0")),
+        tile=tile,
+    ).withColumnRenamed("waccum", "aN").localCheckpoint()
+    wE = weighted_flow_accum(
+        pointers, base.select("row", "col", (F.col("_d") * F.col("_zm")).alias("w0")),
+        tile=tile,
+    ).withColumnRenamed("waccum", "aE").localCheckpoint()
+    wD = weighted_flow_accum(
+        pointers, base.select("row", "col", (F.col("_d") * F.col("_dm")).alias("w0")),
+        tile=tile,
+    ).withColumnRenamed("waccum", "aD").localCheckpoint()
+    j = (
+        base.join(wN, ["row", "col"]).join(wE, ["row", "col"])
+        .join(wD, ["row", "col"])
+        .select(
+            "row", "col", "v",
+            (F.col("aN").cast("long") - F.col("_d")).alias("n_div"),
+            (F.col("aE").cast("long") - F.col("_d") * F.col("_zm")).alias("e_sum"),
+            (F.col("aD").cast("long") - F.col("_d") * F.col("_dm")).alias("sd_sum"),
+            F.col("_dm").alias("dm"),
+        )
+    )
+    asd = (
+        "CASE WHEN n_div > 0 THEN "
+        "FLOOR(DEGREES(ATAN(((CAST(e_sum AS DOUBLE) / n_div) / 1e6 - v) "
+        "/ ((CAST(sd_sum - n_div * dm AS DOUBLE) / n_div) / 1e6))) "
+        "* 1e6 + 0.5e0) / 1e6 ELSE 0e0 END"
+    )
+    return j.select("row", "col", F.expr(asd).alias("asd"))

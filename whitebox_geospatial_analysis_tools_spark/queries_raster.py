@@ -5152,3 +5152,56 @@ def q_extract_valleys_jr(spark, sf):
             "THEN 1 ELSE 0 END"
         ).alias("valley"),
     ).orderBy("row", "col")
+
+
+# -- AverageSlopeToDivide (§2.12; AverageSlopeToDivide.java:296-385):
+# atan((mean upslope-divide elevation - z) / mean divide flowpath length),
+# degrees, 0 with no upslope divide.  Strict-upslope sums via the reach
+# closure; micro-integer weights; single trailing atan (round 6).
+@Q.register(
+    "avg_slope_to_divide",
+    f"""WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES},
+fe2 AS (SELECT row, col,
+  row + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1
+       WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1 ELSE 1 END AS nr,
+  col + CASE CAST(log2(code) AS INT) WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 1
+       WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN 0 ELSE 1 END AS nc,
+  CASE CAST(log2(code) AS INT) WHEN 0 THEN 1.4142135623730951e0 WHEN 2 THEN 1.4142135623730951e0
+       WHEN 5 THEN 1.4142135623730951e0 WHEN 7 THEN 1.4142135623730951e0 ELSE 1e0 END AS step
+  FROM d8 WHERE code > 0
+  UNION ALL SELECT row, col, row, col, 0e0 FROM d8 WHERE code = 0),
+fp(it, row, col, d) AS (
+  SELECT 0, row, col, 0e0 FROM d8
+  UNION ALL
+  SELECT u.it + 1, f.row, f.col, f.step + u.d
+  FROM fp u JOIN fe2 f ON f.nr = u.row AND f.nc = u.col
+  WHERE u.it < {_FPK}
+),
+cellw AS MATERIALIZED (SELECT p.row, p.col, p.row * 1000000 + p.col AS id, l.v,
+  CASE WHEN it.nr IS NULL THEN 1 ELSE 0 END AS isdiv,
+  CAST(FLOOR(l.v * 1e6 + 0.5e0) AS BIGINT) AS zm,
+  CAST(FLOOR(ROUND(f.d, 6) * 1e6 + 0.5e0) AS BIGINT) AS dm
+  FROM d8 p JOIN live l ON l.row = p.row AND l.col = p.col
+  JOIN (SELECT row, col, d FROM fp WHERE it = {_FPK}) f
+    ON f.row = p.row AND f.col = p.col
+  LEFT JOIN (SELECT DISTINCT nr, nc FROM fe2 WHERE step > 0e0) it
+    ON it.nr = p.row AND it.nc = p.col
+  WHERE l.v IS NOT NULL),
+wsum AS (SELECT r.nid, CAST(SUM(f.isdiv) AS BIGINT) AS n_div,
+  CAST(SUM(f.isdiv * f.zm) AS BIGINT) AS e_sum,
+  CAST(SUM(f.isdiv * f.dm) AS BIGINT) AS sd_sum
+  FROM reach r JOIN cellw f ON f.id = r.id GROUP BY 1)
+SELECT c.row, c.col, CAST(CASE WHEN COALESCE(w.n_div, 0) > 0 THEN
+  FLOOR(DEGREES(ATAN(((CAST(w.e_sum AS DOUBLE) / w.n_div) / 1e6 - c.v)
+  / ((CAST(w.sd_sum - w.n_div * c.dm AS DOUBLE) / w.n_div) / 1e6)))
+  * 1e6 + 0.5e0) / 1e6 ELSE 0e0 END AS DOUBLE) AS asd
+FROM cellw c LEFT JOIN wsum w ON w.nid = c.id
+ORDER BY c.row, c.col""",
+)
+def q_avg_slope_to_divide(spark, sf):
+    from .operators.hydro import avg_slope_to_divide, flow_pointer_d8
+
+    cells = R.explode_cells(_hydem(spark)).where(F.col("value") != _ND) \
+        .withColumnRenamed("value", "v")
+    return avg_slope_to_divide(flow_pointer_d8(_hydem(spark)), cells) \
+        .orderBy("row", "col")
