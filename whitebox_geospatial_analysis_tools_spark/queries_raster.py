@@ -5205,3 +5205,79 @@ def q_avg_slope_to_divide(spark, sf):
         .withColumnRenamed("value", "v")
     return avg_slope_to_divide(flow_pointer_d8(_hydem(spark)), cells) \
         .orderBy("row", "col")
+
+
+# -- StreamLinkClassification (§2.12; StreamNetworkAnalysisTools
+# StreamLinkClassification.java:280-345): the reference's head-walk with
+# saturate-at-2 marking is order-independent in its FINAL state — a cell's
+# value is min(2, #channel heads upstream) — so the engine computes it as
+# one integer-weighted accumulation of head indicators; node overrides:
+# outlet (pointer 0) = 5, source node = 3, junction (>= 2 stream inflows)
+# = 4.  Exterior links stay 1, interior 2.
+_SLC_T = 10
+
+
+@Q.register(
+    "stream_link_class",
+    f"""WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES},
+st AS MATERIALIZED (SELECT row, col FROM acc WHERE accum >= {_SLC_T}),
+sin AS (SELECT e.nid, COUNT(*) AS n_in FROM edges e
+  JOIN st s ON s.row * 1000000 + s.col = e.id
+  JOIN st t ON t.row * 1000000 + t.col = e.nid GROUP BY 1),
+hd AS (SELECT s.row, s.col, s.row * 1000000 + s.col AS id,
+  CASE WHEN i.n_in IS NULL THEN 1 ELSE 0 END AS ishead
+  FROM st s LEFT JOIN sin i ON i.nid = s.row * 1000000 + s.col),
+hup AS (SELECT r.nid, CAST(SUM(h.ishead) AS BIGINT) AS nh FROM reach r
+  JOIN hd h ON h.id = r.id GROUP BY 1)
+SELECT h.row, h.col, CAST(CASE
+  WHEN d.code = 0 THEN 5
+  WHEN h.ishead = 1 THEN 3
+  WHEN COALESCE(i.n_in, 0) >= 2 THEN 4
+  ELSE LEAST(2, h.ishead + COALESCE(u.nh, 0)) END AS INT) AS class
+FROM hd h
+JOIN d8 d ON d.row = h.row AND d.col = h.col
+LEFT JOIN sin i ON i.nid = h.id
+LEFT JOIN hup u ON u.nid = h.id
+ORDER BY h.row, h.col""",
+)
+def q_stream_link_class(spark, sf):
+    from .operators.hydro import (
+        flow_accum, flow_pointer_d8, weighted_flow_accum,
+    )
+
+    ptr = flow_pointer_d8(_hydem(spark))
+    acc = flow_accum(ptr)
+    stream = acc.where(F.col("accum") >= _SLC_T).select("row", "col")
+    tgt = ptr.where(F.col("code") > 0).select(
+        (F.col("row") + F.expr(_D8_TGT_DR)).alias("row"),
+        (F.col("col") + F.expr(_D8_TGT_DC)).alias("col"),
+        F.col("row").alias("srow"), F.col("col").alias("scol"),
+    )
+    sin = (
+        tgt.join(stream, ["row", "col"], "left_semi")
+        .join(stream.select(F.col("row").alias("srow"), F.col("col").alias("scol")),
+              ["srow", "scol"], "left_semi")
+        .groupBy("row", "col").agg(F.count(F.lit(1)).alias("n_in"))
+    )
+    hd = stream.join(sin, ["row", "col"], "left").select(
+        "row", "col",
+        F.when(F.col("n_in").isNull(), 1).otherwise(0).alias("ishead"),
+        F.coalesce("n_in", F.lit(0)).alias("n_in"),
+    )
+    w = ptr.select("row", "col").join(
+        hd.select("row", "col", F.col("ishead").cast("long").alias("w0")),
+        ["row", "col"], "left",
+    ).select("row", "col", F.coalesce("w0", F.lit(0)).alias("w0"))
+    H = weighted_flow_accum(ptr, w)
+    cls = (
+        hd.join(ptr.select("row", "col", "code"), ["row", "col"])
+        .join(H, ["row", "col"])
+        .select(
+            "row", "col",
+            F.expr(
+                "CAST(CASE WHEN code = 0 THEN 5 WHEN ishead = 1 THEN 3 "
+                "WHEN n_in >= 2 THEN 4 ELSE LEAST(2, waccum) END AS INT)"
+            ).alias("class"),
+        )
+    )
+    return cls.orderBy("row", "col")
