@@ -5281,3 +5281,81 @@ def q_stream_link_class(spark, sf):
         )
     )
     return cls.orderBy("row", "col")
+
+
+# -- BreachPits (§2.12; HydroTools BreachPits.java:164-230): for each pit
+# (no strictly-lower 8-neighbor, full window), every ring-2 cell lower
+# than the pit writes (z + z2)/2 into the ring-1 cell between them; the
+# reference's sequential overwrites resolve to "last write wins", made
+# order-independent here by ranking writes on (pit row, pit col, i) DESC.
+_BP_OFFS = [  # (i, dx2, dy2, bdx, bdy) — breachcell maps ring-2 slot i to ring-1
+    (0, 2, -2, 1, -1), (1, 2, -1, 1, -1), (2, 2, 0, 1, 0), (3, 2, 1, 1, 0),
+    (4, 2, 2, 1, 1), (5, 1, 2, 1, 1), (6, 0, 2, 0, 1), (7, -1, 2, -1, 1),
+    (8, -2, 2, -1, 1), (9, -2, 1, -1, 1), (10, -2, 0, -1, 0),
+    (11, -2, -1, -1, 0), (12, -2, -2, -1, -1), (13, -1, -2, -1, -1),
+    (14, 0, -2, 0, -1), (15, 1, -2, 1, -1),
+]
+_BP_VALS = ", ".join(f"({i},{a},{b},{c},{d})" for i, a, b, c, d in _BP_OFFS)
+
+
+@Q.register(
+    "breach_pits",
+    f"""WITH {_HYD_BASE},
+pits AS (SELECT row, col, cv FROM w9
+  WHERE n0 IS NOT NULL AND n1 IS NOT NULL AND n2 IS NOT NULL AND n3 IS NOT NULL
+    AND n4 IS NOT NULL AND n5 IS NOT NULL AND n6 IS NOT NULL AND n7 IS NOT NULL
+    AND LEAST(n0, n1, n2, n3, n4, n5, n6, n7) >= cv),
+wr AS (SELECT p.row + o.bdy AS row, p.col + o.bdx AS col,
+  (p.cv + l.v) / 2e0 AS bv,
+  ROW_NUMBER() OVER (PARTITION BY p.row + o.bdy, p.col + o.bdx
+    ORDER BY p.row DESC, p.col DESC, o.i DESC) AS rn
+  FROM pits p JOIN (VALUES {_BP_VALS}) o(i, dx2, dy2, bdx, bdy) ON TRUE
+  JOIN live l ON l.row = p.row + o.dy2 AND l.col = p.col + o.dx2
+  WHERE l.v IS NOT NULL AND l.v < p.cv)
+SELECT c.row, c.col, COALESCE(w.bv, c.v) AS breached
+FROM live c LEFT JOIN (SELECT row, col, bv FROM wr WHERE rn = 1) w
+  ON w.row = c.row AND w.col = c.col
+WHERE c.v IS NOT NULL ORDER BY c.row, c.col""",
+)
+def q_breach_pits(spark, sf):
+    from pyspark.sql import Window
+
+    live = R.explode_cells(_hydem(spark)).where(F.col("value") != _ND) \
+        .withColumnRenamed("value", "v")
+    # full-window pit test: all 8 neighbors present (inner joins) and none
+    # strictly lower
+    pits = live
+    for k, (dr, dc) in enumerate([(-1, -1), (-1, 0), (-1, 1), (0, -1),
+                                  (0, 1), (1, -1), (1, 0), (1, 1)]):
+        t = live.select((F.col("row") - dr).alias("row"),
+                        (F.col("col") - dc).alias("col"),
+                        F.col("v").alias(f"n{k}"))
+        pits = pits.join(t, ["row", "col"], "inner")
+    pits = pits.where(F.expr(
+        "LEAST(n0, n1, n2, n3, n4, n5, n6, n7) >= v"
+    )).select("row", "col", F.col("v").alias("cv"))
+    offs = spark.createDataFrame(_BP_OFFS, "i int, dx2 int, dy2 int, bdx int, bdy int")
+    r2 = live.select(F.col("row").alias("r2r"), F.col("col").alias("r2c"),
+                     F.col("v").alias("z2"))
+    wr = (
+        pits.crossJoin(F.broadcast(offs))
+        .join(r2, (F.col("r2r") == F.col("row") + F.col("dy2"))
+              & (F.col("r2c") == F.col("col") + F.col("dx2")))
+        .where(F.col("z2") < F.col("cv"))
+        .select(
+            (F.col("row") + F.col("bdy")).alias("trow"),
+            (F.col("col") + F.col("bdx")).alias("tcol"),
+            ((F.col("cv") + F.col("z2")) / 2.0).alias("bv"),
+            F.col("row").alias("prow"), F.col("col").alias("pcol"), "i",
+        )
+    )
+    w = Window.partitionBy("trow", "tcol").orderBy(
+        F.col("prow").desc(), F.col("pcol").desc(), F.col("i").desc()
+    )
+    best = wr.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1) \
+        .select(F.col("trow").alias("row"), F.col("tcol").alias("col"), "bv")
+    return (
+        live.join(best, ["row", "col"], "left")
+        .select("row", "col", F.coalesce("bv", "v").alias("breached"))
+        .orderBy("row", "col")
+    )
