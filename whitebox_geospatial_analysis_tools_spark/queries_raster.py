@@ -5359,3 +5359,88 @@ def q_breach_pits(spark, sf):
         .select("row", "col", F.coalesce("bv", "v").alias("breached"))
         .orderBy("row", "col")
     )
+
+
+# -- CrispnessIndex (StatsTools CrispnessIndex.java:230-270) over the
+# engine's fuzzy-membership image: C = sum((z - avg)^2) /
+# ((total*(1-avg))^2 + avg^2*(N - total)).  Membership values are round-6
+# quantized, so micro-integer moments make every sum exact; the final
+# expression is one shared deterministic formula.
+_CRISP_OUT = (
+    "CAST(ROUND((CAST(s2 AS DOUBLE) / 1e12 - (CAST(s1 AS DOUBLE) / 1e6) "
+    "* (CAST(s1 AS DOUBLE) / 1e6) / n) / "
+    "((CAST(s1 AS DOUBLE) / 1e6 * (1e0 - CAST(s1 AS DOUBLE) / 1e6 / n)) "
+    "* (CAST(s1 AS DOUBLE) / 1e6 * (1e0 - CAST(s1 AS DOUBLE) / 1e6 / n)) "
+    "+ (CAST(s1 AS DOUBLE) / 1e6 / n) * (CAST(s1 AS DOUBLE) / 1e6 / n) "
+    "* (n - CAST(s1 AS DOUBLE) / 1e6)), 6) AS DOUBLE)"
+)
+
+
+@Q.register(
+    "crispness_index",
+    f"WITH {_RASF}, fz AS (SELECT CAST(FLOOR(({_fuzzy_expr('value')}) * 1e6 + 0.5e0) AS BIGINT) AS zm "
+    f"FROM ras WHERE {_NDF}), "
+    "m AS (SELECT COUNT(*) AS n, CAST(SUM(zm) AS BIGINT) AS s1, "
+    "CAST(SUM(zm * zm) AS BIGINT) AS s2 FROM fz) "
+    f"SELECT n, {_CRISP_OUT} AS crispness FROM m",
+)
+def q_crispness_index(spark, sf):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    fz = live.select(
+        F.floor(F.expr(_fuzzy_expr("value")) * 1e6 + 0.5).cast("long").alias("zm")
+    )
+    m = fz.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("zm").cast("long").alias("s1"),
+        F.sum(F.col("zm") * F.col("zm")).cast("long").alias("s2"),
+    )
+    return m.select("n", F.expr(_CRISP_OUT).alias("crispness"))
+
+
+# -- FilterLocalContrastEnhancement (ImageProcessingTools
+# FilterLocalContrastEnhancement.java:300-325): over the elliptical (here
+# plus-shaped, 3x3/ellipse) window, yij = alpha*globalMean +
+# (1-alpha)*localMean + (z - localMean)*(sigma0/(sigma + 1)); alpha = 0.5,
+# sigma0 = 16, population sigma.  Dyadic sums + deterministic sqrt/div ->
+# no rounding.
+@Q.register(
+    "local_contrast",
+    f"""WITH {_RASF}, live AS (SELECT row, col, value FROM ras WHERE {_NDF}),
+gm AS (SELECT SUM(value) / COUNT(*) AS g FROM live),
+w5 AS (SELECT a.row, a.col, a.value AS z, COUNT(*) AS n,
+  SUM(b.value) AS s1, SUM(b.value * b.value) AS s2
+  FROM live a JOIN live b ON ABS(b.row - a.row) + ABS(b.col - a.col) <= 1
+  GROUP BY 1, 2, 3),
+st AS (SELECT row, col, z, n, s1 / n AS lm,
+  SQRT(s2 / n - (s1 / n) * (s1 / n)) AS sd FROM w5 WHERE s2 / n - (s1 / n) * (s1 / n) > 0e0)
+SELECT row, col,
+  0.5e0 * g + 0.5e0 * lm + (z - lm) * (16e0 / (sd + 1e0)) AS value
+FROM st, gm ORDER BY row, col""",
+)
+def q_local_contrast(spark, sf):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    gm = live.agg((F.sum("value") / F.count(F.lit(1))).alias("g"))
+    b = live.select(F.col("row").alias("br"), F.col("col").alias("bc"),
+                    F.col("value").alias("bv"))
+    w5 = (
+        live.join(b, (F.abs(F.col("br") - F.col("row"))
+                      + F.abs(F.col("bc") - F.col("col"))) <= 1)
+        .groupBy("row", "col", "value")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bv").alias("s1"),
+             F.sum(F.col("bv") * F.col("bv")).alias("s2"))
+    )
+    var = F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+    st = w5.where(var > 0).select(
+        "row", "col", F.col("value").alias("z"),
+        (F.col("s1") / F.col("n")).alias("lm"),
+        F.sqrt(var).alias("sd"),
+    )
+    return (
+        st.crossJoin(F.broadcast(gm))
+        .select(
+            "row", "col",
+            (0.5 * F.col("g") + 0.5 * F.col("lm")
+             + (F.col("z") - F.col("lm")) * (16.0 / (F.col("sd") + 1.0))).alias("value"),
+        )
+        .orderBy("row", "col")
+    )
