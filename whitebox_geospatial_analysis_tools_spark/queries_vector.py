@@ -1354,3 +1354,47 @@ def q_smooth_vector(spark, sf):
         "poly_id", "ring", "vi",
         (F.col("_sx") / 3.0).alias("sx"), (F.col("_sy") / 3.0).alias("sy"),
     ).orderBy("poly_id", "ring", "vi")
+
+
+# -- ModifiedKMeans (§2.13; ImageProcessingTools ModifiedKMeans.java:301-370):
+# k-means plus removal of classes below the minimum allowable size, with
+# the orphaned points reassigned to the surviving centroids (min size 50
+# drops the smallest synthetic cluster, n = 44).
+_MKM_MIN = 50
+
+
+@Q.register(
+    "modified_kmeans",
+    f"{_PTS}, {_km_oracle()}, "
+    f"surv AS (SELECT sid, sx, sy FROM seeds{_KM_ITERS} WHERE n >= {_MKM_MIN}), "
+    + _iso_asg_sql("surv", "masg")
+    + " SELECT sid, COUNT(*) AS n, "
+    "CAST(ROUND(SUM(lon) / COUNT(*), 6) AS DOUBLE) AS cx, "
+    "CAST(ROUND(SUM(lat) / COUNT(*), 6) AS DOUBLE) AS cy "
+    "FROM masg GROUP BY 1 ORDER BY 1",
+)
+def q_modified_kmeans(spark, sf):
+    pts = Q._points(spark, sf).select("doc_id", "lon", "lat")
+    cents = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(_SEEDS)], "sid int, sx double, sy double"
+    )
+    out, cents, _ = _lloyd_rounds(spark, pts, cents, _KM_ITERS)
+    surv = out.where(F.col("n") >= _MKM_MIN).select("sid", "sx", "sy")
+    d2 = (F.col("lon") - F.col("sx")) * (F.col("lon") - F.col("sx")) + (
+        F.col("lat") - F.col("sy")
+    ) * (F.col("lat") - F.col("sy"))
+    masg = (
+        pts.crossJoin(F.broadcast(surv))
+        .select("doc_id", "lon", "lat", d2.alias("_d2"), "sid")
+        .groupBy("doc_id", "lon", "lat")
+        .agg(F.expr("min_by(sid, struct(_d2, sid))").alias("sid"))
+    )
+    return (
+        masg.groupBy("sid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("lon") / F.count(F.lit(1)), 6).cast("double").alias("cx"),
+            F.round(F.sum("lat") / F.count(F.lit(1)), 6).cast("double").alias("cy"),
+        )
+        .orderBy("sid")
+    )
