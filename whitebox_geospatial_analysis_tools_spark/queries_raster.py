@@ -5444,3 +5444,32 @@ def q_local_contrast(spark, sf):
         )
         .orderBy("row", "col")
     )
+
+
+# -- ImageRectification (§2.13; ImageProcessingTools
+# ImageRectification.java — affine georegistration resample): inverse-map
+# each output cell through a dyadic affine (rotation-like shear matrix
+# [[.75,.25],[-.25,.75]] + translation) and nearest-neighbor sample; all
+# arithmetic dyadic-exact, NN rounding = shared half-up floor.
+_AR_SR = ("CAST(FLOOR(0.75e0 * row + 0.25e0 * col + 4e0 + 0.5e0) AS BIGINT)")
+_AR_SC = ("CAST(FLOOR(-0.25e0 * row + 0.75e0 * col + 8e0 + 0.5e0) AS BIGINT)")
+
+
+@Q.register(
+    "image_rectify",
+    f"WITH {_RASF}, src AS (SELECT row, col, value FROM ras WHERE {_NDF}), "
+    f"m AS (SELECT row, col, {_AR_SR} AS sr, {_AR_SC} AS sc "
+    f"FROM ras WHERE {_NDF}) "
+    "SELECT m.row, m.col, s.value FROM m JOIN src s "
+    "ON s.row = m.sr AND s.col = m.sc ORDER BY m.row, m.col",
+)
+def q_image_rectify(spark, sf):
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    m = live.select(
+        "row", "col",
+        F.expr(_AR_SR).alias("sr"), F.expr(_AR_SC).alias("sc"),
+    )
+    src = live.select(F.col("row").alias("sr"), F.col("col").alias("sc"),
+                      "value")
+    return m.join(src, ["sr", "sc"]).select("row", "col", "value") \
+        .orderBy("row", "col")
