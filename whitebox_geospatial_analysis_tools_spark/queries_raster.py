@@ -5473,3 +5473,92 @@ def q_image_rectify(spark, sf):
                       "value")
     return m.join(src, ["sr", "sc"]).select("row", "col", "value") \
         .orderBy("row", "col")
+
+
+# -- StochasticDepressionAnalysis (§2.12; TerrainAnalysisTools
+# StochasticDepressionAnalysis.java): pdep = fraction of noise realizations
+# in which the cell sits in a depression (filled > dem).  The reference's
+# Monte-Carlo draws determinize to K = 3 LCG noise fields; noise =
+# u/2^31*4 is DYADIC (power-of-two divisor), so dem+noise stays exact, the
+# minimax fill fixpoint is exact, and the depression flag is
+# deterministic.  Output = integer depression count over the K fields.
+_SDA_K = 3
+
+
+def _sda_noise(k: int, r: str = "row", c: str = "col") -> str:
+    # reduce the key mod 2^31 BEFORE the Knuth multiply: the raw key is
+    # ~3e11 and * A would overflow int64 (Spark ANSI errors; DuckDB widens
+    # to int128 — silently diverging)
+    key = f"(((({r}) * 1000003 + ({c})) * 7919 + {k}) % {M})"
+    u = f"((({key}) * {A} % {M}) + {C}) * {A} % {M}"
+    return f"(CAST({u} AS DOUBLE) / {M}e0 * 4e0)"
+
+
+def _sda_oracle() -> str:
+    blocks = [
+        f"""rasd AS (SELECT r.r AS row, c.c AS col, {_DVAL} AS value
+         FROM range(0, {_DROWS}) r(r), range(0, {_DCOLS}) c(c)),
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) t(dr, dc))"""
+    ]
+    unions = []
+    for k in range(_SDA_K):
+        blocks.append(
+            f"""base{k} AS MATERIALIZED (SELECT a.row, a.col,
+  a.value + {_sda_noise(k, 'a.row', 'a.col')} AS dem,
+  (a.row = 0 OR a.row = {_DROWS - 1} OR a.col = 0 OR a.col = {_DCOLS - 1} OR EXISTS (
+     SELECT 1 FROM offs o JOIN rasd n ON n.row = a.row + o.dr AND n.col = a.col + o.dc
+     WHERE n.value = {NODATA!r}e0)) AS s
+  FROM rasd a WHERE a.value != {NODATA!r}e0),
+fill{k}(it, row, col, f) AS (
+  SELECT 0, row, col, CASE WHEN s THEN dem ELSE 1e18 END FROM base{k}
+  UNION ALL
+  SELECT f.it + 1, b.row, b.col,
+    CASE WHEN b.s THEN b.dem ELSE GREATEST(b.dem, MIN(f.f)) END
+  FROM fill{k} f JOIN offs o ON TRUE
+  JOIN base{k} b ON b.row = f.row + o.dr AND b.col = f.col + o.dc
+  WHERE f.it < {_DK}
+  GROUP BY f.it, b.row, b.col, b.dem, b.s
+)"""
+        )
+        unions.append(
+            f"SELECT b.row, b.col, CASE WHEN COALESCE(l.f, b.dem) > b.dem "
+            f"THEN 1 ELSE 0 END AS dep FROM base{k} b "
+            f"LEFT JOIN (SELECT row, col, f FROM fill{k} WHERE it = {_DK}) l "
+            "USING (row, col)"
+        )
+    return (
+        "WITH RECURSIVE " + ", ".join(blocks)
+        + ", alldep AS (" + " UNION ALL ".join(unions) + ") "
+        "SELECT row, col, CAST(SUM(dep) AS BIGINT) AS n_dep "
+        "FROM alldep GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+@Q.register("stochastic_depressions", _sda_oracle())
+def q_stochastic_depressions(spark, sf):
+    from .operators.hydro import fill_depressions
+
+    base = (
+        R.explode_cells(R.synth_raster(spark, _DROWS, _DCOLS))
+        .where(F.col("value") != _ND)
+    )
+    parts = []
+    for k in range(_SDA_K):
+        noisy = base.select(
+            "row", "col",
+            (F.col("value") + F.expr(_sda_noise(k))).alias("dem"),
+        )
+        filled = fill_depressions(noisy, _DROWS, _DCOLS, tile=16)
+        parts.append(
+            noisy.join(filled, ["row", "col"])
+            .select("row", "col",
+                    F.expr("CASE WHEN filled > dem THEN 1 ELSE 0 END").alias("dep"))
+            .localCheckpoint()
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("row", "col").agg(F.sum("dep").cast("long").alias("n_dep"))
+        .orderBy("row", "col")
+    )
