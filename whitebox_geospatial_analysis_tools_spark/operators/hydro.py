@@ -2679,3 +2679,100 @@ def avg_slope_to_divide(pointers: DataFrame, dem_cells: DataFrame, *,
         "* 1e6 + 0.5e0) / 1e6 ELSE 0e0 END"
     )
     return j.select("row", "col", F.expr(asd).alias("asd"))
+
+
+def stream_relief(cells: DataFrame, stream: DataFrame, *,
+                  levels: int = 10) -> DataFrame:
+    """(row, col, dist_to_stream, hand): along-flowpath distance to the
+    first stream cell and elevation above it (GeasyTools
+    ElevAboveCreek.java — the height-above-nearest-drainage product).
+
+    cells: (row, col, z, code); stream: (row, col).  Stream membership is
+    closed downstream (accumulation grows along D8), so "first stream cell
+    on the path" bounds a non-stream prefix — BINARY LIFTING over the
+    successor graph RESTRICTED to non-stream endpoints reaches the last
+    pre-stream cell in O(log pathlen) equi-joins, then one unrestricted
+    step lands on the stream cell.  Stream cells output (0, 0); paths that
+    exit the grid without meeting a stream are omitted (no drainage).
+    dist rounds to 6 (lifted length association); hand is dyadic-exact."""
+    base = cells.select("row", "col", "z", "code")
+    smark = stream.select("row", "col").withColumn("_s", F.lit(True))
+    dr = F.expr(
+        "CASE WHEN code IN (1, 2, 4) THEN -1 WHEN code IN (8, 16) THEN 0 ELSE 1 END"
+    )
+    dc = F.expr(
+        "CASE WHEN code IN (1, 8, 32) THEN -1 WHEN code IN (2, 64) THEN 0 ELSE 1 END"
+    )
+    ln = F.expr(
+        f"CASE WHEN code IN (1, 4, 32, 128) THEN {_SQRT2!r} ELSE 1e0 END"
+    )
+    lab = base.join(smark, ["row", "col"], "left").select(
+        "row", "col", "z", "code", F.coalesce("_s", F.lit(False)).alias("_s")
+    )
+    ends = lab.select(F.col("row").alias("erow"), F.col("col").alias("ecol"),
+                      F.col("z").alias("ez"), F.col("_s").alias("es"))
+    j0_full = (
+        lab.where(F.col("code") > 0)
+        .select("row", "col", (F.col("row") + dr).alias("erow"),
+                (F.col("col") + dc).alias("ecol"), ln.alias("jlen"))
+        .join(ends, ["erow", "ecol"]).localCheckpoint()
+    )
+    j0 = (
+        lab.where((F.col("code") > 0) & (~F.col("_s")))
+        .select("row", "col", (F.col("row") + dr).alias("erow"),
+                (F.col("col") + dc).alias("ecol"), ln.alias("jlen"))
+        .join(ends.where(~F.col("es")).drop("es"), ["erow", "ecol"])
+        .localCheckpoint()
+    )
+    jumps = [j0]
+    for _ in range(1, levels):
+        a = jumps[-1].alias("a")
+        b = jumps[-1].alias("b")
+        jumps.append(
+            a.join(b, (F.col("a.erow") == F.col("b.row"))
+                   & (F.col("a.ecol") == F.col("b.col")))
+            .select(
+                F.col("a.row").alias("row"), F.col("a.col").alias("col"),
+                F.col("b.erow").alias("erow"), F.col("b.ecol").alias("ecol"),
+                (F.col("a.jlen") + F.col("b.jlen")).alias("jlen"),
+            )
+            .localCheckpoint()
+        )
+    state = lab.where(~F.col("_s")).select(
+        F.col("row").alias("srow"), F.col("col").alias("scol"),
+        F.col("z").alias("zst"), F.col("row").alias("cr"),
+        F.col("col").alias("cc"), F.lit(0.0).alias("fl"),
+    )
+    for k in range(levels - 1, -1, -1):
+        jk = jumps[k].select(
+            F.col("row").alias("cr"), F.col("col").alias("cc"),
+            F.col("erow").alias("_er"), F.col("ecol").alias("_ec"),
+            F.col("jlen").alias("_jl"),
+        )
+        adv = F.col("_er").isNotNull()
+        state = (
+            state.join(jk, ["cr", "cc"], "left")
+            .select(
+                "srow", "scol", "zst",
+                F.when(adv, F.col("_er")).otherwise(F.col("cr")).alias("cr"),
+                F.when(adv, F.col("_ec")).otherwise(F.col("cc")).alias("cc"),
+                F.when(adv, F.col("fl") + F.col("_jl")).otherwise(F.col("fl")).alias("fl"),
+            )
+        )
+    fin = state.join(
+        j0_full.select(
+            F.col("row").alias("cr"), F.col("col").alias("cc"),
+            F.col("jlen").alias("_jl"), F.col("ez").alias("_ez"),
+            F.col("es").alias("_es"),
+        ),
+        ["cr", "cc"], "inner",
+    ).where(F.col("_es"))
+    nonstream = fin.select(
+        F.col("srow").alias("row"), F.col("scol").alias("col"),
+        F.round(F.col("fl") + F.col("_jl"), 6).cast("double").alias("dist_to_stream"),
+        (F.col("zst") - F.col("_ez")).alias("hand"),
+    )
+    zero = lab.where(F.col("_s")).select(
+        "row", "col", F.lit(0.0).alias("dist_to_stream"), F.lit(0.0).alias("hand")
+    )
+    return nonstream.unionByName(zero)

@@ -5562,3 +5562,60 @@ def q_stochastic_depressions(spark, sf):
         out.groupBy("row", "col").agg(F.sum("dep").cast("long").alias("n_dep"))
         .orderBy("row", "col")
     )
+
+
+# -- elevation above stream + downslope distance to stream (§2.12;
+# GeasyTools ElevAboveCreek.java — HAND): stream-restricted binary lifting
+# on the Spark side; sequential walker oracle (stop at the first stream
+# cell).  hand is dyadic-exact; dist rounds 6.
+_EAS_T = 10
+_EAS_K = 300
+
+
+def _eas_oracle() -> str:
+    nr = "u.cr + " + _D8_TGT_DR.replace("code", "p.code")
+    nc = "u.cc + " + _D8_TGT_DC.replace("code", "p.code")
+    ln = f"CASE WHEN p.code IN (1, 4, 32, 128) THEN {_DSI_SQ2} ELSE 1e0 END"
+    return (
+        f"std AS MATERIALIZED (SELECT row, col FROM acc WHERE accum >= {_EAS_T}), "
+        "esd8 AS MATERIALIZED (SELECT row, col, code FROM d8), "
+        "eslive AS MATERIALIZED (SELECT l.row, l.col, l.v, "
+        "CASE WHEN s.row IS NOT NULL THEN 1 ELSE 0 END AS st FROM live l "
+        "LEFT JOIN std s ON s.row = l.row AND s.col = l.col WHERE l.v IS NOT NULL), "
+        "easit(it, srow, scol, zst, cr, cc, fl, done) AS ("
+        "SELECT 0, row, col, v, row, col, 0e0, 0 FROM eslive WHERE st = 0 "
+        "UNION ALL SELECT u.it + 1, u.srow, u.scol, u.zst, "
+        f"CASE WHEN u.done = 1 OR p.code = 0 THEN u.cr ELSE {nr} END, "
+        f"CASE WHEN u.done = 1 OR p.code = 0 THEN u.cc ELSE {nc} END, "
+        f"CASE WHEN u.done = 1 OR p.code = 0 THEN u.fl ELSE u.fl + ({ln}) END, "
+        "CASE WHEN u.done = 1 OR p.code = 0 THEN u.done "
+        "WHEN nz.st = 1 THEN 1 ELSE 0 END "
+        "FROM easit u "
+        "LEFT JOIN esd8 p ON p.row = u.cr AND p.col = u.cc "
+        f"LEFT JOIN eslive nz ON nz.row = u.cr + {_D8_TGT_DR.replace('code', 'p.code')} "
+        f"AND nz.col = u.cc + {_D8_TGT_DC.replace('code', 'p.code')} "
+        f"WHERE u.it < {_EAS_K})"
+    )
+
+
+@Q.register(
+    "elev_above_stream",
+    f"WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES}, {_eas_oracle()} "
+    "SELECT srow AS row, scol AS col, "
+    "CAST(ROUND(fl, 6) AS DOUBLE) AS dist_to_stream, "
+    "zst - l.v AS hand "
+    f"FROM easit e JOIN eslive l ON l.row = e.cr AND l.col = e.cc "
+    f"WHERE e.it = {_EAS_K} AND e.done = 1 "
+    "UNION ALL SELECT row, col, 0e0, 0e0 FROM eslive WHERE st = 1 "
+    "ORDER BY row, col",
+)
+def q_elev_above_stream(spark, sf):
+    from .operators.hydro import flow_accum, flow_pointer_d8, stream_relief
+
+    ptr = flow_pointer_d8(_hydem(spark))
+    acc = flow_accum(ptr)
+    stream = acc.where(F.col("accum") >= _EAS_T).select("row", "col")
+    z = R.explode_cells(_hydem(spark)).where(F.col("value") != _ND) \
+        .withColumnRenamed("value", "z")
+    cells = ptr.join(z, ["row", "col"])
+    return stream_relief(cells, stream).orderBy("row", "col")
