@@ -37,6 +37,12 @@ CROSSJOIN_ALLOW = [
      "fixed-k seed table (kmeans_step, constant _SEEDS)"),
     (r"queries_vector\.py", r"pts\.crossJoin\(F\.broadcast\(cents\d?\)\)",
      "fixed-k centroid tables (iterated kmeans / ISODATA, k constant)"),
+    (r"queries_vector\.py", r"pts\.crossJoin\(F\.broadcast\(surv\)\)",
+     "surviving fixed-k centroids (modified_kmeans, <= 4 rows)"),
+    (r"queries_raster\.py", r"st\.crossJoin\(F\.broadcast\(gm\)\)",
+     "1-row global-mean aggregate (local contrast enhancement)"),
+    (r"operators/simsearch\.py", r"crossJoin\(F\.broadcast\(seeds\)\)",
+     "fixed 16-row IVF seed-centroid table (IVF_SEEDS constant)"),
     (r"operators/stats\.py", r"crossJoin\(F\.broadcast\((m|total|pe|bnd|comp)\)\)",
      "1-row aggregate scalars / <=buckets-row boundary tables"),
     (r"operators/vector\.py", r"crossJoin\(F\.broadcast\(e\)\)",
