@@ -43,6 +43,8 @@ CROSSJOIN_ALLOW = [
      "1-row global-mean aggregate (local contrast enhancement)"),
     (r"operators/simsearch\.py", r"crossJoin\(F\.broadcast\(seeds\)\)",
      "fixed 16-row IVF seed-centroid table (IVF_SEEDS constant)"),
+    (r"queries_raster\.py", r"pits\.crossJoin\(F\.broadcast\(offs\)\)",
+     "constant 16-row ring-2 offset table (BreachPits)"),
     (r"operators/stats\.py", r"crossJoin\(F\.broadcast\((m|total|pe|bnd|comp)\)\)",
      "1-row aggregate scalars / <=buckets-row boundary tables"),
     (r"operators/vector\.py", r"crossJoin\(F\.broadcast\(e\)\)",
