@@ -4905,7 +4905,8 @@ def q_mass_flux(spark, sf):
         F.expr(_MF_EFF.format(r="row", c="col")).alias("eff"),
         F.expr(_MF_ABS.format(r="row", c="col")).alias("absorp"),
     )
-    return mass_flux_d8(cells, tile=16).orderBy("row", "col")
+    # tile=32 -> 2x3 tile graph, ~3 exchange rounds (invariance tested)
+    return mass_flux_d8(cells, tile=32).orderBy("row", "col")
 
 
 # -- downslope index (§2.12; DownslopeIndex.java:262-309 tangent mode,
