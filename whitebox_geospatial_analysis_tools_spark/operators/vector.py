@@ -226,3 +226,75 @@ def minimum_bounding_box(spark: SparkSession) -> DataFrame:
         .agg(F.round(F.min("a"), 6).cast("double").alias("mbb_area"))
         .orderBy("poly_id")
     )
+
+
+def simplify_rings(spark: SparkSession, *, tol: float = 2.0,
+                   rounds: int = 4) -> DataFrame:
+    """Douglas-Peucker ring simplification
+    (VectorTools/src/plugins/SimplifyLineOrPolygon.java — the reference
+    delegates to the JTS DouglasPeuckerSimplifier; this determinization
+    anchors each ring at vertices 0 and floor(n/2)).
+
+    Set-based DP: each round, every unkept vertex locates its enclosing
+    kept pair with two running-extreme window functions (wrap gap closes
+    back on vertex 0), and the farthest vertex of each gap (squared
+    perpendicular distance > tol^2; (d2 DESC, vi) tie-break) joins the
+    kept set.  Gap count doubles per round, so ceil(log2(max nv)) rounds
+    reach the DP fixpoint — 4 covers the 13-vertex shells.  All distance
+    arithmetic is deterministic float (one shared expression), no
+    sequential recursion anywhere.  Returns kept (poly_id, vi, x, y)."""
+    v = shell_vertices(spark)
+    n = v.groupBy("poly_id").agg(F.count(F.lit(1)).alias("nv"))
+    st = v.join(n, "poly_id").select(
+        "poly_id", "vi", "x", "y", "nv",
+        ((F.col("vi") == 0)
+         | (F.col("vi") == F.expr("CAST(FLOOR(nv / 2e0) AS BIGINT)"))).alias("kept"),
+    )
+    from pyspark.sql import Window
+
+    d2 = (
+        "((bx - ax) * (y - ay) - (by - ay) * (x - ax)) * "
+        "((bx - ax) * (y - ay) - (by - ay) * (x - ax)) / "
+        "((bx - ax) * (bx - ax) + (by - ay) * (by - ay))"
+    )
+    for _ in range(rounds):
+        w_ord = Window.partitionBy("poly_id").orderBy("vi")
+        pa = F.last(F.when(F.col("kept"), F.col("vi")), ignorenulls=True) \
+            .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        pb = F.first(F.when(F.col("kept"), F.col("vi")), ignorenulls=True) \
+            .over(w_ord.rowsBetween(1, Window.unboundedFollowing))
+        g = st.select(
+            "poly_id", "vi", "x", "y", "nv", "kept",
+            pa.alias("pa"), F.coalesce(pb, F.col("nv")).alias("pb"),
+        )
+        av = st.select(F.col("poly_id").alias("poly_id"),
+                       F.col("vi").alias("pa"),
+                       F.col("x").alias("ax"), F.col("y").alias("ay"))
+        bv = st.select("poly_id", F.col("vi").alias("_pbm"),
+                       F.col("x").alias("bx"), F.col("y").alias("by"))
+        cand = (
+            g.where(~F.col("kept"))
+            .join(av, ["poly_id", "pa"])
+            .join(bv.withColumnRenamed("_pbm", "pbm"),
+                  (F.col("pbm") == F.col("pb") % F.col("nv"))
+                  & (bv["poly_id"] == g["poly_id"]))
+            .drop(bv["poly_id"])
+            .select("poly_id", "vi", "pa", F.expr(d2).alias("d2"))
+        )
+        wr = Window.partitionBy("poly_id", "pa").orderBy(
+            F.col("d2").desc(), F.col("vi")
+        )
+        newk = (
+            cand.withColumn("rn", F.row_number().over(wr))
+            .where((F.col("rn") == 1) & (F.col("d2") > tol * tol))
+            .select("poly_id", "vi", F.lit(True).alias("_nk"))
+        )
+        st = (
+            st.join(newk, ["poly_id", "vi"], "left")
+            .select(
+                "poly_id", "vi", "x", "y", "nv",
+                (F.col("kept") | F.coalesce("_nk", F.lit(False))).alias("kept"),
+            )
+            .localCheckpoint()  # 4 self-referencing rounds; cut lineage
+        )
+    return st.where(F.col("kept")).select("poly_id", "vi", "x", "y")

@@ -1398,3 +1398,59 @@ def q_modified_kmeans(spark, sf):
         )
         .orderBy("sid")
     )
+
+
+# -- Douglas-Peucker polygon simplification (§2.7 VectorTools
+# SimplifyLineOrPolygon.java): deterministic anchors (0, floor(n/2)),
+# 4 unrolled set-based rounds, shared squared-distance expression.
+_DP_TOL2 = "4e0"
+_DP_D2 = (
+    "((b.x - a.x) * (g.y - a.y) - (b.y - a.y) * (g.x - a.x)) * "
+    "((b.x - a.x) * (g.y - a.y) - (b.y - a.y) * (g.x - a.x)) / "
+    "((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))"
+)
+
+
+def _dp_oracle(rounds: int = 4) -> str:
+    parts = [
+        f"chv2 AS (SELECT poly_id, vi, nv, x, y FROM {vertices_sql_values()} "
+        "t(poly_id, ring, vi, nv, x, y) WHERE ring = 0)",
+        "k0 AS MATERIALIZED (SELECT poly_id, vi, nv, x, y, "
+        "(vi = 0 OR vi = CAST(FLOOR(nv / 2e0) AS BIGINT)) AS kept FROM chv2)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT *, "
+            "MAX(CASE WHEN kept THEN vi END) OVER (PARTITION BY poly_id ORDER BY vi "
+            "ROWS UNBOUNDED PRECEDING) AS pa, "
+            "COALESCE(MIN(CASE WHEN kept THEN vi END) OVER (PARTITION BY poly_id "
+            "ORDER BY vi ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), nv) AS pb "
+            f"FROM k{r})"
+        )
+        parts.append(
+            f"cand{r} AS (SELECT g.poly_id, g.vi, {_DP_D2} AS d2, "
+            "ROW_NUMBER() OVER (PARTITION BY g.poly_id, g.pa "
+            f"ORDER BY {_DP_D2} DESC, g.vi) AS rn "
+            f"FROM g{r} g JOIN k{r} a ON a.poly_id = g.poly_id AND a.vi = g.pa "
+            f"JOIN k{r} b ON b.poly_id = g.poly_id AND b.vi = g.pb % g.nv "
+            "WHERE NOT g.kept)"
+        )
+        parts.append(
+            f"k{r + 1} AS MATERIALIZED (SELECT k.poly_id, k.vi, k.nv, k.x, k.y, "
+            "k.kept OR c.vi IS NOT NULL AS kept "
+            f"FROM k{r} k LEFT JOIN (SELECT poly_id, vi FROM cand{r} "
+            f"WHERE rn = 1 AND d2 > {_DP_TOL2}) c "
+            "ON c.poly_id = k.poly_id AND c.vi = k.vi)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT poly_id, vi, x, y FROM k{rounds} WHERE kept "
+        "ORDER BY poly_id, vi"
+    )
+
+
+@Q.register("simplify_polygon", _dp_oracle())
+def q_simplify_polygon(spark, sf):
+    from .operators.vector import simplify_rings
+
+    return simplify_rings(spark).orderBy("poly_id", "vi")
