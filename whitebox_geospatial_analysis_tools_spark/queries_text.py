@@ -327,3 +327,23 @@ SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
 @Q.register("ivf_topk", _ivf_sql())
 def q_ivf_topk(spark, sf):
     return simsearch.ivf_topk(_emb(spark, sf))
+
+
+# -- BPE-ish subword token count: letter runs / digit runs / single
+# punctuation marks, the GPT-2-style pre-tokenization shape (count only —
+# the LLM-pipeline sizing statistic).  Same RE2/Java-compatible ASCII
+# class pattern on both engines.
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@Q.register(
+    "bpe_token_count",
+    f"SELECT doc_id, CAST(length(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) "
+    "AS n_bpe FROM documents ORDER BY doc_id",
+)
+def q_bpe_token_count(spark, sf):
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.expr(f"CAST(size(regexp_extract_all(text, '{_BPE_PAT}', 0)) AS BIGINT)")
+        .alias("n_bpe"),
+    ).orderBy("doc_id")
