@@ -1454,3 +1454,81 @@ def q_simplify_polygon(spark, sf):
     from .operators.vector import simplify_rings
 
     return simplify_rings(spark).orderBy("poly_id", "vi")
+
+
+# -- GroupPolygonsByOrientation (VectorTools
+# GroupPolygonsByOrientation.java): long-axis orientation from the shell
+# vertex regression (the patch_orientation formula on vector vertices),
+# rounded 6 then binned into four 45-degree classes.
+_GPO_OR = (
+    "CASE WHEN sxx - sx * sx / n > 0e0 THEN "
+    "FLOOR((90e0 - DEGREES(ATAN(-(sxy - sx * sy / n) / (sxx - sx * sx / n)))) "
+    "* 1e6 + 0.5e0) / 1e6 ELSE 0e0 END"
+)
+
+
+@Q.register(
+    "group_by_orientation",
+    f"WITH chv AS (SELECT poly_id, vi, x, y FROM {vertices_sql_values()} "
+    "t(poly_id, ring, vi, nv, x, y) WHERE ring = 0), "
+    "mom AS (SELECT poly_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+    "SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM chv GROUP BY 1), "
+    f"oc AS (SELECT poly_id, CAST(FLOOR(({_GPO_OR}) / 45e0) AS BIGINT) AS oclass FROM mom) "
+    "SELECT oclass, COUNT(*) AS n_polys FROM oc GROUP BY 1 ORDER BY 1",
+)
+def q_group_by_orientation(spark, sf):
+    from .operators.vector import shell_vertices
+
+    v = shell_vertices(spark)
+    mom = v.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    oc = mom.select(
+        "poly_id",
+        F.expr(f"CAST(FLOOR(({_GPO_OR}) / 45e0) AS BIGINT)").alias("oclass"),
+    )
+    return oc.groupBy("oclass").agg(F.count(F.lit(1)).alias("n_polys")) \
+             .orderBy("oclass")
+
+
+# -- VectorCleaning (VectorTools VectorCleaning.java): snap vertices to a
+# dyadic lattice (0.25) and drop consecutive duplicates; reports per-poly
+# vertex counts before/after (exact integer arithmetic after snapping).
+@Q.register(
+    "vector_cleaning",
+    f"WITH vtx AS (SELECT poly_id, ring, vi, x, y FROM {vertices_sql_values()} "
+    "t(poly_id, ring, vi, nv, x, y)), "
+    "qz AS (SELECT poly_id, ring, vi, "
+    "FLOOR(x * 4e0 + 0.5e0) AS qx, FLOOR(y * 4e0 + 0.5e0) AS qy FROM vtx), "
+    "dl AS (SELECT poly_id, ring, vi, qx, qy, "
+    "LAG(qx) OVER w AS px, LAG(qy) OVER w AS py "
+    "FROM qz WINDOW w AS (PARTITION BY poly_id, ring ORDER BY vi)) "
+    "SELECT poly_id, COUNT(*) AS n_before, "
+    "CAST(SUM(CASE WHEN px IS NULL OR qx != px OR qy != py THEN 1 ELSE 0 END) AS BIGINT) AS n_after "
+    "FROM dl GROUP BY 1 ORDER BY 1",
+)
+def q_vector_cleaning(spark, sf):
+    from pyspark.sql import Window
+
+    from .sources.polygons import polygons_df
+
+    vtx = polygons_df(spark).select(
+        "poly_id", F.posexplode("rings").alias("ring", "r")
+    ).select("poly_id", "ring", F.posexplode("r").alias("vi", "p")).select(
+        "poly_id", "ring", "vi",
+        F.floor(F.expr("p[0]") * 4.0 + 0.5).alias("qx"),
+        F.floor(F.expr("p[1]") * 4.0 + 0.5).alias("qy"),
+    )
+    w = Window.partitionBy("poly_id", "ring").orderBy("vi")
+    dl = vtx.select(
+        "poly_id", "qx", "qy",
+        F.lag("qx").over(w).alias("px"), F.lag("qy").over(w).alias("py"),
+    )
+    return dl.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(F.expr(
+            "CASE WHEN px IS NULL OR qx != px OR qy != py THEN 1 ELSE 0 END"
+        )).cast("long").alias("n_after"),
+    ).orderBy("poly_id")
