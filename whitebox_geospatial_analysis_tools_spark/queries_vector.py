@@ -1296,7 +1296,6 @@ def q_remove_polygon_holes(spark, sf):
     "CAST(COUNT(DISTINCT poly_id) AS BIGINT) AS n_features FROM vtx",
 )
 def q_layer_footprint(spark, sf):
-    from .operators.vector import shell_vertices
     from .sources.polygons import polygons_df
 
     v = polygons_df(spark).select(
