@@ -229,7 +229,7 @@ def minimum_bounding_box(spark: SparkSession) -> DataFrame:
 
 
 def simplify_rings(spark: SparkSession, *, tol: float = 2.0,
-                   rounds: int = 4) -> DataFrame:
+                   rounds: int = 12) -> DataFrame:
     """Douglas-Peucker ring simplification
     (VectorTools/src/plugins/SimplifyLineOrPolygon.java — the reference
     delegates to the JTS DouglasPeuckerSimplifier; this determinization
@@ -239,8 +239,10 @@ def simplify_rings(spark: SparkSession, *, tol: float = 2.0,
     kept pair with two running-extreme window functions (wrap gap closes
     back on vertex 0), and the farthest vertex of each gap (squared
     perpendicular distance > tol^2; (d2 DESC, vi) tie-break) joins the
-    kept set.  Gap count doubles per round, so ceil(log2(max nv)) rounds
-    reach the DP fixpoint — 4 covers the 13-vertex shells.  All distance
+    kept set.  Each gap admits ONE vertex per round, and a maximally
+    unbalanced split refines only a 1-shorter gap — so the fixpoint needs
+    up to nv - 1 rounds, not log(nv); 12 covers the 13-vertex shells
+    (tests/test_geometry_ops.py asserts the DP tolerance contract).  All distance
     arithmetic is deterministic float (one shared expression), no
     sequential recursion anywhere.  Returns kept (poly_id, vi, x, y)."""
     v = shell_vertices(spark)
@@ -270,15 +272,17 @@ def simplify_rings(spark: SparkSession, *, tol: float = 2.0,
         av = st.select(F.col("poly_id").alias("poly_id"),
                        F.col("vi").alias("pa"),
                        F.col("x").alias("ax"), F.col("y").alias("ay"))
-        bv = st.select("poly_id", F.col("vi").alias("_pbm"),
+        # distinct column NAMES on the b side: st-derived frames share
+        # attribute ids, so bv["poly_id"] == g["poly_id"] resolves to a
+        # trivially-true self-compare (cross-polygon matches)
+        bv = st.select(F.col("poly_id").alias("bpid"),
+                       F.col("vi").alias("pbm"),
                        F.col("x").alias("bx"), F.col("y").alias("by"))
         cand = (
             g.where(~F.col("kept"))
             .join(av, ["poly_id", "pa"])
-            .join(bv.withColumnRenamed("_pbm", "pbm"),
-                  (F.col("pbm") == F.col("pb") % F.col("nv"))
-                  & (bv["poly_id"] == g["poly_id"]))
-            .drop(bv["poly_id"])
+            .join(bv, (F.col("bpid") == F.col("poly_id"))
+                  & (F.col("pbm") == F.col("pb") % F.col("nv")))
             .select("poly_id", "vi", "pa", F.expr(d2).alias("d2"))
         )
         wr = Window.partitionBy("poly_id", "pa").orderBy(
@@ -288,13 +292,16 @@ def simplify_rings(spark: SparkSession, *, tol: float = 2.0,
             cand.withColumn("rn", F.row_number().over(wr))
             .where((F.col("rn") == 1) & (F.col("d2") > tol * tol))
             .select("poly_id", "vi", F.lit(True).alias("_nk"))
+            .localCheckpoint()
         )
+        if newk.limit(1).count() == 0:
+            break  # DP fixpoint: no gap exceeds the tolerance
         st = (
             st.join(newk, ["poly_id", "vi"], "left")
             .select(
                 "poly_id", "vi", "x", "y", "nv",
                 (F.col("kept") | F.coalesce("_nk", F.lit(False))).alias("kept"),
             )
-            .localCheckpoint()  # 4 self-referencing rounds; cut lineage
+            .localCheckpoint()  # self-referencing rounds; cut lineage
         )
     return st.where(F.col("kept")).select("poly_id", "vi", "x", "y")

@@ -1410,7 +1410,7 @@ _DP_D2 = (
 )
 
 
-def _dp_oracle(rounds: int = 4) -> str:
+def _dp_oracle(rounds: int = 12) -> str:
     parts = [
         f"chv2 AS (SELECT poly_id, vi, nv, x, y FROM {vertices_sql_values()} "
         "t(poly_id, ring, vi, nv, x, y) WHERE ring = 0)",
