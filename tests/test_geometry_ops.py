@@ -120,3 +120,26 @@ def test_location_predicates_symmetry(spark):
             xa, ya, Xa, Ya = rect[r.pid_a]
             xb, yb, Xb, Yb = rect[r.pid_b]
             assert xb <= xa and yb <= ya and Xb >= Xa and Yb >= Ya
+
+
+def test_lifting_level_invariance(spark):
+    """downslope_index and stream_relief results do not depend on the
+    (sufficient) number of lifting levels."""
+    from whitebox_geospatial_analysis_tools_spark.operators import raster as R
+    from whitebox_geospatial_analysis_tools_spark.operators.hydro import (
+        downslope_index, flow_pointer_d8,
+    )
+
+    dem = R.synth_raster(spark, 40, 60)
+    ptr = flow_pointer_d8(dem)
+    z = (
+        R.explode_cells(dem)
+        .where(F.col("value") != R.NODATA)
+        .withColumnRenamed("value", "z")
+    )
+    cells = ptr.join(z, ["row", "col"])
+    a = downslope_index(cells, levels=8).toPandas() \
+        .sort_values(["row", "col"]).reset_index(drop=True)
+    b = downslope_index(cells, levels=11).toPandas() \
+        .sort_values(["row", "col"]).reset_index(drop=True)
+    assert a.equals(b)
