@@ -347,3 +347,25 @@ def q_bpe_token_count(spark, sf):
         F.expr(f"CAST(size(regexp_extract_all(text, '{_BPE_PAT}', 0)) AS BIGINT)")
         .alias("n_bpe"),
     ).orderBy("doc_id")
+
+
+# -- near-dup clustering + canonical selection (the dedup-pipeline ending):
+# connected components over the LSH candidate pairs, representative = min
+# doc_id.  Oracle = transitive closure (UNION keeps it a set) + MIN.
+@Q.register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_SHINGLE_CTE},
+b AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(band)),
+hh AS (SELECT doc_id, band, md5(band || ':' || shingle) AS h FROM sh, b),
+sig AS (SELECT doc_id, band, MIN(h) AS minh FROM hh GROUP BY 1, 2),
+ok AS (SELECT band, minh FROM sig GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+s AS (SELECT sig.* FROM sig JOIN ok USING (band, minh)),
+pe AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+  FROM s a JOIN s c ON a.band = c.band AND a.minh = c.minh AND a.doc_id != c.doc_id),
+reachc(id, rid) AS (SELECT d1, d1 FROM pe UNION
+  SELECT r.id, e.d2 FROM reachc r JOIN pe e ON e.d1 = r.rid)
+SELECT id AS doc_id, CAST(MIN(rid) AS BIGINT) AS canonical
+FROM reachc GROUP BY 1 ORDER BY 1""",
+)
+def q_dedup_clusters(spark, sf):
+    return textops.dedup_clusters(_docs(spark, sf))
