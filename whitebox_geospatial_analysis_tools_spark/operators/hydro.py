@@ -2412,38 +2412,49 @@ def mass_flux_d8(cells: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
                 }))
         return pd.concat(parts, ignore_index=True)
 
-    ext = None
-    out = None
-    for _ in range(max_rounds):
-        inp = wdf if ext is None else wdf.join(
-            F.broadcast(ext), ["row", "col"], "left"
+    def step(ext_df):
+        """One LAZY exchange step: tile solves with the given border
+        inflow joined in (None = no inflow yet)."""
+        inp = wdf if ext_df is None else wdf.join(
+            F.broadcast(ext_df), ["row", "col"], "left"
         )
-        res = (
-            inp.groupBy("_tr", "_tc").applyInPandas(kernel, schema)
-            .localCheckpoint()
-        )
-        new_ext = (
+        return inp.groupBy("_tr", "_tc").applyInPandas(kernel, schema)
+
+    def exchange(res):
+        """Border-crossing mass produced by a solve, re-keyed to the
+        receiving cell (lazy)."""
+        return (
             res.where(F.col("kind") == 1)
             .groupBy(F.col("x_row").alias("row"), F.col("x_col").alias("col"))
             .agg(F.sum("acc").alias("ext"))
             .join(wdf.select("row", "col"), ["row", "col"], "left_semi")
         )
-        if ext is None:
-            changed = new_ext.limit(1).count()
-        else:
-            changed = (
-                new_ext.alias("n")
-                .join(ext.alias("o"), ["row", "col"], "full_outer")
-                .where(
-                    F.col("n.ext").isNull() | F.col("o.ext").isNull()
-                    | (F.col("n.ext") != F.col("o.ext"))
-                )
-                .limit(1).count()
-            )
+
+    # The exchange table is broadcast back into every solve, i.e. it is
+    # REQUIRED to be broadcast-sized — so collecting it to the driver for
+    # the convergence test costs nothing extra at any scale the broadcast
+    # itself survives.  TWO exchange steps run per materialization: the
+    # second consumes the first's exchange table lazily (a broadcast
+    # exchange inside one lineage), so each outer round pays one
+    # checkpoint + one toPandas for two levels of tile-graph propagation.
+    # Convergence: per-cell mass is monotone nondecreasing in the inflow,
+    # so ext_{2k+2} == ext_{2k} pins the in-between step too — exact
+    # fixpoint detection at double speed.
+    ext = None            # driver pandas copy of the current exchange table
+    ext_df = None
+    out = None
+    for _ in range(max_rounds):
+        res = step(exchange(step(ext_df))).localCheckpoint()
+        new_ext = (
+            exchange(res).toPandas()
+            .sort_values(["row", "col"]).reset_index(drop=True)
+        )
         out = res
-        ext = new_ext.localCheckpoint()
-        if changed == 0:
+        changed = ext is None or not new_ext.equals(ext)
+        ext = new_ext
+        if not changed or len(new_ext) == 0:
             break
+        ext_df = spark.createDataFrame(new_ext, "row long, col long, ext double")
     else:
         raise RuntimeError("mass_flux_d8 did not converge; raise max_rounds")
     return out.where(F.col("kind") == 0).select(
@@ -2503,7 +2514,7 @@ def downslope_index(cells: DataFrame, *, d: float = 4.0,
     for _ in range(1, levels):
         a = jumps[-1].alias("a")
         b = jumps[-1].alias("b")
-        jumps.append(
+        nxt = (
             a.join(b, (F.col("a.erow") == F.col("b.row"))
                    & (F.col("a.ecol") == F.col("b.col")))
             .select(
@@ -2514,13 +2525,23 @@ def downslope_index(cells: DataFrame, *, d: float = 4.0,
             )
             .localCheckpoint()
         )
+        # `levels` is a CAP, not a target: once no cell has a 2^k-step
+        # successor the table is empty and every higher level is empty too
+        # (a 2^(k+1) jump composes two 2^k jumps) — stop lifting there.
+        # The count is free: the table was just materialized by the
+        # checkpoint.  The descent below is invariant to extra all-empty
+        # top levels (tested), so starting from the first empty level is
+        # identical output with fewer jobs and a shallower plan.
+        if nxt.count() == 0:
+            break
+        jumps.append(nxt)
     state = base.where(F.col("code") > 0).select(
         F.col("row").alias("srow"), F.col("col").alias("scol"),
         F.col("z").alias("zst"), F.col("row").alias("cr"),
         F.col("col").alias("cc"), F.col("z").alias("cz"),
         F.lit(0.0).alias("fl"),
     )
-    for k in range(levels - 1, -1, -1):
+    for k in range(len(jumps) - 1, -1, -1):
         jk = jumps[k].select(
             F.col("row").alias("cr"), F.col("col").alias("cc"),
             F.col("erow").alias("_er"), F.col("ecol").alias("_ec"),
@@ -2728,7 +2749,7 @@ def stream_relief(cells: DataFrame, stream: DataFrame, *,
     for _ in range(1, levels):
         a = jumps[-1].alias("a")
         b = jumps[-1].alias("b")
-        jumps.append(
+        nxt = (
             a.join(b, (F.col("a.erow") == F.col("b.row"))
                    & (F.col("a.ecol") == F.col("b.col")))
             .select(
@@ -2738,12 +2759,19 @@ def stream_relief(cells: DataFrame, stream: DataFrame, *,
             )
             .localCheckpoint()
         )
+        # `levels` caps the lift; an empty 2^k level makes all higher
+        # levels empty (composition of two empties) — stop there.  The
+        # count reads the just-materialized checkpoint; descent is
+        # invariant to dropped all-empty top levels (tested).
+        if nxt.count() == 0:
+            break
+        jumps.append(nxt)
     state = lab.where(~F.col("_s")).select(
         F.col("row").alias("srow"), F.col("col").alias("scol"),
         F.col("z").alias("zst"), F.col("row").alias("cr"),
         F.col("col").alias("cc"), F.lit(0.0).alias("fl"),
     )
-    for k in range(levels - 1, -1, -1):
+    for k in range(len(jumps) - 1, -1, -1):
         jk = jumps[k].select(
             F.col("row").alias("cr"), F.col("col").alias("cc"),
             F.col("erow").alias("_er"), F.col("ecol").alias("_ec"),
