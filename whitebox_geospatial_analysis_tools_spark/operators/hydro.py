@@ -2804,3 +2804,292 @@ def stream_relief(cells: DataFrame, stream: DataFrame, *,
         "row", "col", F.lit(0.0).alias("dist_to_stream"), F.lit(0.0).alias("hand")
     )
     return nonstream.unionByName(zero)
+
+
+# ---------------------------------------------------------------------------
+# median upstream area (Seibert & Vis creek-network median)
+# ---------------------------------------------------------------------------
+# reference scan order c = 0..7 with (xd, yd) column/row offsets and the
+# diagonal distances; first index wins slope ties (strict > replace).
+_MUA_OFFS = [  # (ci, dr, dc, dist)
+    (0, -1, 0, 1.0), (1, -1, -1, _SQRT2), (2, 0, -1, 1.0), (3, 1, -1, _SQRT2),
+    (4, 1, 0, 1.0), (5, 1, 1, _SQRT2), (6, 0, 1, 1.0), (7, -1, 1, _SQRT2),
+]
+
+
+def median_upstream_area(dem: DataFrame, acc: DataFrame, *,
+                         threshold: int = 10, rounds: int = 16) -> DataFrame:
+    """(row, col, mua): per creek cell, the MEDIAN of the upslope-area
+    values over every upstream creek cell (self-inclusive) —
+    GeasyTools/src/plugins/MedianUpstreamArea.java:300-460 semantics.
+
+    dem: (row, col, z) live cells; acc: (row, col, accum).  Creek = cells
+    with accum >= threshold; creek flow directions are recomputed by
+    steepest descent among strictly-lower creek NEIGHBORS (the reference
+    derives its own stream directions from the DEM rather than taking the
+    D8 pointer), first scan-order index winning slope ties.  Isolated
+    creek cells output their own value (the reference leaves them at the
+    raster's initial value — an init artifact, not a semantic).
+
+    Distributed shape: the median is not a mergeable aggregate, so the
+    upstream multiset is materialized as reachability pairs via DOUBLING
+    over the creek forest (P <- P union P compose P), O(log pathlen)
+    self-joins; the pair count equals the sum of upstream-set sizes — the
+    exact support of the answer, so no exact plan does asymptotically
+    less.  The creek network is a ~1% subset of the raster, which is what
+    keeps the closure affordable at scale."""
+    from pyspark.sql import Window
+
+    ck = (
+        acc.where(F.col("accum") >= threshold)
+        .join(dem, ["row", "col"])
+        .select("row", "col", "z", F.col("accum").cast("double").alias("ua"))
+        .localCheckpoint()
+    )
+    offs = ", ".join(
+        f"struct({ci} AS ci, {dr}L AS dr, {dc}L AS dc, "
+        f"CAST({dd!r}e0 AS DOUBLE) AS dd)"
+        for ci, dr, dc, dd in _MUA_OFFS
+    )
+    a = ck.select(
+        "row", "col", "z", F.expr(f"explode(array({offs}))").alias("_o")
+    ).select(
+        "row", "col", "z", F.col("_o.ci").alias("ci"), F.col("_o.dd").alias("dd"),
+        (F.col("row") + F.col("_o.dr")).alias("nrow"),
+        (F.col("col") + F.col("_o.dc")).alias("ncol"),
+    )
+    b = ck.select(F.col("row").alias("nrow"), F.col("col").alias("ncol"),
+                  F.col("z").alias("nz"))
+    cand = a.join(b, ["nrow", "ncol"]).where(F.col("nz") < F.col("z"))
+    w = Window.partitionBy("row", "col").orderBy(
+        ((F.col("z") - F.col("nz")) / F.col("dd")).desc(), F.col("ci").asc()
+    )
+    ed = (
+        cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+        .select(F.col("row").alias("ur"), F.col("col").alias("uc"),
+                F.col("nrow").alias("xr"), F.col("ncol").alias("xc"))
+        .localCheckpoint()
+    )
+    pairs = ed
+    n = pairs.count()
+    for _ in range(rounds):
+        comp = (
+            pairs.alias("a").join(
+                pairs.alias("b"),
+                (F.col("a.xr") == F.col("b.ur")) & (F.col("a.xc") == F.col("b.uc")),
+            )
+            .select(F.col("a.ur").alias("ur"), F.col("a.uc").alias("uc"),
+                    F.col("b.xr").alias("xr"), F.col("b.xc").alias("xc"))
+        )
+        new = pairs.unionByName(comp).distinct().localCheckpoint()
+        nn = new.count()
+        pairs = new
+        if nn == n:
+            break
+        n = nn
+    else:
+        raise RuntimeError("median_upstream_area closure did not converge; "
+                           "raise rounds")
+    allp = ck.select(
+        F.col("row").alias("ur"), F.col("col").alias("uc"),
+        F.col("row").alias("xr"), F.col("col").alias("xc"),
+    ).unionByName(pairs)
+    vals = allp.join(
+        ck.select(F.col("row").alias("ur"), F.col("col").alias("uc"), "ua"),
+        ["ur", "uc"],
+    )
+    return vals.groupBy(F.col("xr").alias("row"), F.col("xc").alias("col")) \
+        .agg(F.expr("percentile(ua, 5e-1)").alias("mua"))
+
+
+# ---------------------------------------------------------------------------
+# branch length (first-common-descendant distance over the D8 forest)
+# ---------------------------------------------------------------------------
+def branch_length(pointers: DataFrame, *, levels: int = 12,
+                  decimals: int = 6) -> DataFrame:
+    """(row, col, bl): BranchLength —
+    TerrainAnalysisTools/src/plugins/BranchLength.java:246-420 semantics.
+    For every adjacent cell pair (4 forward offsets E, SE, S, SW), both D8
+    flowpaths are traced downstream to their FIRST COMMON CELL; each
+    cell's candidate is its along-path distance to that meet point (or its
+    full flowpath length when the two paths never meet, i.e. different
+    terminals); a cell outputs the MAX over all pairs it participates in.
+    Cells participating in no pair (isolated) are omitted, mirroring the
+    reference's untouched-nodata init.
+
+    Distributed shape: the reference's dual walker is O(n * pathlen); here
+    the meet is a lowest-common-descendant query answered with BINARY
+    LIFTING — jump tables J_k = 2^k-step (end, length), a depth/terminal
+    pass, per-pair depth ALIGNMENT (binary decomposition of the depth
+    difference), then the classic top-down descent ("advance both while
+    the 2^k jumps differ"); meet = the one-step jump after the descent.
+    O(log pathlen) broadcast-sized equi-joins per phase, no iteration over
+    path cells — the same 100 TB path-walk shape as downslope_index.
+    Output rounds to `decimals` (lifted length sums associate differently
+    from the sequential walk)."""
+    base = pointers.select("row", "col", "code")
+    dr = F.expr(
+        "CASE WHEN code IN (1, 2, 4) THEN -1 WHEN code IN (8, 16) THEN 0 ELSE 1 END"
+    )
+    dc = F.expr(
+        "CASE WHEN code IN (1, 8, 32) THEN -1 WHEN code IN (2, 64) THEN 0 ELSE 1 END"
+    )
+    ln = F.expr(
+        f"CASE WHEN code IN (1, 4, 32, 128) THEN {_SQRT2!r} ELSE 1e0 END"
+    )
+    ends = base.select(F.col("row").alias("erow"), F.col("col").alias("ecol"))
+    j0 = (
+        base.where(F.col("code") > 0)
+        .select("row", "col", (F.col("row") + dr).alias("erow"),
+                (F.col("col") + dc).alias("ecol"), ln.alias("jlen"))
+        .join(ends, ["erow", "ecol"], "left_semi")
+        .localCheckpoint()
+    )
+    jumps = [j0]
+    for _ in range(1, levels):
+        a = jumps[-1].alias("a")
+        b = jumps[-1].alias("b")
+        nxt = (
+            a.join(b, (F.col("a.erow") == F.col("b.row"))
+                   & (F.col("a.ecol") == F.col("b.col")))
+            .select(
+                F.col("a.row").alias("row"), F.col("a.col").alias("col"),
+                F.col("b.erow").alias("erow"), F.col("b.ecol").alias("ecol"),
+                (F.col("a.jlen") + F.col("b.jlen")).alias("jlen"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        jumps.append(nxt)
+    top = len(jumps)
+
+    # depth / terminal / full-length pass (greedy top-down binary walk)
+    st = base.select(
+        "row", "col", F.col("row").alias("cr"), F.col("col").alias("cc"),
+        F.lit(0).cast("long").alias("dep"), F.lit(0.0).alias("plen"),
+    )
+    for k in range(top - 1, -1, -1):
+        jk = jumps[k].select(
+            F.col("row").alias("cr"), F.col("col").alias("cc"),
+            F.col("erow").alias("_er"), F.col("ecol").alias("_ec"),
+            F.col("jlen").alias("_jl"),
+        )
+        adv = F.col("_er").isNotNull()
+        st = st.join(jk, ["cr", "cc"], "left").select(
+            "row", "col",
+            F.when(adv, F.col("_er")).otherwise(F.col("cr")).alias("cr"),
+            F.when(adv, F.col("_ec")).otherwise(F.col("cc")).alias("cc"),
+            F.when(adv, F.col("dep") + F.lit(2 ** k)).otherwise(F.col("dep")).alias("dep"),
+            F.when(adv, F.col("plen") + F.col("_jl")).otherwise(F.col("plen")).alias("plen"),
+        )
+    pst = st.select(
+        "row", "col", F.col("cr").alias("tr"), F.col("cc").alias("tc"),
+        "dep", "plen",
+    ).localCheckpoint()
+
+    # adjacent pairs: 4 forward offsets among live cells
+    offs = ", ".join(f"struct({o[0]}L AS dr, {o[1]}L AS dc)"
+                     for o in [(0, 1), (1, 1), (1, 0), (1, -1)])
+    prs = (
+        base.select("row", "col", F.expr(f"explode(array({offs}))").alias("_o"))
+        .select(F.col("row").alias("ar"), F.col("col").alias("ac"),
+                (F.col("row") + F.col("_o.dr")).alias("br"),
+                (F.col("col") + F.col("_o.dc")).alias("bc"))
+        .join(base.select(F.col("row").alias("br"), F.col("col").alias("bc")),
+              ["br", "bc"], "left_semi")
+    )
+    sa = pst.select(F.col("row").alias("ar"), F.col("col").alias("ac"),
+                    F.col("tr").alias("atr"), F.col("tc").alias("atc"),
+                    F.col("dep").alias("adep"), F.col("plen").alias("aplen"))
+    sb = pst.select(F.col("row").alias("br"), F.col("col").alias("bc"),
+                    F.col("tr").alias("btr"), F.col("tc").alias("btc"),
+                    F.col("dep").alias("bdep"), F.col("plen").alias("bplen"))
+    pr = prs.join(sa, ["ar", "ac"]).join(sb, ["br", "bc"]).localCheckpoint()
+
+    nomeet = pr.where((F.col("atr") != F.col("btr"))
+                      | (F.col("atc") != F.col("btc"))).select(
+        "ar", "ac", "br", "bc",
+        F.col("aplen").alias("la"), F.col("bplen").alias("lb"),
+    )
+
+    # meet case: align depths, then LCD descent
+    mt = pr.where((F.col("atr") == F.col("btr"))
+                  & (F.col("atc") == F.col("btc"))).select(
+        "ar", "ac", "br", "bc",
+        F.col("ar").alias("car"), F.col("ac").alias("cac"),
+        F.col("br").alias("cbr"), F.col("bc").alias("cbc"),
+        "adep", "bdep", F.lit(0.0).alias("la"), F.lit(0.0).alias("lb"),
+    )
+    for k in range(top - 1, -1, -1):
+        ja = jumps[k].select(
+            F.col("row").alias("car"), F.col("col").alias("cac"),
+            F.col("erow").alias("_aer"), F.col("ecol").alias("_aec"),
+            F.col("jlen").alias("_ajl"),
+        )
+        jb = jumps[k].select(
+            F.col("row").alias("cbr"), F.col("col").alias("cbc"),
+            F.col("erow").alias("_ber"), F.col("ecol").alias("_bec"),
+            F.col("jlen").alias("_bjl"),
+        )
+        adva = (F.col("adep") - F.col("bdep")) >= F.lit(2 ** k)
+        advb = (F.col("bdep") - F.col("adep")) >= F.lit(2 ** k)
+        mt = mt.join(ja, ["car", "cac"], "left").join(jb, ["cbr", "cbc"], "left") \
+            .select(
+                "ar", "ac", "br", "bc",
+                F.when(adva, F.col("_aer")).otherwise(F.col("car")).alias("car"),
+                F.when(adva, F.col("_aec")).otherwise(F.col("cac")).alias("cac"),
+                F.when(advb, F.col("_ber")).otherwise(F.col("cbr")).alias("cbr"),
+                F.when(advb, F.col("_bec")).otherwise(F.col("cbc")).alias("cbc"),
+                F.when(adva, F.col("adep") - F.lit(2 ** k)).otherwise(F.col("adep")).alias("adep"),
+                F.when(advb, F.col("bdep") - F.lit(2 ** k)).otherwise(F.col("bdep")).alias("bdep"),
+                F.when(adva, F.col("la") + F.col("_ajl")).otherwise(F.col("la")).alias("la"),
+                F.when(advb, F.col("lb") + F.col("_bjl")).otherwise(F.col("lb")).alias("lb"),
+            )
+    mt = mt.localCheckpoint()
+    for k in range(top - 1, -1, -1):
+        ja = jumps[k].select(
+            F.col("row").alias("car"), F.col("col").alias("cac"),
+            F.col("erow").alias("_aer"), F.col("ecol").alias("_aec"),
+            F.col("jlen").alias("_ajl"),
+        )
+        jb = jumps[k].select(
+            F.col("row").alias("cbr"), F.col("col").alias("cbc"),
+            F.col("erow").alias("_ber"), F.col("ecol").alias("_bec"),
+            F.col("jlen").alias("_bjl"),
+        )
+        adv = (
+            F.col("_aer").isNotNull() & F.col("_ber").isNotNull()
+            & ((F.col("_aer") != F.col("_ber")) | (F.col("_aec") != F.col("_bec")))
+        )
+        mt = mt.join(ja, ["car", "cac"], "left").join(jb, ["cbr", "cbc"], "left") \
+            .select(
+                "ar", "ac", "br", "bc", "adep", "bdep",
+                F.when(adv, F.col("_aer")).otherwise(F.col("car")).alias("car"),
+                F.when(adv, F.col("_aec")).otherwise(F.col("cac")).alias("cac"),
+                F.when(adv, F.col("_ber")).otherwise(F.col("cbr")).alias("cbr"),
+                F.when(adv, F.col("_bec")).otherwise(F.col("cbc")).alias("cbc"),
+                F.when(adv, F.col("la") + F.col("_ajl")).otherwise(F.col("la")).alias("la"),
+                F.when(adv, F.col("lb") + F.col("_bjl")).otherwise(F.col("lb")).alias("lb"),
+            )
+    j0a = j0.select(F.col("row").alias("car"), F.col("col").alias("cac"),
+                    F.col("jlen").alias("_ajl"))
+    j0b = j0.select(F.col("row").alias("cbr"), F.col("col").alias("cbc"),
+                    F.col("jlen").alias("_bjl"))
+    sep = (F.col("car") != F.col("cbr")) | (F.col("cac") != F.col("cbc"))
+    met = mt.join(j0a, ["car", "cac"], "left").join(j0b, ["cbr", "cbc"], "left") \
+        .select(
+            "ar", "ac", "br", "bc",
+            F.when(sep, F.col("la") + F.col("_ajl")).otherwise(F.col("la")).alias("la"),
+            F.when(sep, F.col("lb") + F.col("_bjl")).otherwise(F.col("lb")).alias("lb"),
+        )
+
+    allc = nomeet.unionByName(met)
+    contrib = allc.select(F.col("ar").alias("row"), F.col("ac").alias("col"),
+                          F.col("la").alias("bl")) \
+        .unionByName(allc.select(F.col("br").alias("row"),
+                                 F.col("bc").alias("col"),
+                                 F.col("lb").alias("bl")))
+    return contrib.groupBy("row", "col").agg(
+        F.round(F.max("bl"), decimals).cast("double").alias("bl")
+    )

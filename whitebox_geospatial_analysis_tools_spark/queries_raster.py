@@ -5620,3 +5620,107 @@ def q_elev_above_stream(spark, sf):
         .withColumnRenamed("value", "z")
     cells = ptr.join(z, ["row", "col"])
     return stream_relief(cells, stream).orderBy("row", "col")
+
+
+# -- MedianUpstreamArea (§2.12; GeasyTools MedianUpstreamArea.java:300-460):
+# per creek cell, the median of the upslope-area values over all upstream
+# creek cells (self-inclusive); creek directions are steepest descent among
+# strictly-lower creek neighbors, first scan-order index (N,NW,W,SW,S,SE,E,NE)
+# winning ties.  Spark = doubling closure over the creek forest (O(log path)
+# self-joins); oracle = recursive-CTE closure + MEDIAN.  Median of integer
+# counts is dyadic (x or x.5) -> exact cross-engine, no rounding.
+_MUA_T = 10
+_MUA_CI = (
+    "CASE WHEN b.col - a.col = 0 AND b.row - a.row = -1 THEN 0 "
+    "WHEN b.col - a.col = -1 AND b.row - a.row = -1 THEN 1 "
+    "WHEN b.col - a.col = -1 AND b.row - a.row = 0 THEN 2 "
+    "WHEN b.col - a.col = -1 AND b.row - a.row = 1 THEN 3 "
+    "WHEN b.col - a.col = 0 AND b.row - a.row = 1 THEN 4 "
+    "WHEN b.col - a.col = 1 AND b.row - a.row = 1 THEN 5 "
+    "WHEN b.col - a.col = 1 AND b.row - a.row = 0 THEN 6 "
+    "ELSE 7 END"
+)
+
+
+@Q.register(
+    "median_upstream_area",
+    f"""WITH RECURSIVE {_HYD_BASE}, {_HYD_EDGES},
+ck AS MATERIALIZED (SELECT a.row, a.col, l.v AS z, CAST(a.accum AS DOUBLE) AS ua
+  FROM acc a JOIN live l ON l.row = a.row AND l.col = a.col
+  WHERE a.accum >= {_MUA_T}),
+cnb AS (SELECT a.row AS ur, a.col AS uc, b.row AS xr, b.col AS xc,
+  (a.z - b.z) / (CASE WHEN a.row <> b.row AND a.col <> b.col
+    THEN 1.4142135623730951e0 ELSE 1e0 END) AS slope, {_MUA_CI} AS ci
+  FROM ck a JOIN ck b ON b.row BETWEEN a.row - 1 AND a.row + 1
+    AND b.col BETWEEN a.col - 1 AND a.col + 1
+    AND NOT (b.row = a.row AND b.col = a.col)
+  WHERE b.z < a.z),
+ced AS MATERIALIZED (SELECT ur, uc, xr, xc FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ur, uc
+    ORDER BY slope DESC, ci ASC) AS rn FROM cnb) t WHERE rn = 1),
+cup(ur, uc, xr, xc) AS (SELECT ur, uc, xr, xc FROM ced UNION
+  SELECT u.ur, u.uc, e.xr, e.xc FROM cup u
+  JOIN ced e ON e.ur = u.xr AND e.uc = u.xc),
+allp AS (SELECT row AS ur, col AS uc, row AS xr, col AS xc FROM ck
+  UNION ALL SELECT ur, uc, xr, xc FROM cup)
+SELECT p.xr AS row, p.xc AS col, MEDIAN(k.ua) AS mua
+FROM allp p JOIN ck k ON k.row = p.ur AND k.col = p.uc
+GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q_median_upstream_area(spark, sf):
+    from .operators.hydro import (
+        flow_accum, flow_pointer_d8, median_upstream_area,
+    )
+
+    ptr = flow_pointer_d8(_hydem(spark))
+    acc = flow_accum(ptr)
+    z = R.explode_cells(_hydem(spark)).where(F.col("value") != _ND) \
+        .withColumnRenamed("value", "z")
+    return median_upstream_area(z, acc, threshold=_MUA_T).orderBy("row", "col")
+
+
+# -- BranchLength (§2.12; TerrainAnalysisTools BranchLength.java:246-420):
+# per adjacent pair (E/SE/S/SW), both flowpaths trace to their FIRST common
+# cell; each side's candidate = its along-path distance to the meet (full
+# path length when terminals differ); cell output = MAX over its pairs.
+# Spark = binary-lifting lowest-common-descendant (O(log path) joins);
+# oracle = recursive path closure with distance + argmin-common.  Round(6)
+# for the lifted-vs-sequential length association.
+@Q.register(
+    "branch_length",
+    f"""WITH RECURSIVE {_HYD_BASE},
+bed AS (SELECT row, col, row + {_D8_TGT_DR} AS nr, col + {_D8_TGT_DC} AS nc,
+  CASE WHEN code IN (1, 4, 32, 128) THEN 1.4142135623730951e0 ELSE 1e0 END AS sl
+  FROM d8 WHERE code > 0),
+pc(row, col, cr, cc, dist) AS (SELECT row, col, row, col, 0e0 FROM d8
+  UNION ALL SELECT p.row, p.col, e.nr, e.nc, p.dist + e.sl
+  FROM pc p JOIN bed e ON e.row = p.cr AND e.col = p.cc),
+pl AS (SELECT row, col, MAX(dist) AS plen FROM pc GROUP BY 1, 2),
+prs AS MATERIALIZED (SELECT a.row AS ar, a.col AS ac,
+  a.row + o.dr AS br, a.col + o.dc AS bc
+  FROM d8 a JOIN (VALUES (0, 1), (1, 1), (1, 0), (1, -1)) o(dr, dc) ON TRUE
+  JOIN d8 b ON b.row = a.row + o.dr AND b.col = a.col + o.dc),
+cm AS (SELECT pr.ar, pr.ac, pr.br, pr.bc, ca.dist AS da, cb.dist AS db,
+  ROW_NUMBER() OVER (PARTITION BY pr.ar, pr.ac, pr.br, pr.bc
+    ORDER BY ca.dist ASC) AS rn
+  FROM prs pr JOIN pc ca ON ca.row = pr.ar AND ca.col = pr.ac
+  JOIN pc cb ON cb.row = pr.br AND cb.col = pr.bc
+    AND cb.cr = ca.cr AND cb.cc = ca.cc),
+meet AS MATERIALIZED (SELECT ar, ac, br, bc, da, db FROM cm WHERE rn = 1),
+nm AS (SELECT pr.ar, pr.ac, pr.br, pr.bc, la.plen AS da, lb.plen AS db
+  FROM prs pr LEFT JOIN meet m ON m.ar = pr.ar AND m.ac = pr.ac
+    AND m.br = pr.br AND m.bc = pr.bc
+  JOIN pl la ON la.row = pr.ar AND la.col = pr.ac
+  JOIN pl lb ON lb.row = pr.br AND lb.col = pr.bc
+  WHERE m.ar IS NULL),
+co AS (SELECT ar AS row, ac AS col, da AS bl FROM meet
+  UNION ALL SELECT br, bc, db FROM meet
+  UNION ALL SELECT ar, ac, da FROM nm
+  UNION ALL SELECT br, bc, db FROM nm)
+SELECT row, col, CAST(ROUND(MAX(bl), 6) AS DOUBLE) AS bl
+FROM co GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q_branch_length(spark, sf):
+    from .operators.hydro import branch_length, flow_pointer_d8
+
+    return branch_length(flow_pointer_d8(_hydem(spark))).orderBy("row", "col")
