@@ -362,6 +362,39 @@ def focal(tiles: DataFrame, stat: str, *, cell_size: float = 1.0) -> DataFrame:
                     axis=0,
                 )
                 out = less / cnt
+            elif stat == "adaptive":
+                # FilterAdaptive (ImageProcessingTools FilterAdaptive.java:
+                # 258-288, intended semantics — the reference's center
+                # exclusion erroneously tests absolute grid coords): replace
+                # the center with the 8-neighbor mean iff |z - mean| exceeds
+                # 1.5 population-sigma; sigma <= 0 collapses to the mean on
+                # both ratio branches (inf -> replace, NaN -> keep == mean).
+                # Requires n > 2 valid neighbors.  Moments of <= 8 dyadic
+                # values are exact -> deterministic cross-engine.
+                nbs = np.delete(stack, 4, axis=0)
+                n = (~np.isnan(nbs)).sum(axis=0).astype(np.float64)
+                s = np.nansum(np.where(np.isnan(nbs), 0.0, nbs), axis=0)
+                s2 = np.nansum(np.where(np.isnan(nbs), 0.0, nbs * nbs), axis=0)
+                avg = s / n
+                var = s2 / n - avg * avg
+                out = np.where(
+                    var <= 0.0, avg,
+                    np.where(np.abs(centerv - avg) > 1.5 * np.sqrt(np.maximum(var, 0.0)),
+                             avg, centerv),
+                )
+                out = np.where(n > 2, out, np.nan)
+            elif stat == "valley_lq":
+                # ExtractValleysLowerQuartile (StreamNetworkAnalysisTools
+                # ExtractValleysLowerQuartile.java:244-263): 1 iff the
+                # center is <= the (n/4)-th smallest valid window value
+                # (0-indexed, n = valid count; the reference's circular
+                # filterShape mask is computed but never applied — full
+                # square window, mirrored here)
+                cnt = (~np.isnan(stack)).sum(axis=0)
+                srt = np.sort(np.where(np.isnan(stack), np.inf, stack), axis=0)
+                k = cnt // 4
+                kth = np.take_along_axis(srt, k[None], axis=0)[0]
+                out = np.where(cnt > 0, (centerv <= kth).astype(np.float64), np.nan)
             elif stat == "conservative":
                 # FilterConservativeSmoothing.java:170-213: clamp the center
                 # into the [min, max] envelope of its available 8 neighbors

@@ -5724,3 +5724,100 @@ def q_branch_length(spark, sf):
     from .operators.hydro import branch_length, flow_pointer_d8
 
     return branch_length(flow_pointer_d8(_hydem(spark))).orderBy("row", "col")
+
+
+# -- exposure towards a wind flux (§2.5; TerrainAnalysisTools
+# ExposureTowardsWindFlux.java:262-283, slope/aspect/horizon-angle mode):
+# exposure = cos(slope)*sin(HA) + sin(slope)*cos(HA)*cos(relAspect), all
+# angles from the engine's round-6 degree kernels (slope, aspect, east
+# horizon angle) so both engines branch on identical inputs; relAspect =
+# angular distance of the aspect from the east azimuth folded to [0, 180]
+# (the relative_aspect fold).  Cells without an eastern horizon sample
+# (last column of each row) are omitted, mirroring the HA raster extent.
+@Q.register(
+    "wind_exposure",
+    f"""WITH {_RASF}, {_W9}, live AS (SELECT * FROM ras WHERE {_NDF}),
+slp AS (SELECT row, col, (FLOOR(({_SLOPE_SQL}) * 1e6 + 0.5e0) / 1e6) AS sd
+  FROM w9 {_FULLW}),
+asp AS (SELECT row, col, (FLOOR(({_ASPECT_SQL}) * 1e6 + 0.5e0) / 1e6) AS value
+  FROM w9 {_FULLW}),
+ra AS (SELECT row, col, LEAST({_REL_D}, 360e0 - {_REL_D}) AS rd FROM asp),
+ha AS (SELECT a.row, a.col,
+  (FLOOR(DEGREES(ATAN(MAX((b.value - a.value) / (b.col - a.col)))) * 1e6 + 0.5e0) / 1e6) AS hd
+  FROM live a JOIN live b ON b.row = a.row AND b.col > a.col GROUP BY 1, 2)
+SELECT s.row, s.col,
+  (FLOOR((COS(RADIANS(s.sd)) * SIN(RADIANS(h.hd))
+    + SIN(RADIANS(s.sd)) * COS(RADIANS(h.hd)) * COS(RADIANS(r.rd)))
+    * 1e6 + 0.5e0) / 1e6) AS value
+FROM slp s JOIN ra r ON r.row = s.row AND r.col = s.col
+JOIN ha h ON h.row = s.row AND h.col = s.col
+ORDER BY 1, 2""",
+)
+def q_wind_exposure(spark, sf):
+    slp = _explode_focal(spark, "slope").withColumnRenamed("value", "sd")
+    asp = _explode_focal(spark, "aspect")
+    ra = asp.select(
+        "row", "col",
+        F.expr(f"LEAST({_REL_D}, 360e0 - {_REL_D})").alias("rd"),
+    )
+    ha = q_horizon_angle(spark, sf).withColumnRenamed("horizon_deg", "hd")
+    return (
+        slp.join(ra, ["row", "col"]).join(ha, ["row", "col"])
+        .select(
+            "row", "col",
+            F.expr(
+                "FLOOR((COS(RADIANS(sd)) * SIN(RADIANS(hd)) "
+                "+ SIN(RADIANS(sd)) * COS(RADIANS(hd)) * COS(RADIANS(rd))) "
+                "* 1e6 + 0.5e0) / 1e6"
+            ).alias("value"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+# -- ExtractValleysLowerQuartile (§2.12; StreamNetworkAnalysisTools
+# ExtractValleysLowerQuartile.java:244-263, filter_size=3): cell = 1 iff
+# z <= the (n/4)-th smallest valid window value (0-indexed, n = valid
+# count; the reference's circular filterShape mask is dead code — the
+# window is the full square).  Exact integer/order-statistic compare, no
+# rounding.
+@Q.register(
+    "extract_valleys_lq",
+    f"WITH {_RASF}, {_NBR2} SELECT row, col, "
+    "CASE WHEN av <= (LIST(bv ORDER BY bv) FILTER (bv != -32768e0))"
+    "[CAST(FLOOR(COUNT(*) FILTER (bv != -32768e0) / 4) AS INT) + 1] "
+    "THEN 1e0 ELSE 0e0 END AS value "
+    f"FROM nbr2 WHERE bv IS NOT NULL GROUP BY row, col, av "
+    "HAVING COUNT(*) FILTER (bv != -32768e0) > 0 ORDER BY row, col",
+)
+def q_extract_valleys_lq(spark, sf):
+    return _explode_focal(spark, "valley_lq")
+
+
+# -- FilterAdaptive (§2.5; ImageProcessingTools FilterAdaptive.java:258-288):
+# replace the center with the 8-neighbor mean iff |z - mean| > 1.5 sigma
+# (population); sigma <= 0 resolves to the mean on both of the reference's
+# ratio branches (inf -> replace, NaN -> keep == mean); needs n > 2 valid
+# neighbors.  Sums of <= 8 dyadic values are exact -> no rounding.
+@Q.register(
+    "filter_adaptive",
+    f"""WITH {_RASF},
+nbx AS (SELECT a.row, a.col, a.value AS av, b.value AS bv
+  FROM ras a JOIN ras b ON b.row BETWEEN a.row - 1 AND a.row + 1
+    AND b.col BETWEEN a.col - 1 AND a.col + 1
+    AND NOT (b.row = a.row AND b.col = a.col)
+  WHERE a.value != {R.NODATA!r}e0),
+ag AS (SELECT row, col, av,
+  COUNT(*) FILTER (bv != {R.NODATA!r}e0) AS n,
+  SUM(bv) FILTER (bv != {R.NODATA!r}e0) AS s,
+  SUM(bv * bv) FILTER (bv != {R.NODATA!r}e0) AS s2
+  FROM nbx GROUP BY 1, 2, 3
+  HAVING COUNT(*) FILTER (bv != {R.NODATA!r}e0) > 2)
+SELECT row, col, CASE
+  WHEN s2 / n - (s / n) * (s / n) <= 0e0 THEN s / n
+  WHEN ABS(av - s / n) > 1.5e0 * SQRT(s2 / n - (s / n) * (s / n)) THEN s / n
+  ELSE av END AS value
+FROM ag ORDER BY row, col""",
+)
+def q_filter_adaptive(spark, sf):
+    return _explode_focal(spark, "adaptive")
