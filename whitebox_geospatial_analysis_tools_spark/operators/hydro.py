@@ -1662,12 +1662,34 @@ def dinf_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
                      decimals=decimals, weights=dinf_weights(tiles))
 
 
+def mass_flux_dinf(tiles: DataFrame, fields: DataFrame, *, tile: int = TILE,
+                   max_rounds: int = 64, decimals: int = 4) -> DataFrame:
+    """(row, col, flux): D-infinity mass transport —
+    GeasyTools/src/plugins/MassFluxDinf.java:300-390 semantics:
+    flux(c) = load(c) + sum over Dinf-upslope neighbors u of
+    w(u->c) * eff(u) * (flux(u) - absorp(u)).  Unlike the D8 variant the
+    reference applies NO zero clamp, so the transport is affine-linear and
+    runs through fd8_accum's two-pass condensed border solve (one driver
+    solve, two kernel passes) instead of the iterative exchange.
+    fields: (row, col, load, eff, absorp)."""
+    return fd8_accum(
+        tiles, tile=tile, max_rounds=max_rounds, decimals=decimals,
+        weights=dinf_weights(tiles), fields=fields,
+    ).withColumnRenamed("accum", "flux")
+
+
 def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
-              decimals: int = 4, weights: DataFrame | None = None) -> DataFrame:
+              decimals: int = 4, weights: DataFrame | None = None,
+              fields: DataFrame | None = None) -> DataFrame:
     """(row, col, accum): FD8 fractional accumulation —
     a(c) = 1 + sum over upslope neighbors of w(u->c) * a(u).
     `weights` overrides the FD8 weight table with any (row, col, ws[8])
     multiple-flow-direction split (e.g. dinf_weights).
+    `fields` (row, col, load, eff, absorp) generalizes the transport to
+    the AFFINE mass-flux form a(c) = load(c) + sum w(u->c) * eff(u) *
+    (a(u) - absorp(u)) (MassFluxDinf semantics — unclamped, hence still
+    linear in the cross-tile inflows and solvable by the same condensed
+    border system; the CLAMPED D8 variant lives in mass_flux_d8).
 
     Two-pass condensed solve (the same shape as flow_accum's D8
     condensation): MFD accumulation is *linear* in the cross-tile inflows,
@@ -1687,6 +1709,9 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
     spark = tiles.sparkSession
     _scratch.release(spark, "fd8")
     wsrc = fd8_weights(tiles) if weights is None else weights
+    if fields is not None:
+        wsrc = wsrc.join(fields.select("row", "col", "load", "eff", "absorp"),
+                         ["row", "col"], "left")
     wdf = _scratch.track(
         spark,
         wsrc.withColumn(
@@ -1709,6 +1734,14 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
             pdf["ext"].fillna(0.0).to_numpy(np.float64)
             if "ext" in pdf.columns else np.zeros(n)
         )
+        # affine-transport fields (mass flux): defaults reduce to plain
+        # accumulation (load 1, efficiency 1, absorption 0)
+        ld = (pdf["load"].to_numpy(np.float64)
+              if "load" in pdf.columns else np.ones(n))
+        we = ws * (pdf["eff"].to_numpy(np.float64)[:, None]
+                   if "eff" in pdf.columns else 1.0)
+        ab = (pdf["absorp"].to_numpy(np.float64)
+              if "absorp" in pdf.columns else np.zeros(n))
         lr, lc = rr - r0, cc - c0
         h, w = int(lr.max()) + 1, int(lc.max()) + 1
         gid = np.full((h, w), -1, dtype=np.int64)
@@ -1723,7 +1756,7 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
             tgt[m & (tgt[:, j] < 0), j] = -1
         internal = tgt >= 0
         indeg = np.bincount(tgt[internal].ravel(), minlength=n)
-        acc = 1.0 + extv
+        acc = ld + extv
         processed = np.zeros(n, dtype=bool)
         frontier = np.flatnonzero(indeg == 0)
         while frontier.size:
@@ -1733,7 +1766,7 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
                 fe = frontier[internal[frontier, j]]
                 if fe.size:
                     t = tgt[fe, j]
-                    np.add.at(acc, t, ws[fe, j] * acc[fe])
+                    np.add.at(acc, t, we[fe, j] * (acc[fe] - ab[fe]))
                     dec += np.bincount(t, minlength=n)
             indeg = indeg - dec
             frontier = np.flatnonzero((indeg == 0) & ~processed)
@@ -1752,7 +1785,8 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
                 for j in range(8):
                     fe = rem[internal[rem, j]]
                     if fe.size:
-                        np.add.at(newacc, tgt[fe, j], ws[fe, j] * acc[fe])
+                        np.add.at(newacc, tgt[fe, j],
+                                  we[fe, j] * (acc[fe] - ab[fe]))
                 delta = np.abs(newacc[rem] - acc[rem]).max()
                 acc[rem] = newacc[rem]
                 if delta <= 1e-12:
@@ -1769,7 +1803,7 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
             if m.any():
                 parts.append(pd.DataFrame({
                     "row": rr[m], "col": cc[m],
-                    "acc": ws[m, j] * acc[m],
+                    "acc": we[m, j] * (acc[m] - ab[m]),
                     "x_row": rr[m] + dr, "x_col": cc[m] + dc,
                     "kind": np.ones(m.sum(), dtype=np.int32),
                 }))
@@ -1786,6 +1820,12 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
         cc = pdf["col"].to_numpy(np.int64)
         n = len(rr)
         ws = np.asarray([list(x) for x in pdf["ws"]], dtype=np.float64)
+        ld = (pdf["load"].to_numpy(np.float64)
+              if "load" in pdf.columns else np.ones(n))
+        we = ws * (pdf["eff"].to_numpy(np.float64)[:, None]
+                   if "eff" in pdf.columns else 1.0)
+        ab = (pdf["absorp"].to_numpy(np.float64)
+              if "absorp" in pdf.columns else np.zeros(n))
         lr, lc = rr - r0, cc - c0
         h, w = int(lr.max()) + 1, int(lc.max()) + 1
         gid = np.full((h, w), -1, dtype=np.int64)
@@ -1805,10 +1845,19 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
         )
         nb = slots.size
         # state col 0 = base accumulation (ext = 0); col 1+k = response to a
-        # unit inflow at slot k (acc = 1 + ext, so d acc[s] / d ext[s] = 1)
+        # unit inflow at slot k (acc = load + ext, so d acc[s] / d ext[s]
+        # = 1).  Transfers are affine: we*(acc - absorp); the absorption
+        # offset applies ONLY to the base column — the response columns
+        # carry the pure linear part (superposition).
         state = np.zeros((n, 1 + nb))
-        state[:, 0] = 1.0
+        state[:, 0] = ld
         state[slots, 1 + np.arange(nb)] = 1.0
+
+        def _xfer(fe, j):
+            tmp = state[fe] * we[fe, j, None]
+            tmp[:, 0] -= we[fe, j] * ab[fe]
+            return tmp
+
         indeg = np.bincount(tgt[internal].ravel(), minlength=n)
         processed = np.zeros(n, dtype=bool)
         frontier = np.flatnonzero(indeg == 0)
@@ -1819,7 +1868,7 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
                 fe = frontier[internal[frontier, j]]
                 if fe.size:
                     t = tgt[fe, j]
-                    np.add.at(state, t, ws[fe, j, None] * state[fe])
+                    np.add.at(state, t, _xfer(fe, j))
                     dec += np.bincount(t, minlength=n)
             indeg = indeg - dec
             frontier = np.flatnonzero((indeg == 0) & ~processed)
@@ -1833,7 +1882,7 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
                 for j in range(8):
                     fe = rem[internal[rem, j]]
                     if fe.size:
-                        np.add.at(new, tgt[fe, j], ws[fe, j, None] * state[fe])
+                        np.add.at(new, tgt[fe, j], _xfer(fe, j))
                 delta = np.abs(new[rem] - state[rem]).max()
                 state[rem] = new[rem]
                 if delta <= 1e-12:
@@ -1844,13 +1893,13 @@ def fd8_accum(tiles: DataFrame, *, tile: int = TILE, max_rounds: int = 64,
             if not m.any():
                 continue
             src = np.flatnonzero(m)
-            wj = ws[src, j]
+            wj = we[src, j]
             dstr, dstc = rr[src] + dr, cc[src] + dc
             parts.append(pd.DataFrame({
                 "x_row": dstr, "x_col": dstc,
                 "slot_row": np.full(src.size, -1, dtype=np.int64),
                 "slot_col": np.full(src.size, -1, dtype=np.int64),
-                "coef": wj * state[src, 0],
+                "coef": wj * (state[src, 0] - ab[src]),
                 "kind": np.ones(src.size, dtype=np.int32),
             }))
             resp = wj[:, None] * state[src, 1:]

@@ -5821,3 +5821,116 @@ FROM ag ORDER BY row, col""",
 )
 def q_filter_adaptive(spark, sf):
     return _explode_focal(spark, "adaptive")
+
+
+# -- OSAVI (§2.13; ImageProcessingTools OSAVI.java:218-230): the
+# soil-adjusted NDVI variant (NIR - red) / (NIR + red + 0.16); the
+# reference's zero guard tests NIR + red (not the shifted denominator).
+@Q.register(
+    "osavi",
+    f"WITH {_RAS}, {_RAS2} SELECT a.row, a.col, "
+    "(a.value - b.value) / (a.value + b.value + 16e-2) AS value "
+    "FROM ras a JOIN ras2 b USING (row, col) "
+    f"WHERE a.value != {R.NODATA!r}e0 AND b.value != {R.NODATA!r}e0 "
+    "AND a.value + b.value != 0e0 ORDER BY a.row, a.col",
+)
+def q_osavi(spark, sf):
+    out = R.zip_algebra(
+        _dem(spark, 0), _dem(spark, 1),
+        f"CASE WHEN x + y = 0e0 THEN {R.NODATA!r}e0 "
+        "ELSE (x - y) / (x + y + 16e-2) END",
+    )
+    return (
+        R.explode_cells(out).where(F.col("value") != _ND).orderBy("row", "col")
+    )
+
+
+# -- Min/MaxAbsOverlay (§2.7; GISTools MaxAbsOverlay.java:208-232 and the
+# Min/Max siblings): per cell across the stack, the FIRST band whose
+# |z| (resp. z) is strictly extreme wins — strict compares preserve the
+# earliest band on ties; nodata bands are skipped per cell.  Three-band
+# stack; exact compares, no rounding.
+_MAXABS_PICK = (
+    "CASE WHEN {b} IS NOT NULL AND ({v} IS NULL OR {b} * {b} > {v} * {v}) "
+    "THEN {b} ELSE {v} END"
+)
+
+
+@Q.register(
+    "max_abs_overlay",
+    f"""WITH {_RAS}, {_RAS2}, {_RAS3},
+st AS (SELECT a.row, a.col,
+  NULLIF(a.value, {R.NODATA!r}e0) AS v0,
+  NULLIF(b.value, {R.NODATA!r}e0) AS v1,
+  NULLIF(c.value, {R.NODATA!r}e0) AS v2
+  FROM ras a JOIN ras2 b USING (row, col) JOIN ras3 c USING (row, col)),
+p1 AS (SELECT row, col, v1, v2, {_MAXABS_PICK.format(b='v0', v='CAST(NULL AS DOUBLE)')} AS pk FROM st),
+p2 AS (SELECT row, col, v2, {_MAXABS_PICK.format(b='v1', v='pk')} AS pk FROM p1),
+p3 AS (SELECT row, col, {_MAXABS_PICK.format(b='v2', v='pk')} AS pk FROM p2)
+SELECT row, col, pk AS value FROM p3 WHERE pk IS NOT NULL ORDER BY row, col""",
+)
+def q_max_abs_overlay(spark, sf):
+    m = (
+        R.explode_cells(_dem(spark, 0)).withColumnRenamed("value", "a")
+        .join(R.explode_cells(_dem(spark, 1)).withColumnRenamed("value", "b"),
+              ["row", "col"])
+        .join(R.explode_cells(_dem(spark, 2)).withColumnRenamed("value", "c"),
+              ["row", "col"])
+        .select(
+            "row", "col",
+            F.expr(f"NULLIF(a, {R.NODATA!r}e0)").alias("v0"),
+            F.expr(f"NULLIF(b, {R.NODATA!r}e0)").alias("v1"),
+            F.expr(f"NULLIF(c, {R.NODATA!r}e0)").alias("v2"),
+        )
+    )
+    pick0 = _MAXABS_PICK.format(b="v0", v="CAST(NULL AS DOUBLE)")
+    pick1 = _MAXABS_PICK.format(b="v1", v=f"({pick0})")
+    pick2 = _MAXABS_PICK.format(b="v2", v=f"({pick1})")
+    return (
+        m.select("row", "col", F.expr(pick2).alias("value"))
+        .where(F.col("value").isNotNull())
+        .orderBy("row", "col")
+    )
+
+
+# -- MassFluxDinf (§2.12; GeasyTools MassFluxDinf.java:300-390): D-infinity
+# proportional mass transport flux(c) = load(c) + sum w(u->c) * eff(u) *
+# (flux(u) - absorp(u)) — the reference applies NO zero clamp (unlike the
+# D8 variant), so the transport is affine-linear and the engine runs it
+# through the fd8 two-pass condensed border solve.  Same dyadic eff/absorp
+# surfaces as mass_flux; oracle = Jacobi with the affine transfer over the
+# Dinf weight edges; round(4).
+def _mfdinf_oracle() -> str:
+    base = _dinf_accum_oracle()
+    prefix = base[: base.index("accdi(")]
+    ef = _MF_EFF.format(r="f.row", c="f.col")
+    ab = _MF_ABS.format(r="f.row", c="f.col")
+    return (
+        prefix
+        + "accmf(it, row, col, a) AS (SELECT 0, row, col, 1e0 FROM dws "
+        "UNION ALL SELECT u.it + 1, e.nr, e.nc, "
+        f"1e0 + COALESCE(SUM(CASE WHEN e.w >= 0e0 THEN e.w * ({ef}) * (u.a - ({ab})) END), 0e0) "
+        "FROM accmf u JOIN eplusd e ON e.row = u.row AND e.col = u.col "
+        "JOIN dws f ON f.row = u.row AND f.col = u.col "
+        f"WHERE u.it < {_F8K} GROUP BY 1, 2, 3)"
+    )
+
+
+@Q.register(
+    "mass_flux_dinf",
+    f"WITH RECURSIVE {_mfdinf_oracle()} "
+    "SELECT row, col, CAST(ROUND(a, 4) AS DOUBLE) AS flux "
+    f"FROM accmf WHERE it = {_F8K} ORDER BY row, col",
+)
+def q_mass_flux_dinf(spark, sf):
+    from .operators.hydro import mass_flux_dinf
+
+    dem = R.synth_raster(spark, _DROWS, _DCOLS)
+    cells = R.explode_cells(dem).where(F.col("value") != _ND)
+    fields = cells.select(
+        "row", "col",
+        F.lit(1.0).alias("load"),
+        F.expr(_MF_EFF.format(r="row", c="col")).alias("eff"),
+        F.expr(_MF_ABS.format(r="row", c="col")).alias("absorp"),
+    )
+    return mass_flux_dinf(dem, fields, tile=30).orderBy("row", "col")
