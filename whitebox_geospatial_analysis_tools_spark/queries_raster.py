@@ -5934,3 +5934,84 @@ def q_mass_flux_dinf(spark, sf):
         F.expr(_MF_ABS.format(r="row", c="col")).alias("absorp"),
     )
     return mass_flux_dinf(dem, fields, tile=30).orderBy("row", "col")
+
+
+# -- WallWatershed (§2.12; HydroTools WallWatershed.java:255-280, raster
+# mode): watershed cells with ANY of the 8 neighbor positions holding a
+# DIFFERENT label (off-grid / nodata count as different) get dem +
+# increment; the reference leaves interior watershed cells at the
+# output's nodata init (only the walls and the outside survive — here
+# every live cell is in some watershed, so the result is the wall set).
+_WW_INC = "100e0"
+
+
+@Q.register(
+    "wall_watershed",
+    f"""WITH RECURSIVE {_HYD_BASE},
+edges AS (SELECT row * 1000000 + col AS id,
+  (row + {_DRC.replace('code', 'code')}) * 1000000 +
+  (col + {_DCC.replace('code', 'code')}) AS nid FROM d8 WHERE code > 0),
+terminals AS (SELECT row * 1000000 + col AS id FROM d8 WHERE code = 0),
+walk(id, cur) AS (SELECT id, id FROM (SELECT row * 1000000 + col AS id FROM d8)
+  UNION SELECT w.id, e.nid FROM walk w JOIN edges e ON e.id = w.cur),
+root AS (SELECT w.id, w.cur AS ws FROM walk w JOIN terminals t ON w.cur = t.id),
+wsl AS MATERIALIZED (SELECT CAST(FLOOR(r.id / 1000000) AS BIGINT) AS row,
+  CAST(r.id % 1000000 AS BIGINT) AS col, r.ws
+  FROM root r JOIN live l ON l.row * 1000000 + l.col = r.id
+  WHERE l.v IS NOT NULL),
+cnt AS (SELECT a.row, a.col, COUNT(b.row) AS nsame
+  FROM wsl a LEFT JOIN wsl b ON b.row BETWEEN a.row - 1 AND a.row + 1
+    AND b.col BETWEEN a.col - 1 AND a.col + 1
+    AND NOT (b.row = a.row AND b.col = a.col) AND b.ws = a.ws
+  GROUP BY 1, 2)
+SELECT c.row, c.col, l.v + {_WW_INC} AS walled
+FROM cnt c JOIN live l ON l.row = c.row AND l.col = c.col
+WHERE c.nsame < 8 ORDER BY 1, 2""",
+)
+def q_wall_watershed(spark, sf):
+    from .operators.hydro import flow_pointer_d8, watershed
+
+    dem = _hydem(spark)
+    ws = watershed(flow_pointer_d8(dem))
+    offs = ", ".join(f"struct({dr}L AS dr, {dc}L AS dc)"
+                     for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                     if not (dr == 0 and dc == 0))
+    a = ws.select("row", "col", "ws",
+                  F.expr(f"explode(array({offs}))").alias("_o")) \
+        .select("row", "col", "ws",
+                (F.col("row") + F.col("_o.dr")).alias("nrow"),
+                (F.col("col") + F.col("_o.dc")).alias("ncol"))
+    b = ws.select(F.col("row").alias("nrow"), F.col("col").alias("ncol"),
+                  F.col("ws").alias("nws"))
+    nsame = (
+        a.join(b, ["nrow", "ncol"], "left")
+        .groupBy("row", "col")
+        .agg(F.count(F.when(F.col("nws") == F.col("ws"), 1)).alias("nsame"))
+    )
+    z = R.explode_cells(dem).where(F.col("value") != _ND)
+    return (
+        nsame.where(F.col("nsame") < 8)
+        .join(z, ["row", "col"])
+        .select("row", "col", F.expr(f"value + {_WW_INC}").alias("walled"))
+        .orderBy("row", "col")
+    )
+
+
+# -- ConvertNoDataToZero (§2.2; ConversionTools ConvertNoDataToZero.java):
+# nodata cells become 0, everything else passes through — full-extent
+# output (the one raster query that does NOT filter nodata).
+@Q.register(
+    "nodata_to_zero",
+    f"WITH {_RAS} SELECT row, col, "
+    f"CASE WHEN value = {R.NODATA!r}e0 THEN 0e0 ELSE value END AS value "
+    "FROM ras ORDER BY row, col",
+)
+def q_nodata_to_zero(spark, sf):
+    # map_algebra's nodata passthrough is exactly what this tool REMOVES,
+    # so the lambda applies to the raw values array directly
+    out = _dem(spark).withColumn(
+        "values",
+        F.expr(f"transform(values, v -> CASE WHEN v = {R.NODATA!r}e0 "
+               "THEN 0e0 ELSE v END)"),
+    )
+    return R.explode_cells(out).orderBy("row", "col")
