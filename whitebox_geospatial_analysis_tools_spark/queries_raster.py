@@ -6015,3 +6015,106 @@ def q_nodata_to_zero(spark, sf):
                "THEN 0e0 ELSE v END)"),
     )
     return R.explode_cells(out).orderBy("row", "col")
+
+
+# -- TurningBands random-field simulation (§2.13; RasterCreation
+# TurningBands.java:258-395, standard mode, LCG-determinized like
+# stochastic_depressions): K band lines between random edge points; a 1D
+# LCG noise process filtered by the moving triangular gradient (w * sum
+# m*T[j+h+m], zeros past the band end per the reference's unfilled tail);
+# every cell adds the band value at the truncated distance from the band
+# start to its perpendicular projection (the reference's own minus-sign
+# projection frame, mirrored verbatim); output = mean over the K bands.
+# ALL noise and line constants are derived in Python at query-build time
+# and embedded as identical literals in both plans, so the per-cell
+# arithmetic (one sqrt + clamps per band) is bit-deterministic — no
+# rounding anywhere.
+_TB_K = 6
+_TB_H = 5  # filterHalfSize
+
+
+def _tb_lit(v: float) -> str:
+    s = repr(float(v))
+    return s if "e" in s or "inf" in s or "nan" in s else s + "e0"
+
+
+def _tb_constants():
+    import math
+
+    diag = int(math.sqrt(ROWS * ROWS + COLS * COLS))
+    h = _TB_H
+    fs = 2 * h + 1
+    w = math.sqrt(36.0 / (h * (h + 1) * fs))
+    s = 987654321
+    out = []
+
+    def nxt():
+        nonlocal s
+        s = (s * 1103515245 + 12345) % (2 ** 31)
+        return s
+
+    for _ in range(_TB_K):
+        T = [0.0] * (diag + 2 * h)
+        for j in range(diag):
+            T[j] = 2.0 * (nxt() / 2.0 ** 31) - 1.0
+        y = [w * sum(m * T[j + h + m] for m in range(-h, h + 1))
+             for j in range(diag)]
+        e1 = nxt() % 4
+        e2 = e1
+        while e2 == e1:
+            e2 = nxt() % 4
+
+        def edge_pt(e):
+            u = nxt() / 2.0 ** 31
+            if e == 0:
+                return 0.0, u * (ROWS - 1)
+            if e == 1:
+                return u * (COLS - 1), 0.0
+            if e == 2:
+                return float(COLS - 1), u * (ROWS - 1)
+            return u * (COLS - 1), float(ROWS - 1)
+
+        p1x, p1y = edge_pt(e1)
+        p2x, p2y = edge_pt(e2)
+        while p1x == p2x or p1y == p2y:
+            p2x, p2y = edge_pt(e2)
+        ls = (p2y - p1y) / (p2x - p1x)
+        li = p1y - ls * p1x
+        ps = -1.0 / ls
+        sd = ls - ps
+        corners = []
+        for (rr, cc) in ((0, 0), (0, COLS), (ROWS, 0), (ROWS, COLS)):
+            pi = rr - ps * cc
+            cx = (pi - li) / sd
+            cy = ls * cx - li  # reference's own minus-sign frame
+            corners.append((cx, cy))
+        sx, sy = min(corners, key=lambda c: c[1])
+        out.append((y, ls, li, ps, sd, sx, sy, diag))
+    return out
+
+
+def _tb_cell_expr(r: str, c: str, elem: str) -> str:
+    """Shared per-cell formula text; `elem` formats (list_literal, idx)."""
+    terms = []
+    for (y, ls, li, ps, sd, sx, sy, diag) in _tb_constants():
+        ix = f"((({r}) - {_tb_lit(ps)} * ({c}) - {_tb_lit(li)}) / {_tb_lit(sd)})"
+        iy = f"({_tb_lit(ls)} * {ix} - {_tb_lit(li)})"
+        p = (f"LEAST(GREATEST(CAST(FLOOR(SQRT(({ix} - {_tb_lit(sx)}) * "
+             f"({ix} - {_tb_lit(sx)}) + ({iy} - {_tb_lit(sy)}) * "
+             f"({iy} - {_tb_lit(sy)}))) AS INT), 0), {diag - 1})")
+        lst = ", ".join(_tb_lit(v) for v in y)
+        terms.append(elem.format(lst=lst, idx=f"{p} + 1"))
+    return "(" + " + ".join(terms) + f") / {_TB_K}e0"
+
+
+@Q.register(
+    "turning_bands",
+    f"WITH {_RAS} SELECT row, col, "
+    + _tb_cell_expr("row", "col", "([{lst}])[{idx}]")
+    + f" AS value FROM ras WHERE {_NDF} ORDER BY row, col",
+)
+def q_turning_bands(spark, sf):
+    cells = R.explode_cells(_dem(spark)).where(F.col("value") != _ND)
+    expr = _tb_cell_expr("row", "col", "element_at(array({lst}), {idx})")
+    return cells.select("row", "col", F.expr(expr).alias("value")) \
+        .orderBy("row", "col")
