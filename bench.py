@@ -60,6 +60,9 @@ HEADLINE = [
     "ivf_topk",          # inverted-file ANN (coarse quantizer + probe)
     "downslope_index",   # binary-lifting path walk
     "convex_hull",       # set-based hull support test
+    # round-3 third-pass additions
+    "branch_length",     # binary-lifting lowest-common-descendant distances
+    "dedup_clusters",    # LSH pairs -> connected components -> canonical
 ]
 
 

@@ -61,6 +61,8 @@ CROSSJOIN_ALLOW = [
      "bounded range x range grid generator (dissolve parcel layer)"),
     (r"operators/vectorize\.py", r"\.crossJoin\(comp\.agg\(",
      "two 1-row aggregates (contour per-level stats)"),
+    (r"queries_raster\.py", r"\.crossJoin\(F\.broadcast\(zmin\)\)",
+     "1-row global-minimum aggregate (downslope_index_radius skip test)"),
 ]
 
 # partitionless Window.orderBy sites allowed: input is a BOUNDED table

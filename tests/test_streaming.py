@@ -97,3 +97,49 @@ def test_streaming_dedup(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(str(tmp_path / "out")).select("text").toPandas()
     assert sorted(got["text"]) == ["alpha", "beta", "gamma"]
+
+
+def test_streaming_near_dup_across_batches(spark, tmp_path):
+    """Minhash-LSH bucket state crosses micro-batches: a near-copy arriving
+    in a LATER batch is flagged against the first batch's occupant, and the
+    flagged pair equals the batch lsh_candidate_pairs result on the union."""
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_spark.operators import textops
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different text with no shared word trigrams at all"
+    third = "yet another unrelated document body for the second batch here"
+    src = tmp_path / "src3"
+    src.mkdir()
+    ts = pd.Timestamp("2026-01-01 00:00:00")
+    for i, batch in enumerate([
+        [("u1", base), ("u2", other)],
+        [("u3", base), ("u4", third)],   # u3 = near-copy of batch-1's u1
+    ]):
+        pdf = pd.DataFrame({
+            "url": [u for u, _ in batch],
+            "warc_ts": [ts + pd.Timedelta(minutes=i)] * len(batch),
+            "html": [b""] * len(batch),
+            "text": [t for _, t in batch],
+            "lang": ["en"] * len(batch),
+        })
+        spark.createDataFrame(pdf, ingest.PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    stream = ingest.read_pages_stream(spark, str(src), max_files_per_trigger=1) \
+        .withColumn("doc_id", F.expr("CAST(substring(url, 2) AS LONG)"))
+    flagged = ingest.streaming_near_dup(stream)
+    assert flagged.isStreaming
+    ingest.run_update_mode(flagged, str(tmp_path / "ckpt3"), "near_dup_stream")
+    got = spark.table("near_dup_stream").toPandas()
+
+    # u3 flagged against u1 in every band (identical shingle sets)
+    assert set(zip(got["doc_id"], got["dup_of"])) == {(3, 1)}
+    assert sorted(got["band"]) == [0, 1, 2, 3]
+
+    # batch twin agrees on the candidate pair set
+    docs = spark.read.parquet(str(src)) \
+        .withColumn("doc_id", F.expr("CAST(substring(url, 2) AS LONG)"))
+    pairs = textops.lsh_candidate_pairs(docs).toPandas()
+    assert set(zip(pairs["d1"], pairs["d2"])) == {(1, 3)}

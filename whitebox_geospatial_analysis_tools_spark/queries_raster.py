@@ -6118,3 +6118,80 @@ def q_turning_bands(spark, sf):
     expr = _tb_cell_expr("row", "col", "element_at(array({lst}), {idx})")
     return cells.select("row", "col", F.expr(expr).alias("value")) \
         .orderBy("row", "col")
+
+
+# -- DownslopeIndex_Radius (§2.12; GeasyTools DownslopeIndex_Radius.java:
+# 300-360, tangent mode): expanding Chebyshev-ring search for the nearest
+# cell with elevation drop > d; the loop stops at the FIRST ring containing
+# a qualifying cell and takes that ring's min Euclidean distance (strict <
+# with i-then-j scan order on ties — mirrored as the rank key), so a
+# diagonal ring-r cell can beat a nearer ring-(r+1) cell, per reference.
+# Output = heightDiff / distance; cells <= global_min + d are skipped.
+_DIR_D = "4e0"
+_DIR_R = 6
+
+
+def _dir_offsets():
+    out = []
+    for r in range(1, _DIR_R + 1):
+        for i in range(-r, r + 1):          # i = column offset (outer loop)
+            for j in range(-r, r + 1):      # j = row offset (inner loop)
+                if abs(i) > r - 1 or abs(j) > r - 1:
+                    out.append((i, j, r))
+    return out
+
+
+_DIR_VALS = ", ".join(f"({i}, {j}, {r})" for i, j, r in _dir_offsets())
+
+
+@Q.register(
+    "downslope_index_radius",
+    f"""WITH {_RASF}, live AS (SELECT * FROM ras WHERE {_NDF}),
+mn AS (SELECT MIN(value) AS zmin FROM live),
+cand AS (SELECT a.row, a.col, o.ring, o.i, o.j,
+  SQRT(CAST(o.i * o.i + o.j * o.j AS DOUBLE)) AS dist,
+  a.value - b.value AS hd
+  FROM live a JOIN (VALUES {_DIR_VALS}) o(i, j, ring) ON TRUE
+  JOIN live b ON b.row = a.row + o.j AND b.col = a.col + o.i
+  JOIN mn ON a.value > mn.zmin + {_DIR_D}
+  WHERE a.value - b.value > {_DIR_D}),
+rk AS (SELECT row, col, hd / dist AS di,
+  ROW_NUMBER() OVER (PARTITION BY row, col
+    ORDER BY ring, dist, i, j) AS rn FROM cand)
+SELECT row, col, di FROM rk WHERE rn = 1 ORDER BY row, col""",
+)
+def q_downslope_index_radius(spark, sf):
+    from pyspark.sql import Window
+
+    live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
+    zmin = live.agg(F.min("value").alias("zmin"))
+    offs = ", ".join(
+        f"struct({i}L AS i, {j}L AS j, {r} AS ring, "
+        f"SQRT(CAST({i * i + j * j} AS DOUBLE)) AS dist)"
+        for i, j, r in _dir_offsets()
+    )
+    a = live.select(
+        "row", "col", "value", F.expr(f"explode(array({offs}))").alias("_o")
+    ).select(
+        "row", "col", "value",
+        F.col("_o.i").alias("i"), F.col("_o.j").alias("j"),
+        F.col("_o.ring").alias("ring"), F.col("_o.dist").alias("dist"),
+        (F.col("row") + F.col("_o.j")).alias("nrow"),
+        (F.col("col") + F.col("_o.i")).alias("ncol"),
+    )
+    b = live.select(F.col("row").alias("nrow"), F.col("col").alias("ncol"),
+                    F.col("value").alias("nv"))
+    cand = (
+        a.join(b, ["nrow", "ncol"])
+        .crossJoin(F.broadcast(zmin))
+        .where((F.col("value") > F.col("zmin") + F.expr(_DIR_D))
+               & (F.col("value") - F.col("nv") > F.expr(_DIR_D)))
+        .select("row", "col", "ring", "i", "j", "dist",
+                (F.col("value") - F.col("nv")).alias("hd"))
+    )
+    w = Window.partitionBy("row", "col").orderBy("ring", "dist", "i", "j")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+        .select("row", "col", (F.col("hd") / F.col("dist")).alias("di"))
+        .orderBy("row", "col")
+    )

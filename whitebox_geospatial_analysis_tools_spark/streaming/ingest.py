@@ -126,3 +126,70 @@ def streaming_dedup(pages: DataFrame, *, watermark: str = "1 hour") -> DataFrame
         hashed.withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def minhash_band_rows(pages: DataFrame, *, bands: int = 4) -> DataFrame:
+    """(doc_id, warc_ts, band, minh): per-ROW minhash band signatures —
+    array_min over the in-row shingle array, no explode/groupBy, so the
+    expression is legal in a streaming plan and costs zero shuffle.  The
+    salt scheme (md5(band || ':' || shingle)) is byte-identical to the
+    batch twin operators/textops.minhash_signatures, so a live stream and
+    a batch backfill land in the SAME buckets."""
+    from ..operators.textops import SHINGLE_EXPR
+
+    sh = (
+        pages.withColumn("w", F.split("text", " "))
+        .where(F.expr("size(w) >= 3"))
+        .withColumn("_sh", F.expr(SHINGLE_EXPR))
+    )
+    sig = F.array(*[
+        F.expr(f"array_min(transform(_sh, s -> md5(concat('{b}:', s))))")
+        for b in range(bands)
+    ])
+    return sh.select(
+        "doc_id", "warc_ts",
+        F.posexplode(sig).alias("band", "minh"),
+    )
+
+
+def streaming_near_dup(pages: DataFrame, *, bands: int = 4) -> DataFrame:
+    """Streaming NEAR-dup detection: minhash-LSH buckets with cross-batch
+    first-seen state (applyInPandasWithState keyed by (band, minh)).  A
+    document colliding with an earlier document in ANY band is emitted
+    with dup_of = that bucket's first occupant; state is one BIGINT per
+    occupied bucket, partitioned by key and checkpointed with the query —
+    the streaming twin of the batch lsh_candidate_pairs path.  In-batch
+    first pick is min(doc_id) (deterministic under replay)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rows = minhash_band_rows(pages, bands=bands)
+
+    def fn(key, pdf_iter, state):
+        first = state.get[0] if state.exists else None
+        docs = []
+        for pdf in pdf_iter:
+            docs.extend(int(d) for d in pdf["doc_id"])
+        if not docs:
+            return
+        if first is None:
+            first = min(docs)
+            state.update((first,))
+        yield pd.DataFrame({
+            "band": [int(key[0])] * len(docs),
+            "minh": [str(key[1])] * len(docs),
+            "doc_id": docs,
+            "dup_of": [first] * len(docs),
+        })
+
+    return (
+        rows.groupBy("band", "minh")
+        .applyInPandasWithState(
+            fn,
+            "band int, minh string, doc_id long, dup_of long",
+            "first long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        .where(F.col("doc_id") != F.col("dup_of"))
+    )
