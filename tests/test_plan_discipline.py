@@ -63,6 +63,8 @@ CROSSJOIN_ALLOW = [
      "two 1-row aggregates (contour per-level stats)"),
     (r"queries_raster\.py", r"\.crossJoin\(F\.broadcast\(zmin\)\)",
      "1-row global-minimum aggregate (downslope_index_radius skip test)"),
+    (r"queries_raster\.py", r"live\.crossJoin\(F\.broadcast\(offs\)\)",
+     "fixed 168-row ring-offset table (downslope_index_radius window)"),
 ]
 
 # partitionless Window.orderBy sites allowed: input is a BOUNDED table

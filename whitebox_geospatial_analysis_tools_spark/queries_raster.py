@@ -6146,15 +6146,21 @@ _DIR_VALS = ", ".join(f"({i}, {j}, {r})" for i, j, r in _dir_offsets())
 
 @Q.register(
     "downslope_index_radius",
-    f"""WITH {_RASF}, live AS (SELECT * FROM ras WHERE {_NDF}),
+    f"""WITH {_RASF}, live AS MATERIALIZED (SELECT * FROM ras WHERE {_NDF}),
 mn AS (SELECT MIN(value) AS zmin FROM live),
-cand AS (SELECT a.row, a.col, o.ring, o.i, o.j,
-  SQRT(CAST(o.i * o.i + o.j * o.j AS DOUBLE)) AS dist,
-  a.value - b.value AS hd
+probes AS MATERIALIZED (
+  -- PLAIN-column neighbor keys first: joining live b on a.row + o.j
+  -- expressions sends DuckDB into a nested-loop plan (3.6M x 21.6k);
+  -- materializing the shifted keys keeps it a hash join
+  SELECT a.row, a.col, a.value, o.ring, o.i, o.j,
+    SQRT(CAST(o.i * o.i + o.j * o.j AS DOUBLE)) AS dist,
+    a.row + o.j AS nrow, a.col + o.i AS ncol
   FROM live a JOIN (VALUES {_DIR_VALS}) o(i, j, ring) ON TRUE
-  JOIN live b ON b.row = a.row + o.j AND b.col = a.col + o.i
-  JOIN mn ON a.value > mn.zmin + {_DIR_D}
-  WHERE a.value - b.value > {_DIR_D}),
+  JOIN mn ON a.value > mn.zmin + {_DIR_D}),
+cand AS (SELECT p.row, p.col, p.ring, p.i, p.j, p.dist,
+  p.value - b.value AS hd
+  FROM probes p JOIN live b ON b.row = p.nrow AND b.col = p.ncol
+  WHERE p.value - b.value > {_DIR_D}),
 rk AS (SELECT row, col, hd / dist AS di,
   ROW_NUMBER() OVER (PARTITION BY row, col
     ORDER BY ring, dist, i, j) AS rn FROM cand)
@@ -6165,19 +6171,20 @@ def q_downslope_index_radius(spark, sf):
 
     live = R.explode_cells(_demf(spark)).where(F.col("value") != _ND)
     zmin = live.agg(F.min("value").alias("zmin"))
-    offs = ", ".join(
-        f"struct({i}L AS i, {j}L AS j, {r} AS ring, "
-        f"SQRT(CAST({i * i + j * j} AS DOUBLE)) AS dist)"
-        for i, j, r in _dir_offsets()
+    # offsets as a broadcast TABLE, not a 168-struct literal array: a big
+    # generator literal blows codegen into interpreted stragglers, while a
+    # broadcast-hash join stays whole-stage
+    import math
+
+    offs = spark.createDataFrame(
+        [(i, j, r, float(math.sqrt(i * i + j * j)))
+         for i, j, r in _dir_offsets()],
+        "i long, j long, ring int, dist double",
     )
-    a = live.select(
-        "row", "col", "value", F.expr(f"explode(array({offs}))").alias("_o")
-    ).select(
-        "row", "col", "value",
-        F.col("_o.i").alias("i"), F.col("_o.j").alias("j"),
-        F.col("_o.ring").alias("ring"), F.col("_o.dist").alias("dist"),
-        (F.col("row") + F.col("_o.j")).alias("nrow"),
-        (F.col("col") + F.col("_o.i")).alias("ncol"),
+    a = live.crossJoin(F.broadcast(offs)).select(
+        "row", "col", "value", "i", "j", "ring", "dist",
+        (F.col("row") + F.col("j")).alias("nrow"),
+        (F.col("col") + F.col("i")).alias("ncol"),
     )
     b = live.select(F.col("row").alias("nrow"), F.col("col").alias("ncol"),
                     F.col("value").alias("nv"))
