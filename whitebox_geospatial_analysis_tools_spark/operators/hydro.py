@@ -3142,3 +3142,217 @@ def branch_length(pointers: DataFrame, *, levels: int = 12,
     return contrib.groupBy("row", "col").agg(
         F.round(F.max("bl"), decimals).cast("double").alias("bl")
     )
+
+
+# ---------------------------------------------------------------------------
+# MDInf stream heads (truncated-accumulation creek initiation)
+# ---------------------------------------------------------------------------
+def stream_heads_mdinf(tiles: DataFrame, *, threshold: float = 30.0,
+                       tile: int = TILE, max_rounds: int = 64) -> DataFrame:
+    """(row, col, head): StreamHeadsMDInf —
+    WhiteboxGIS/.../StreamHeadsMDInf.java:330-540 semantics.  MDInf
+    accumulation runs only while a cell's area a <= threshold; a crossing
+    cell becomes a CREEK cell: its area is capped at the threshold and it
+    forwards exactly `threshold` along its single D8 direction, marking
+    the receiver as creek-fed (the receiver always crosses too).  head = a
+    crossing cell that is NOT creek-fed — the first crossing on its path.
+    Downstream truncation changes the whole field (split mass disappears,
+    D8 pushes appear), so heads cannot be read off the untruncated
+    accumulation; the dynamics are simulated.  D8 direction = the engine's
+    shared steepest-descent kernel (flow_pointer_d8), used identically in
+    the oracle.
+
+    Distributed shape: the truncated transport is NONLINEAR (per-cell mode
+    switch), so like the clamped D8 mass flux it runs as the iterative
+    tile-round exchange — exact in-tile Kahn solves, cross-tile (mass,
+    creek-marker) exchange, converging in tile-graph depth rounds (both
+    the mass field and the marker set are monotone nondecreasing)."""
+    from .raster import explode_cells
+
+    spark = tiles.sparkSession
+    _scratch.release(spark, "shmdinf")
+    z = explode_cells(tiles).where(F.col("value") != NODATA) \
+        .withColumnRenamed("value", "z")
+    base = (
+        mdinf_weights(tiles)
+        .join(flow_pointer_d8(tiles).select("row", "col", "code"),
+              ["row", "col"])
+        .join(z, ["row", "col"])
+    )
+    wdf = _scratch.track(
+        spark,
+        base.withColumn("_tr", (F.col("row") / tile).cast("long"))
+            .withColumn("_tc", (F.col("col") / tile).cast("long")).persist(),
+        "shmdinf",
+    )
+    wdf.count()
+    T = float(threshold)
+
+    schema = ("row long, col long, acc double, fed int, crossed int, "
+              "x_row long, x_col long, kind int")
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * tile, tc * tile
+        rr = pdf["row"].to_numpy(np.int64)
+        cc = pdf["col"].to_numpy(np.int64)
+        n = len(rr)
+        ws = np.asarray([list(x) for x in pdf["ws"]], dtype=np.float64)
+        code = pdf["code"].to_numpy(np.int64)
+        extv = (pdf["ext"].fillna(0.0).to_numpy(np.float64)
+                if "ext" in pdf.columns else np.zeros(n))
+        extf = (pdf["extfed"].fillna(0).to_numpy(np.int64)
+                if "extfed" in pdf.columns else np.zeros(n, np.int64))
+        lr, lc = rr - r0, cc - c0
+        h, w = int(lr.max()) + 1, int(lc.max()) + 1
+        gid = np.full((h, w), -1, dtype=np.int64)
+        gid[lr, lc] = np.arange(n)
+        # mdinf split targets
+        tgt = np.full((n, 8), -1, dtype=np.int64)
+        xok = np.zeros((n, 8), dtype=bool)   # ws>0 but off-tile
+        for j, (dr, dc, _) in enumerate(D8_OFFS):
+            t_lr, t_lc = lr + dr, lc + dc
+            m = ws[:, j] > 0.0
+            inb = m & (t_lr >= 0) & (t_lr < h) & (t_lc >= 0) & (t_lc < w)
+            tgt[inb, j] = gid[t_lr[inb], t_lc[inb]]
+            inb &= tgt[:, j] >= 0
+            xok[:, j] = m & ~inb
+            tgt[~inb, j] = -1
+        # d8 target (creek mode)
+        jd8 = np.where(code > 0,
+                       np.log2(np.maximum(code, 1)).astype(np.int64), -1)
+        d8_lr = np.where(jd8 >= 0, lr + _D8_DR[np.maximum(jd8, 0)], -1)
+        d8_lc = np.where(jd8 >= 0, lc + _D8_DC[np.maximum(jd8, 0)], -1)
+        d8in = (jd8 >= 0) & (d8_lr >= 0) & (d8_lr < h) & (d8_lc >= 0) & (d8_lc < w)
+        d8t = np.full(n, -1, dtype=np.int64)
+        d8t[d8in] = gid[d8_lr[d8in], d8_lc[d8in]]
+        d8in &= d8t >= 0
+        # Kahn indegree over the union of potential mass edges
+        indeg = np.zeros(n, dtype=np.int64)
+        np.add.at(indeg, tgt[tgt >= 0], 1)
+        # the d8 edge may coincide with an mdinf edge (same direction);
+        # count it as an extra dependency only when it is NOT already in
+        # the mdinf edge set, and decrement symmetrically below
+        dup = d8in & (np.take_along_axis(tgt, np.maximum(jd8, 0)[:, None], 1)[:, 0] >= 0)
+        add_d8 = d8in & ~dup
+        np.add.at(indeg, d8t[add_d8], 1)
+        acc = 1.0 + extv
+        fed = extf.astype(bool)
+        crossed = np.zeros(n, dtype=bool)
+        parts_x = []   # cross-tile emissions (x_row, x_col, mass, fedflag)
+        done = np.zeros(n, dtype=bool)
+        frontier = np.flatnonzero(indeg == 0)
+        while frontier.size:
+            done[frontier] = True
+            dec = np.zeros(n, dtype=np.int64)
+            for u in frontier:
+                if acc[u] > T:
+                    crossed[u] = True
+                    if d8in[u]:
+                        acc[d8t[u]] += T
+                        fed[d8t[u]] = True
+                    elif jd8[u] >= 0:
+                        parts_x.append((rr[u] + _D8_DR[jd8[u]],
+                                        cc[u] + _D8_DC[jd8[u]], T, 1))
+                else:
+                    for j in range(8):
+                        if tgt[u, j] >= 0:
+                            acc[tgt[u, j]] += ws[u, j] * acc[u]
+                        elif xok[u, j]:
+                            dr, dc, _ = D8_OFFS[j]
+                            parts_x.append((rr[u] + dr, cc[u] + dc,
+                                            ws[u, j] * acc[u], 0))
+                # decrement dependency edges regardless of mode
+                for j in range(8):
+                    if tgt[u, j] >= 0:
+                        dec[tgt[u, j]] += 1
+                if add_d8[u]:
+                    dec[d8t[u]] += 1
+            indeg = indeg - dec
+            frontier = np.flatnonzero((indeg == 0) & ~done)
+        rem = np.flatnonzero(~done)
+        if rem.size:
+            # mdinf facet weights can point uphill -> cycles strand the
+            # Kahn (same as fd8_accum): relax the remnant subgraph to its
+            # monotone fixpoint (cycle gain < 1; creek pushes are acyclic
+            # D8).  No rem -> done edge can exist, so done cells are final.
+            base = acc.copy()
+            for _ in range(10_000):
+                newacc = base.copy()
+                newfed = fed.copy()
+                for u in rem:
+                    if acc[u] > T:
+                        if d8in[u]:
+                            newacc[d8t[u]] += T
+                            newfed[d8t[u]] = True
+                    else:
+                        for j in range(8):
+                            if tgt[u, j] >= 0:
+                                newacc[tgt[u, j]] += ws[u, j] * acc[u]
+                delta = np.abs(newacc[rem] - acc[rem]).max()
+                fc = (newfed != fed).any()
+                acc[rem] = newacc[rem]
+                fed |= newfed
+                if delta <= 1e-12 and not fc:
+                    break
+            # one-time cross-tile emissions for the converged remnant
+            for u in rem:
+                if acc[u] > T:
+                    crossed[u] = True
+                    if not d8in[u] and jd8[u] >= 0:
+                        parts_x.append((rr[u] + _D8_DR[jd8[u]],
+                                        cc[u] + _D8_DC[jd8[u]], T, 1))
+                else:
+                    for j in range(8):
+                        if xok[u, j]:
+                            dr, dc, _ = D8_OFFS[j]
+                            parts_x.append((rr[u] + dr, cc[u] + dc,
+                                            ws[u, j] * acc[u], 0))
+        out = [pd.DataFrame({
+            "row": rr, "col": cc, "acc": acc,
+            "fed": fed.astype(np.int32), "crossed": crossed.astype(np.int32),
+            "x_row": np.full(n, -1, np.int64), "x_col": np.full(n, -1, np.int64),
+            "kind": np.zeros(n, np.int32),
+        })]
+        if parts_x:
+            xr = np.array([p[0] for p in parts_x], np.int64)
+            xc = np.array([p[1] for p in parts_x], np.int64)
+            xm = np.array([p[2] for p in parts_x], np.float64)
+            xf = np.array([p[3] for p in parts_x], np.int32)
+            out.append(pd.DataFrame({
+                "row": xr, "col": xc, "acc": xm,
+                "fed": xf, "crossed": np.zeros(len(xr), np.int32),
+                "x_row": xr, "x_col": xc,
+                "kind": np.ones(len(xr), np.int32),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    ext_pd = None
+    out = None
+    for _ in range(max_rounds):
+        inp = wdf if ext_pd is None else wdf.join(
+            F.broadcast(spark.createDataFrame(
+                ext_pd, "row long, col long, ext double, extfed int")),
+            ["row", "col"], "left",
+        )
+        res = inp.groupBy("_tr", "_tc").applyInPandas(kernel, schema) \
+            .localCheckpoint()
+        new_ext = (
+            res.where(F.col("kind") == 1)
+            .groupBy("row", "col")
+            .agg(F.sum("acc").alias("ext"),
+                 F.max("fed").cast("int").alias("extfed"))
+            .join(wdf.select("row", "col"), ["row", "col"], "left_semi")
+            .toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+        )
+        out = res
+        changed = ext_pd is None or not new_ext.equals(ext_pd)
+        ext_pd = new_ext
+        if not changed or len(new_ext) == 0:
+            break
+    else:
+        raise RuntimeError("stream_heads_mdinf did not converge")
+    return out.where(F.col("kind") == 0).select(
+        "row", "col",
+        ((F.col("crossed") == 1) & (F.col("fed") == 0)).cast("int").alias("head"),
+    )

@@ -6202,3 +6202,79 @@ def q_downslope_index_radius(spark, sf):
         .select("row", "col", (F.col("hd") / F.col("dist")).alias("di"))
         .orderBy("row", "col")
     )
+
+
+# -- StreamHeadsMDInf (§2.12; WhiteboxGIS StreamHeadsMDInf.java:330-540):
+# MDInf accumulation runs while a <= T; a crossing cell becomes a creek
+# cell — area capped at T, exactly T forwarded along its single D8
+# direction, receiver marked creek-fed (and always crosses).  head =
+# crossing cell that is NOT creek-fed.  Truncation changes the downstream
+# field, so the dynamics are simulated on both engines: Spark = iterative
+# tile exchange with in-tile Kahn + cycle relaxation; oracle = Jacobi with
+# the same per-cell mode switch over the mdinf weight edges plus the D8
+# creek edges.
+_SH_T = "30e0"
+
+
+def _stream_heads_oracle() -> str:
+    base = _mdinf_accum_oracle()
+    prefix = base[: base.index("accmd(")]
+    # d8 steepest pointer on the f8 fixture (same kernel text as _HYD_BASE)
+    sq2 = "1.4142135623730951e0"
+    rates = (
+        f"COALESCE((cv - n0) / {sq2}, -1e30) AS r0, COALESCE(cv - n1, -1e30) AS r1, "
+        f"COALESCE((cv - n2) / {sq2}, -1e30) AS r2, COALESCE(cv - n3, -1e30) AS r3, "
+        f"COALESCE(cv - n4, -1e30) AS r4, COALESCE((cv - n5) / {sq2}, -1e30) AS r5, "
+        f"COALESCE(cv - n6, -1e30) AS r6, COALESCE((cv - n7) / {sq2}, -1e30) AS r7"
+    )
+    code = (
+        "CASE WHEN GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) <= 0e0 THEN 0 "
+        "WHEN r0 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 1 "
+        "WHEN r1 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 2 "
+        "WHEN r2 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 4 "
+        "WHEN r3 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 8 "
+        "WHEN r4 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 16 "
+        "WHEN r5 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 32 "
+        "WHEN r6 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 64 "
+        "ELSE 128 END"
+    )
+    return (
+        prefix
+        + f"ratf8 AS (SELECT row, col, {rates} FROM w9f8), "
+        f"d8f8 AS (SELECT row, col, {code} AS code FROM ratf8), "
+        f"d8t AS MATERIALIZED (SELECT d.row, d.col, "
+        f"d.row + {_D8_TGT_DR.replace('code', 'd.code')} AS tr, "
+        f"d.col + {_D8_TGT_DC.replace('code', 'd.code')} AS tc "
+        "FROM d8f8 d WHERE d.code > 0), "
+        "shedge AS MATERIALIZED ("
+        "SELECT row, col, nr, nc, w, 0 AS isd8 FROM wemi "
+        "UNION ALL SELECT t.row, t.col, t.tr, t.tc, 0e0, 1 FROM d8t t "
+        "JOIN mws m ON m.row = t.tr AND m.col = t.tc "
+        "UNION ALL SELECT row, col, row, col, -1e0, 0 FROM mws), "
+        "shit(it, row, col, a) AS (SELECT 0, row, col, 1e0 FROM mws "
+        "UNION ALL SELECT u.it + 1, e.nr, e.nc, "
+        "1e0 + COALESCE(SUM(CASE WHEN e.w = -1e0 AND e.isd8 = 0 THEN NULL "
+        f"WHEN u.a <= {_SH_T} THEN CASE WHEN e.isd8 = 0 THEN e.w * u.a END "
+        f"ELSE CASE WHEN e.isd8 = 1 THEN {_SH_T} END END), 0e0) "
+        "FROM shit u JOIN shedge e ON e.row = u.row AND e.col = u.col "
+        f"WHERE u.it < {_F8K} GROUP BY 1, 2, 3), "
+        f"finsh AS MATERIALIZED (SELECT row, col, a FROM shit WHERE it = {_F8K}), "
+        "fedt AS (SELECT DISTINCT t.tr AS row, t.tc AS col FROM d8t t "
+        f"JOIN finsh f ON f.row = t.row AND f.col = t.col AND f.a > {_SH_T})"
+    )
+
+
+@Q.register(
+    "stream_heads_mdinf",
+    f"WITH RECURSIVE {_stream_heads_oracle()} "
+    f"SELECT f.row, f.col, CAST(CASE WHEN f.a > {_SH_T} AND fd.row IS NULL "
+    "THEN 1 ELSE 0 END AS INT) AS head "
+    "FROM finsh f LEFT JOIN fedt fd ON fd.row = f.row AND fd.col = f.col "
+    "ORDER BY f.row, f.col",
+)
+def q_stream_heads_mdinf(spark, sf):
+    from .operators.hydro import stream_heads_mdinf
+
+    dem = R.synth_raster(spark, _DROWS, _DCOLS)
+    return stream_heads_mdinf(dem, threshold=30.0, tile=30) \
+        .orderBy("row", "col")
