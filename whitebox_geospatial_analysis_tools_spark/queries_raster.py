@@ -6278,3 +6278,189 @@ def q_stream_heads_mdinf(spark, sf):
     dem = R.synth_raster(spark, _DROWS, _DCOLS)
     return stream_heads_mdinf(dem, threshold=30.0, tile=30) \
         .orderBy("row", "col")
+
+
+# -- SIDE_MDInf (§2.12; WhiteboxGIS SIDE_MDInf.java:270-540): per STREAM
+# cell, lateral inflow split by bank side.  total = (1 - T) base + T per
+# upstream stream link (D8-steepest into the cell) + accum(u) * mdinf
+# weight for every adjacent NON-stream contributor u; each non-stream
+# contribution lands LEFT or RIGHT of the stream via integer cross-product
+# tests of (inflow vector, stream D8 vector, tributary vectors) — all-same
+# tributary verdicts pick the side, disagreement / no tributary / pit /
+# head-on inflow split half-half (reference's UNKNOWN).  All side tests
+# are integer-exact; accum is the round-4 MDInf accumulation on both
+# engines; final sums (<= 8 items) round to 6.
+_SD_T = "8e0"
+# side verdict per (inflow, tributary): 1 = right, 0 = left — the
+# reference's zcpA/zcpB/zcpC chain, pure integer cross products
+_SD_SIDE = (
+    "CASE WHEN (fx * s1y - fy * s1x) * (fx * t2y - fy * t2x) > 0 "
+    "THEN CASE WHEN fx * t2y - fy * t2x > 0 THEN 1 ELSE 0 END "
+    "ELSE CASE WHEN s1x * t2y - s1y * t2x > 0 THEN 1 ELSE 0 END END"
+)
+
+
+def _sd_d8f8_sql() -> str:
+    sq2 = "1.4142135623730951e0"
+    rates = (
+        f"COALESCE((cv - n0) / {sq2}, -1e30) AS r0, COALESCE(cv - n1, -1e30) AS r1, "
+        f"COALESCE((cv - n2) / {sq2}, -1e30) AS r2, COALESCE(cv - n3, -1e30) AS r3, "
+        f"COALESCE(cv - n4, -1e30) AS r4, COALESCE((cv - n5) / {sq2}, -1e30) AS r5, "
+        f"COALESCE(cv - n6, -1e30) AS r6, COALESCE((cv - n7) / {sq2}, -1e30) AS r7"
+    )
+    code = (
+        "CASE WHEN GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) <= 0e0 THEN 0 "
+        "WHEN r0 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 1 "
+        "WHEN r1 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 2 "
+        "WHEN r2 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 4 "
+        "WHEN r3 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 8 "
+        "WHEN r4 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 16 "
+        "WHEN r5 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 32 "
+        "WHEN r6 = GREATEST(r0,r1,r2,r3,r4,r5,r6,r7) THEN 64 "
+        "ELSE 128 END"
+    )
+    return (
+        f"ratf8 AS (SELECT row, col, {rates} FROM w9f8), "
+        f"d8f8 AS MATERIALIZED (SELECT row, col, {code} AS code, "
+        f"{_D8_TGT_DR} AS sdr, {_D8_TGT_DC} AS sdc FROM ratf8)"
+    )
+
+
+def _side_mdinf_oracle() -> str:
+    base = _mdinf_accum_oracle()
+    prefix = base[: base.index("wedm")]  # keep rasf8..mws; rebuild edges
+    return (
+        prefix
+        + _sd_d8f8_sql() + ", "
+        + base[base.index("wedm"):]      # wedm/wemi/eplusm/accmd unchanged
+        + f""",
+av AS MATERIALIZED (SELECT row, col, CAST(ROUND(a, 4) AS DOUBLE) AS accum
+  FROM accmd WHERE it = {_F8K}),
+st AS MATERIALIZED (SELECT row, col FROM av WHERE accum >= {_SD_T}),
+sinfo AS (SELECT s.row, s.col, d.code, d.sdr AS s1y, d.sdc AS s1x
+  FROM st s JOIN d8f8 d ON d.row = s.row AND d.col = s.col),
+trib AS (SELECT d.row + d.sdr AS row, d.col + d.sdc AS col,
+  d.sdr AS t2y, d.sdc AS t2x
+  FROM st u JOIN d8f8 d ON d.row = u.row AND d.col = u.col AND d.code > 0
+  JOIN st s2 ON s2.row = d.row + d.sdr AND s2.col = d.col + d.sdc),
+ssc AS (SELECT t.row, t.col, COUNT(*) * {_SD_T} AS c FROM trib t GROUP BY 1, 2),
+nsp AS (SELECT e.nr AS row, e.nc AS col, a.accum * e.w AS contrib,
+  e.nc - e.col AS fx, e.nr - e.row AS fy
+  FROM wemi e JOIN st s ON s.row = e.nr AND s.col = e.nc
+  JOIN av a ON a.row = e.row AND a.col = e.col
+  LEFT JOIN st us ON us.row = e.row AND us.col = e.col
+  WHERE us.row IS NULL),
+tv AS (SELECT p.row, p.col, p.fx, p.fy,
+  COUNT(*) AS ntr, MIN({_SD_SIDE}) AS smin, MAX({_SD_SIDE}) AS smax
+  FROM nsp p JOIN sinfo si ON si.row = p.row AND si.col = p.col
+  JOIN trib t ON t.row = p.row AND t.col = p.col
+  GROUP BY 1, 2, 3, 4),
+cls AS (SELECT p.row, p.col, p.contrib,
+  CASE WHEN si.code = 0 THEN 2
+       WHEN p.fx = -si.s1x AND p.fy = -si.s1y THEN 2
+       WHEN v.ntr IS NULL OR v.smin != v.smax THEN 2
+       WHEN v.smin = 1 THEN 1 ELSE 0 END AS side
+  FROM nsp p JOIN sinfo si ON si.row = p.row AND si.col = p.col
+  LEFT JOIN tv v ON v.row = p.row AND v.col = p.col
+    AND v.fx = p.fx AND v.fy = p.fy),
+agg AS (SELECT row, col,
+  SUM(contrib) AS ctot,
+  SUM(CASE WHEN side = 1 THEN contrib WHEN side = 2 THEN contrib / 2e0
+      ELSE 0e0 END) AS cr,
+  SUM(CASE WHEN side = 0 THEN contrib WHEN side = 2 THEN contrib / 2e0
+      ELSE 0e0 END) AS cl
+  FROM cls GROUP BY 1, 2)
+SELECT s.row, s.col,
+  CAST(ROUND(1e0 - {_SD_T} + COALESCE(c.c, 0e0) + COALESCE(g.ctot, 0e0), 6) AS DOUBLE) AS total,
+  CAST(ROUND((1e0 - {_SD_T}) / 2e0 + COALESCE(c.c, 0e0) / 2e0 + COALESCE(g.cr, 0e0), 6) AS DOUBLE) AS bank_r,
+  CAST(ROUND((1e0 - {_SD_T}) / 2e0 + COALESCE(c.c, 0e0) / 2e0 + COALESCE(g.cl, 0e0), 6) AS DOUBLE) AS bank_l
+FROM st s LEFT JOIN ssc c ON c.row = s.row AND c.col = s.col
+LEFT JOIN agg g ON g.row = s.row AND g.col = s.col
+ORDER BY s.row, s.col"""
+    )
+
+
+@Q.register("side_mdinf", f"WITH RECURSIVE {_side_mdinf_oracle()}")
+def q_side_mdinf(spark, sf):
+    from .operators.hydro import (
+        D8_OFFS, flow_pointer_d8, mdinf_accum, mdinf_weights,
+    )
+
+    dem = R.synth_raster(spark, _DROWS, _DCOLS)
+    acc = mdinf_accum(dem, tile=30)          # round-4 accum, both engines
+    st = acc.where(F.col("accum") >= F.expr(_SD_T)).select("row", "col")
+    d8 = flow_pointer_d8(dem).select(
+        "row", "col", "code",
+        F.expr(_D8_TGT_DR).alias("sdr"), F.expr(_D8_TGT_DC).alias("sdc"),
+    )
+    sinfo = st.join(d8, ["row", "col"]).select(
+        "row", "col", "code", F.col("sdr").alias("s1y"), F.col("sdc").alias("s1x"),
+    )
+    # upstream stream links: T each into the receiving stream cell
+    trib = (
+        st.join(d8, ["row", "col"]).where(F.col("code") > 0)
+        .select((F.col("row") + F.col("sdr")).alias("row"),
+                (F.col("col") + F.col("sdc")).alias("col"),
+                F.col("sdr").alias("t2y"), F.col("sdc").alias("t2x"))
+        .join(st, ["row", "col"], "left_semi")
+    )
+    ssc = trib.groupBy("row", "col").agg(
+        (F.count(F.lit(1)) * F.expr(_SD_T)).alias("c"))
+    # non-stream adjacent contributors: accum * mdinf weight into the cell
+    wexp = mdinf_weights(dem).select(
+        "row", "col", F.posexplode("ws").alias("j", "w")).where(F.col("w") > 0)
+    offs = ", ".join(f"({j}, {dr}, {dc})" for j, (dr, dc, _) in enumerate(D8_OFFS))
+    om = spark.createDataFrame(
+        [(j, dr, dc) for j, (dr, dc, _) in enumerate(D8_OFFS)],
+        "j int, odr long, odc long")
+    nsp = (
+        wexp.join(F.broadcast(om), "j")
+        .select(F.col("row").alias("urow"), F.col("col").alias("ucol"), "w",
+                (F.col("row") + F.col("odr")).alias("row"),
+                (F.col("col") + F.col("odc")).alias("col"),
+                F.col("odc").alias("fx"), F.col("odr").alias("fy"))
+        .join(st, ["row", "col"], "left_semi")
+        .join(st.select(F.col("row").alias("urow"), F.col("col").alias("ucol")),
+              ["urow", "ucol"], "left_anti")
+        .join(acc.select(F.col("row").alias("urow"), F.col("col").alias("ucol"),
+                         "accum"), ["urow", "ucol"])
+        .select("row", "col", "fx", "fy",
+                (F.col("accum") * F.col("w")).alias("contrib"))
+    )
+    tv = (
+        nsp.join(sinfo, ["row", "col"])
+        .join(trib, ["row", "col"])
+        .groupBy("row", "col", "fx", "fy")
+        .agg(F.count(F.lit(1)).alias("ntr"),
+             F.expr(f"MIN({_SD_SIDE})").alias("smin"),
+             F.expr(f"MAX({_SD_SIDE})").alias("smax"))
+    )
+    cls = (
+        nsp.join(sinfo, ["row", "col"])
+        .join(tv, ["row", "col", "fx", "fy"], "left")
+        .select("row", "col", "contrib", F.expr(
+            "CASE WHEN code = 0 THEN 2 "
+            "WHEN fx = -s1x AND fy = -s1y THEN 2 "
+            "WHEN ntr IS NULL OR smin != smax THEN 2 "
+            "WHEN smin = 1 THEN 1 ELSE 0 END").alias("side"))
+    )
+    agg = cls.groupBy("row", "col").agg(
+        F.sum("contrib").alias("ctot"),
+        F.expr("SUM(CASE WHEN side = 1 THEN contrib "
+               "WHEN side = 2 THEN contrib / 2e0 ELSE 0e0 END)").alias("cr"),
+        F.expr("SUM(CASE WHEN side = 0 THEN contrib "
+               "WHEN side = 2 THEN contrib / 2e0 ELSE 0e0 END)").alias("cl"),
+    )
+    return (
+        st.join(ssc, ["row", "col"], "left").join(agg, ["row", "col"], "left")
+        .select(
+            "row", "col",
+            F.expr(f"CAST(ROUND(1e0 - {_SD_T} + COALESCE(c, 0e0) "
+                   "+ COALESCE(ctot, 0e0), 6) AS DOUBLE)").alias("total"),
+            F.expr(f"CAST(ROUND((1e0 - {_SD_T}) / 2e0 + COALESCE(c, 0e0) / 2e0 "
+                   "+ COALESCE(cr, 0e0), 6) AS DOUBLE)").alias("bank_r"),
+            F.expr(f"CAST(ROUND((1e0 - {_SD_T}) / 2e0 + COALESCE(c, 0e0) / 2e0 "
+                   "+ COALESCE(cl, 0e0), 6) AS DOUBLE)").alias("bank_l"),
+        )
+        .orderBy("row", "col")
+    )
