@@ -274,3 +274,21 @@ def test_mass_flux_tile_invariance(spark):
     a = mass_flux_d8(cells, tile=16).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
     b = mass_flux_d8(cells, tile=256).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_stream_heads_mdinf_tile_invariance(spark):
+    """The truncated-MDInf creek dynamics must be independent of the tile
+    decomposition: the cross-tile (mass, creek-marker) exchange at tile=16
+    reproduces the single-tile solve exactly, including the head flags."""
+    from whitebox_geospatial_analysis_tools_spark.operators import raster as R
+    from whitebox_geospatial_analysis_tools_spark.operators.hydro import (
+        stream_heads_mdinf,
+    )
+
+    dem = R.synth_raster(spark, 48, 64)
+    a = stream_heads_mdinf(dem, threshold=8.0, tile=16).toPandas() \
+        .sort_values(["row", "col"]).reset_index(drop=True)
+    b = stream_heads_mdinf(dem, threshold=8.0, tile=256).toPandas() \
+        .sort_values(["row", "col"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["head"] == 1).sum() > 0  # the fixture exercises real heads
