@@ -1531,3 +1531,81 @@ def q_vector_cleaning(spark, sf):
             "CASE WHEN px IS NULL OR qx != px OR qy != py THEN 1 ELSE 0 END"
         )).cast("long").alias("n_after"),
     ).orderBy("poly_id")
+
+
+# -- RemovePolygonNecks (§2.7 vector cleaning; VectorTools
+# RemovePolygonNecks.java:262-420): per shell vertex, collect the vertex
+# INDICES within `R` of it; if the index range wraps the ring seam
+# (range == nv - 1) indices below nv/2 shift up by nv; a vertex is KEPT
+# when the max gap between consecutive sorted indices >= G (its spatial
+# neighborhood contains two separated runs of the ring — a neck).  Kept
+# vertices emit as maximal index runs (necklines); non-terminal single-
+# vertex runs are discarded, the run reaching the last vertex flushes at
+# any length (reference's lineLength/terminal-flush behavior).  All index
+# math integer-exact; the distance test is one exact double compare.
+_PN_R2 = "144e0"
+_PN_G = 3
+
+
+@Q.register(
+    "remove_polygon_necks",
+    f"""WITH chv2 AS (SELECT poly_id, vi, nv, x, y FROM {vertices_sql_values()}
+  t(poly_id, ring, vi, nv, x, y) WHERE ring = 0),
+pr AS (SELECT a.poly_id, a.vi AS ci, a.nv, b.vi AS k
+  FROM chv2 a JOIN chv2 b ON b.poly_id = a.poly_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_PN_R2}),
+mm AS (SELECT poly_id, ci, nv, k,
+  MAX(k) OVER w - MIN(k) OVER w AS rng
+  FROM pr WINDOW w AS (PARTITION BY poly_id, ci)),
+ad AS (SELECT poly_id, ci, nv,
+  CASE WHEN rng = nv - 1 AND k < FLOOR(nv / 2e0) THEN k + nv ELSE k END AS kadj
+  FROM mm),
+gp AS (SELECT poly_id, ci, nv,
+  kadj - LAG(kadj) OVER (PARTITION BY poly_id, ci ORDER BY kadj) AS gap
+  FROM ad),
+mg AS (SELECT poly_id, ci, nv, MAX(gap) AS maxgap FROM gp GROUP BY 1, 2, 3),
+kept AS (SELECT poly_id, ci, nv FROM mg WHERE maxgap >= {_PN_G}),
+seg AS (SELECT poly_id, ci, nv,
+  ci - ROW_NUMBER() OVER (PARTITION BY poly_id ORDER BY ci) AS sid FROM kept),
+runs AS (SELECT poly_id, CAST(MIN(ci) AS BIGINT) AS seg_start,
+  COUNT(*) AS n_vertices, MAX(ci) AS mx, MAX(nv) AS nv
+  FROM seg GROUP BY poly_id, sid)
+SELECT poly_id, seg_start, n_vertices FROM runs
+WHERE n_vertices >= 2 OR mx = nv - 1 ORDER BY 1, 2""",
+)
+def q_remove_polygon_necks(spark, sf):
+    from pyspark.sql import Window
+
+    from .operators.vector import shell_vertices
+
+    v = shell_vertices(spark)
+    nv = v.groupBy("poly_id").agg((F.max("vi") + 1).alias("nv"))
+    a = v.join(nv, "poly_id")
+    b = v.select(F.col("poly_id"), F.col("vi").alias("k"),
+                 F.col("x").alias("bx"), F.col("y").alias("by"))
+    pr = a.join(b, "poly_id").where(F.expr(
+        f"(x - bx) * (x - bx) + (y - by) * (y - by) <= {_PN_R2}"
+    )).select("poly_id", F.col("vi").alias("ci"), "nv", "k")
+    wc = Window.partitionBy("poly_id", "ci")
+    mm = pr.withColumn("rng", F.max("k").over(wc) - F.min("k").over(wc))
+    ad = mm.select(
+        "poly_id", "ci", "nv",
+        F.expr("CASE WHEN rng = nv - 1 AND k < FLOOR(nv / 2e0) "
+               "THEN k + nv ELSE k END").alias("kadj"),
+    )
+    wg = Window.partitionBy("poly_id", "ci").orderBy("kadj")
+    gp = ad.withColumn("gap", F.col("kadj") - F.lag("kadj").over(wg))
+    mg = gp.groupBy("poly_id", "ci", "nv").agg(F.max("gap").alias("maxgap"))
+    kept = mg.where(F.col("maxgap") >= _PN_G)
+    ws = Window.partitionBy("poly_id").orderBy("ci")
+    seg = kept.withColumn("sid", F.col("ci") - F.row_number().over(ws))
+    runs = seg.groupBy("poly_id", "sid").agg(
+        F.min("ci").cast("long").alias("seg_start"),
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.max("ci").alias("mx"), F.max("nv").alias("nv"),
+    )
+    return (
+        runs.where((F.col("n_vertices") >= 2) | (F.col("mx") == F.col("nv") - 1))
+        .select("poly_id", "seg_start", "n_vertices")
+        .orderBy("poly_id", "seg_start")
+    )
