@@ -1609,3 +1609,196 @@ def q_remove_polygon_necks(spark, sf):
         .select("poly_id", "seg_start", "n_vertices")
         .orderBy("poly_id", "seg_start")
     )
+
+
+# -- FindPolygonChains (§2.4 vector analysis; VectorTools
+# FindPolygonChains.java:200-520): group elongated polygons that line up
+# end-to-end into chains.  Deviations from the reference, documented per
+# survey policy: the minimum box comes from the EXACT rotating-calipers
+# kernel (the reference brute-rotates in 0.5-degree steps); the chain
+# endpoints are the extreme vertex projections onto the box's long axis
+# (the reference picks box-corner key points nearest the axis tips); and
+# the handshake is the ORDER-INDEPENDENT mutual-nearest match (the
+# reference's scan-order exclusion can only differ when a point's best
+# partner was already consumed — a race on input order, not a geometric
+# property).  The reference's candidate test is kept verbatim: d1 < d2,
+# d1 < d3, and the span test d4 > tmp2 + (tmp3 - tmp2)/2 built from the
+# two long-axis lengths.  Chains = connected components over the linked
+# polygon pairs, labeled by min poly_id.
+_FC_EL = "15e-2"     # elongation threshold (1 - short/long)
+_FC_R2 = "400e0"     # endpoint search radius^2
+
+_FC_S = "(w.x - h.ax) * (h.bx - h.ax) + (w.y - h.ay) * (h.by - h.ay)"
+_FC_T = "(h.bx - h.ax) * (w.y - h.ay) - (h.by - h.ay) * (w.x - h.ax)"
+_FC_SAD = (
+    "LEAST(plen, qlen) + SQRT(d1)"  # tmp1
+)
+
+
+def _fc_oracle() -> str:
+    return f"""{_CH_V}, {_CH_HE},
+ext AS (SELECT h.poly_id, h.ax, h.ay, h.bx, h.by,
+  MAX({_FC_S}) AS smax, MIN({_FC_S}) AS smin,
+  MAX({_FC_T}) AS tmax, MIN({_FC_T}) AS tmin,
+  SQRT((h.bx - h.ax) * (h.bx - h.ax) + (h.by - h.ay) * (h.by - h.ay)) AS el
+  FROM he h JOIN chv w ON w.poly_id = h.poly_id
+  GROUP BY 1, 2, 3, 4, 5),
+best AS (SELECT * FROM (SELECT *,
+  ROW_NUMBER() OVER (PARTITION BY poly_id
+    ORDER BY (smax - smin) * (tmax - tmin) / (el * el), ax, ay, bx, by) AS rn
+  FROM ext) t WHERE rn = 1),
+axes AS (SELECT poly_id, ax, ay, bx, by, el,
+  (smax - smin) / el AS ldir, (tmax - tmin) / el AS lnorm FROM best),
+elo AS (SELECT *, GREATEST(ldir, lnorm) AS laxis FROM axes
+  WHERE 1e0 - LEAST(ldir, lnorm) / GREATEST(ldir, lnorm) > {_FC_EL}),
+prj AS (SELECT e.poly_id, w.vi, w.x, w.y, e.laxis,
+  CASE WHEN e.ldir >= e.lnorm THEN ({_FC_S.replace('h.', 'e.')}) / e.el
+       ELSE ({_FC_T.replace('h.', 'e.')}) / e.el END AS pr
+  FROM elo e JOIN chv w ON w.poly_id = e.poly_id),
+epA AS (SELECT poly_id, x, y, laxis FROM (SELECT *,
+  ROW_NUMBER() OVER (PARTITION BY poly_id ORDER BY pr DESC, vi) AS rn
+  FROM prj) t WHERE rn = 1),
+epB AS (SELECT poly_id, x, y, laxis FROM (SELECT *,
+  ROW_NUMBER() OVER (PARTITION BY poly_id ORDER BY pr ASC, vi) AS rn
+  FROM prj) t WHERE rn = 1),
+eps AS (SELECT a.poly_id, 1 AS e, a.x, a.y, b.x AS ox, b.y AS oy,
+  a.laxis AS plen FROM epA a JOIN epB b ON b.poly_id = a.poly_id
+  UNION ALL SELECT a.poly_id, 2, b.x, b.y, a.x, a.y, a.laxis
+  FROM epA a JOIN epB b ON b.poly_id = a.poly_id),
+cnd AS (SELECT p.poly_id AS pp, p.e AS pe, q.poly_id AS qp, q.e AS qe,
+  (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS d1,
+  p.plen, q.plen AS qlen,
+  (q.x - p.ox) * (q.x - p.ox) + (q.y - p.oy) * (q.y - p.oy) AS d2,
+  (q.ox - p.x) * (q.ox - p.x) + (q.oy - p.y) * (q.oy - p.y) AS d3,
+  SQRT((q.ox - p.ox) * (q.ox - p.ox) + (q.oy - p.oy) * (q.oy - p.oy)) AS d4
+  FROM eps p JOIN eps q ON q.poly_id != p.poly_id),
+ok AS (SELECT * FROM cnd
+  WHERE d1 <= {_FC_R2} AND d1 < d2 AND d1 < d3 AND d4 >
+    SQRT(({_FC_SAD}) * ({_FC_SAD}) + GREATEST(plen, qlen) * GREATEST(plen, qlen))
+    + (SQRT(d1) + plen + qlen
+       - SQRT(({_FC_SAD}) * ({_FC_SAD}) + GREATEST(plen, qlen) * GREATEST(plen, qlen))) * 5e-1),
+pick AS (SELECT * FROM (SELECT *,
+  ROW_NUMBER() OVER (PARTITION BY pp, pe ORDER BY d1, qp, qe) AS rn
+  FROM ok) t WHERE rn = 1),
+lnk AS (SELECT a.pp, a.qp FROM pick a JOIN pick b
+  ON b.pp = a.qp AND b.pe = a.qe AND b.qp = a.pp AND b.qe = a.pe)
+"""
+
+
+@Q.register(
+    "find_polygon_chains",
+    f"""WITH RECURSIVE {_fc_oracle()},
+cc(id, rid) AS (SELECT pp, pp FROM lnk UNION
+  SELECT c.id, l.qp FROM cc c JOIN lnk l ON l.pp = c.rid),
+grp AS (SELECT id AS poly_id, MIN(rid) AS chain FROM cc GROUP BY 1)
+SELECT g.poly_id, CAST(g.chain AS BIGINT) AS chain,
+  CAST(COUNT(*) OVER (PARTITION BY g.chain) AS BIGINT) AS n_chain
+FROM grp g ORDER BY 1""",
+)
+def q_find_polygon_chains(spark, sf):
+    from pyspark.sql import Window
+
+    from .operators.vector import convex_hull_edges, shell_vertices
+
+    he = convex_hull_edges(spark)
+    w = shell_vertices(spark).select(
+        "poly_id", "vi", F.col("x").alias("wx"), F.col("y").alias("wy"))
+    s = F.expr("(wx - ax) * (bx - ax) + (wy - ay) * (by - ay)")
+    t = F.expr("(bx - ax) * (wy - ay) - (by - ay) * (wx - ax)")
+    ext = (
+        he.join(w, "poly_id")
+        .groupBy("poly_id", "ax", "ay", "bx", "by")
+        .agg(F.max(s).alias("smax"), F.min(s).alias("smin"),
+             F.max(t).alias("tmax"), F.min(t).alias("tmin"))
+        .withColumn("el", F.expr(
+            "SQRT((bx - ax) * (bx - ax) + (by - ay) * (by - ay))"))
+    )
+    wb = Window.partitionBy("poly_id").orderBy(
+        F.expr("(smax - smin) * (tmax - tmin) / (el * el)"),
+        F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
+    best = ext.withColumn("rn", F.row_number().over(wb)).where("rn = 1")
+    axes = best.select(
+        "poly_id", "ax", "ay", "bx", "by", "el",
+        F.expr("(smax - smin) / el").alias("ldir"),
+        F.expr("(tmax - tmin) / el").alias("lnorm"),
+    )
+    elo = axes.where(F.expr(
+        f"1e0 - LEAST(ldir, lnorm) / GREATEST(ldir, lnorm) > {_FC_EL}"
+    )).withColumn("laxis", F.expr("GREATEST(ldir, lnorm)"))
+    prj = elo.join(w, "poly_id").select(
+        "poly_id", "vi", F.col("wx").alias("x"), F.col("wy").alias("y"), "laxis",
+        F.expr(
+            "CASE WHEN ldir >= lnorm THEN "
+            "((wx - ax) * (bx - ax) + (wy - ay) * (by - ay)) / el "
+            "ELSE ((bx - ax) * (wy - ay) - (by - ay) * (wx - ax)) / el END"
+        ).alias("pr"),
+    )
+    wA = Window.partitionBy("poly_id").orderBy(F.col("pr").desc(), F.col("vi"))
+    wB = Window.partitionBy("poly_id").orderBy(F.col("pr").asc(), F.col("vi"))
+    epA = prj.withColumn("rn", F.row_number().over(wA)).where("rn = 1") \
+        .select("poly_id", "x", "y", "laxis")
+    epB = prj.withColumn("rn", F.row_number().over(wB)).where("rn = 1") \
+        .select("poly_id", F.col("x").alias("bxx"), F.col("y").alias("byy"))
+    eps = (
+        epA.join(epB, "poly_id")
+        .select("poly_id", F.lit(1).alias("e"), "x", "y",
+                F.col("bxx").alias("ox"), F.col("byy").alias("oy"),
+                F.col("laxis").alias("plen"))
+        .unionByName(
+            epA.join(epB, "poly_id")
+            .select("poly_id", F.lit(2).alias("e"),
+                    F.col("bxx").alias("x"), F.col("byy").alias("y"),
+                    F.col("x").alias("ox"), F.col("y").alias("oy"),
+                    F.col("laxis").alias("plen")))
+    )
+    q = eps.select(F.col("poly_id").alias("qp"), F.col("e").alias("qe"),
+                   F.col("x").alias("qx"), F.col("y").alias("qy"),
+                   F.col("ox").alias("qox"), F.col("oy").alias("qoy"),
+                   F.col("plen").alias("qlen"))
+    cnd = eps.withColumnRenamed("poly_id", "pp").withColumnRenamed("e", "pe") \
+        .join(q, F.col("qp") != F.col("pp")).select(
+            "pp", "pe", "qp", "qe", "plen", "qlen",
+            F.expr("(x - qx) * (x - qx) + (y - qy) * (y - qy)").alias("d1"),
+            F.expr("(qx - ox) * (qx - ox) + (qy - oy) * (qy - oy)").alias("d2"),
+            F.expr("(qox - x) * (qox - x) + (qoy - y) * (qoy - y)").alias("d3"),
+            F.expr("SQRT((qox - ox) * (qox - ox) + (qoy - oy) * (qoy - oy))").alias("d4"),
+        )
+    sad = ("SQRT((LEAST(plen, qlen) + SQRT(d1)) * (LEAST(plen, qlen) + SQRT(d1)) "
+           "+ GREATEST(plen, qlen) * GREATEST(plen, qlen))")
+    ok = cnd.where(F.expr(
+        f"d1 <= {_FC_R2} AND d1 < d2 AND d1 < d3 AND d4 > {sad} "
+        f"+ (SQRT(d1) + plen + qlen - {sad}) * 5e-1"))
+    wp = Window.partitionBy("pp", "pe").orderBy("d1", "qp", "qe")
+    pick = ok.withColumn("rn", F.row_number().over(wp)).where("rn = 1") \
+        .select("pp", "pe", "qp", "qe").localCheckpoint()
+    lnk = pick.alias("a").join(
+        pick.alias("b"),
+        (F.col("b.pp") == F.col("a.qp")) & (F.col("b.pe") == F.col("a.qe"))
+        & (F.col("b.qp") == F.col("a.pp")) & (F.col("b.qe") == F.col("a.pe")),
+    ).select(F.col("a.pp").alias("pp"), F.col("a.qp").alias("qp"))
+    # min-label propagation over the tiny chain graph (paths -> few rounds)
+    edges = lnk.unionByName(
+        lnk.select(F.col("qp").alias("pp"), F.col("pp").alias("qp"))
+    ).distinct().localCheckpoint()
+    lab = edges.select(F.col("pp").alias("poly_id")).distinct() \
+        .select("poly_id", F.col("poly_id").alias("chain")).localCheckpoint()
+    for _ in range(16):
+        nb = (
+            edges.join(lab.select(F.col("poly_id").alias("qp"),
+                                  F.col("chain").alias("nc")), "qp")
+            .groupBy(F.col("pp").alias("poly_id"))
+            .agg(F.min("nc").alias("nmin"))
+        )
+        new = lab.join(nb, "poly_id", "left").select(
+            "poly_id", F.least("chain", F.coalesce("nmin", "chain")).alias("chain")
+        ).localCheckpoint()
+        changed = new.alias("n").join(lab.alias("o"), "poly_id") \
+            .where(F.col("n.chain") != F.col("o.chain")).limit(1).count()
+        lab = new
+        if changed == 0:
+            break
+    wn = Window.partitionBy("chain")
+    return lab.select(
+        "poly_id", F.col("chain").cast("long").alias("chain"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_chain"),
+    ).orderBy("poly_id")
