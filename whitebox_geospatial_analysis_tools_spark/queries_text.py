@@ -369,3 +369,72 @@ FROM reachc GROUP BY 1 ORDER BY 1""",
 )
 def q_dedup_clusters(spark, sf):
     return textops.dedup_clusters(_docs(spark, sf))
+
+
+# -- end-to-end corpus filter (the training-data pipeline composed): a
+# document SURVIVES iff (1) language id says 'en', (2) it clears the token
+# floor, (3) it is its exact-dup group's representative (min doc_id per
+# md5), and (4) it is the canonical member of its near-dup cluster (or in
+# no cluster).  One declarative plan — langid scoring, exact-dedup groupBy,
+# the one-pass minhash banding, and the cluster propagation all fuse into
+# the same DAG; at 100 TB every stage is the already-audited scale shape.
+_CF_MIN_TOK = 8
+
+
+def _corpus_filter_sql() -> str:
+    scores = textops.lang_scores_sql()
+    order = list(scores)
+    cols = ", ".join(f"({s}) AS s_{lang}" for lang, s in scores.items())
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in order) + ")"
+    pred = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in order)
+        + " END"
+    )
+    return f"""WITH RECURSIVE {_SHINGLE_CTE},
+b AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(band)),
+hh AS (SELECT doc_id, band, md5(band || ':' || shingle) AS h FROM sh, b),
+sig AS (SELECT doc_id, band, MIN(h) AS minh FROM hh GROUP BY 1, 2),
+okb AS (SELECT band, minh FROM sig GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+s AS (SELECT sig.* FROM sig JOIN okb USING (band, minh)),
+pe AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+  FROM s a JOIN s c ON a.band = c.band AND a.minh = c.minh
+  AND a.doc_id != c.doc_id),
+reachc(id, rid) AS (SELECT d1, d1 FROM pe UNION
+  SELECT r.id, e.d2 FROM reachc r JOIN pe e ON e.d1 = r.rid),
+canon AS (SELECT id AS doc_id, MIN(rid) AS canonical FROM reachc GROUP BY 1),
+lid AS (SELECT doc_id, {pred} AS pred_lang
+  FROM (SELECT doc_id, {cols} FROM documents) t),
+ex AS (SELECT md5(text) AS h, MIN(doc_id) AS rep FROM documents GROUP BY 1)
+SELECT d.doc_id, l.pred_lang,
+  CAST({textops.N_TOKENS} AS BIGINT) AS n_tokens
+FROM documents d
+JOIN lid l ON l.doc_id = d.doc_id
+JOIN ex ON ex.h = md5(d.text) AND ex.rep = d.doc_id
+LEFT JOIN canon c ON c.doc_id = d.doc_id
+WHERE l.pred_lang = 'en' AND {textops.N_TOKENS} >= {_CF_MIN_TOK}
+  AND COALESCE(c.canonical, d.doc_id) = d.doc_id
+ORDER BY d.doc_id"""
+
+
+@Q.register("corpus_filter", _corpus_filter_sql())
+def q_corpus_filter(spark, sf):
+    docs = _docs(spark, sf)
+    lid = textops.lang_id(docs)
+    base = docs.select(
+        "doc_id",
+        F.expr(f"CAST({textops.N_TOKENS} AS BIGINT)").alias("n_tokens"),
+        F.md5("text").alias("_h"),
+    )
+    exrep = base.groupBy("_h").agg(F.min("doc_id").alias("_rep"))
+    canon = textops.dedup_clusters(docs)
+    return (
+        base.join(lid, "doc_id")
+        .join(exrep, "_h")
+        .where(F.col("doc_id") == F.col("_rep"))
+        .join(canon, "doc_id", "left")
+        .where(F.expr(f"pred_lang = 'en' AND n_tokens >= {_CF_MIN_TOK} "
+                      "AND COALESCE(canonical, doc_id) = doc_id"))
+        .select("doc_id", "pred_lang", "n_tokens")
+        .orderBy("doc_id")
+    )
