@@ -100,6 +100,57 @@ def test_stream_network_tier2(spark, monkeypatch):
         ptr.unpersist()
 
 
+def test_merge_labels_long_path(spark):
+    """Path-shaped component of diameter 300 (chained templated pages):
+    the old one-hop-per-round loops (dedup_clusters rounds=32,
+    find_polygon_chains rounds=16) would exit at the cap and silently
+    mislabel the far end; hook + shortcut must converge to the single
+    component min in O(log) rounds (VERDICT r3 next-round #1)."""
+    from whitebox_geospatial_analysis_tools_spark.operators import condense
+
+    n = 300
+    pairs = spark.range(n - 1).selectExpr(
+        "id AS plabel", "id + 1 AS nplabel")
+    lab = condense.merge_labels(pairs).toPandas()
+    assert len(lab) == n
+    assert (lab["glabel"] == 0).all()
+
+
+def test_merge_labels_raises_unconverged(spark, monkeypatch):
+    """Hitting the round cap without fixpoint must be LOUD, never a silent
+    wrong answer."""
+    from whitebox_geospatial_analysis_tools_spark.operators import condense
+
+    pairs = spark.range(99).selectExpr("id AS plabel", "id + 1 AS nplabel")
+    monkeypatch.setattr(condense, "_MAX_ROUNDS", 1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        condense.merge_labels(pairs)
+
+
+def test_dedup_clusters_chained_component(spark):
+    """dedup_clusters end-to-end on documents engineered so LSH pairs chain
+    A~B, B~C, ... (each adjacent pair shares shingles, the ends share
+    none): every member must still collapse to one canonical."""
+    from whitebox_geospatial_analysis_tools_spark.operators import textops
+
+    # doc i = 40 tokens, overlapping window of a shared token stream ->
+    # adjacent docs are near-identical, distant docs unrelated
+    stream = [f"tok{j}" for j in range(400)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(stream[i * 2: i * 2 + 40])) for i in range(80)],
+        "doc_id long, text string",
+    )
+    lab = textops.dedup_clusters(docs).toPandas()
+    # whatever the pair graph is, labels must be a valid min-closure:
+    # canonical <= doc_id and canonical is itself labeled canonical
+    assert (lab["canonical"] <= lab["doc_id"]).all()
+    roots = lab.set_index("doc_id")["canonical"]
+    assert all(roots[c] == c for c in lab["canonical"].unique())
+    # and the chain construction must actually have produced a big
+    # multi-doc component (else the fixture tests nothing)
+    assert lab.groupby("canonical").size().max() >= 10
+
+
 def test_clump_distributed(spark, monkeypatch):
     cells = (
         R.explode_cells(R.synth_raster(spark, 96, 128))

@@ -326,41 +326,24 @@ def lsh_bucket_stats(docs: DataFrame, bands: int = 4,
     )
 
 
-def dedup_clusters(docs: DataFrame, *, rounds: int = 32) -> DataFrame:
+def dedup_clusters(docs: DataFrame) -> DataFrame:
     """(doc_id, canonical): near-duplicate clusters = connected components
     over the LSH candidate pairs, canonical member = the cluster's min
     doc_id — the standard dedup-pipeline ending (group near-dups, keep one
     representative, drop the rest).
 
-    Distributed shape: iterative min-label propagation over the pair edge
-    list (lab(d) = min(lab(d), min over neighbors lab(nb))), checkpointed
-    per round until a round changes nothing (fixpoint test; `rounds` is
-    the safety cap — labels travel one hop per round, so the bound is the
-    component diameter, not log of it).  Only
-    docs that appear in at least one candidate pair are emitted (every
-    other doc is trivially its own canonical)."""
+    Distributed shape: hook + shortcut min-label closure
+    (`condense.merge_labels`, Shiloach-Vishkin style label doubling —
+    O(log diameter) rounds, not O(diameter)), so chained components
+    (templated web pages linked page-to-page) converge too; hitting the
+    round cap without a fixpoint raises instead of silently emitting
+    wrong canonicals.  Only docs that appear in at least one candidate
+    pair are emitted (every other doc is trivially its own canonical)."""
+    from .condense import merge_labels
+
     pairs = lsh_candidate_pairs(docs)
-    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")) \
-        .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))) \
-        .localCheckpoint()
-    lab = edges.select(F.col("a").alias("doc_id")).distinct() \
-        .select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint()
-    for _ in range(rounds):
-        nb_min = (
-            edges.join(lab.select(F.col("doc_id").alias("b"),
-                                  F.col("lab").alias("nlab")), "b")
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("nlab").alias("nmin"))
-        )
-        new = (
-            lab.join(nb_min, "doc_id", "left")
-            .select("doc_id", F.least("lab", F.coalesce("nmin", "lab")).alias("lab"))
-            .localCheckpoint()
-        )
-        changed = new.alias("n").join(lab.alias("o"), "doc_id") \
-            .where(F.col("n.lab") != F.col("o.lab")).limit(1).count()
-        lab = new
-        if changed == 0:
-            break
-    return lab.select("doc_id", F.col("lab").alias("canonical")) \
+    lab = merge_labels(pairs.select(F.col("d1").alias("plabel"),
+                                    F.col("d2").alias("nplabel")))
+    return lab.select(F.col("plabel").alias("doc_id"),
+                      F.col("glabel").alias("canonical")) \
         .orderBy("doc_id")

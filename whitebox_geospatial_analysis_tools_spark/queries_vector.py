@@ -1751,12 +1751,29 @@ def q_find_polygon_chains(spark, sf):
                     F.col("x").alias("ox"), F.col("y").alias("oy"),
                     F.col("laxis").alias("plen")))
     )
+    # cell-bucket candidate prefilter (the KdTree role in
+    # FindPolygonChains.java): endpoints within radius sqrt(_FC_R2)=20 of
+    # each other differ by at most one 20-unit grid cell per axis, so the
+    # exact d1 test only needs the 3x3 neighbor buckets — an equi-join on
+    # (gx, gy), never the layer^2 theta-join.
     q = eps.select(F.col("poly_id").alias("qp"), F.col("e").alias("qe"),
                    F.col("x").alias("qx"), F.col("y").alias("qy"),
                    F.col("ox").alias("qox"), F.col("oy").alias("qoy"),
-                   F.col("plen").alias("qlen"))
-    cnd = eps.withColumnRenamed("poly_id", "pp").withColumnRenamed("e", "pe") \
-        .join(q, F.col("qp") != F.col("pp")).select(
+                   F.col("plen").alias("qlen"),
+                   F.floor(F.col("x") / 20).alias("gx"),
+                   F.floor(F.col("y") / 20).alias("gy"))
+    nbr = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dgx"),
+        (F.floor(F.col("id") / 3) - 1).alias("dgy"))
+    p_side = (
+        eps.withColumnRenamed("poly_id", "pp").withColumnRenamed("e", "pe")
+        .crossJoin(F.broadcast(nbr))
+        .select("pp", "pe", "x", "y", "ox", "oy", "plen",
+                (F.floor(F.col("x") / 20) + F.col("dgx")).alias("gx"),
+                (F.floor(F.col("y") / 20) + F.col("dgy")).alias("gy"))
+    )
+    cnd = p_side \
+        .join(q, ["gx", "gy"]).where(F.col("qp") != F.col("pp")).select(
             "pp", "pe", "qp", "qe", "plen", "qlen",
             F.expr("(x - qx) * (x - qx) + (y - qy) * (y - qy)").alias("d1"),
             F.expr("(qx - ox) * (qx - ox) + (qy - oy) * (qy - oy)").alias("d2"),
@@ -1776,27 +1793,14 @@ def q_find_polygon_chains(spark, sf):
         (F.col("b.pp") == F.col("a.qp")) & (F.col("b.pe") == F.col("a.qe"))
         & (F.col("b.qp") == F.col("a.pp")) & (F.col("b.qe") == F.col("a.pe")),
     ).select(F.col("a.pp").alias("pp"), F.col("a.qp").alias("qp"))
-    # min-label propagation over the tiny chain graph (paths -> few rounds)
-    edges = lnk.unionByName(
-        lnk.select(F.col("qp").alias("pp"), F.col("pp").alias("qp"))
-    ).distinct().localCheckpoint()
-    lab = edges.select(F.col("pp").alias("poly_id")).distinct() \
-        .select("poly_id", F.col("poly_id").alias("chain")).localCheckpoint()
-    for _ in range(16):
-        nb = (
-            edges.join(lab.select(F.col("poly_id").alias("qp"),
-                                  F.col("chain").alias("nc")), "qp")
-            .groupBy(F.col("pp").alias("poly_id"))
-            .agg(F.min("nc").alias("nmin"))
-        )
-        new = lab.join(nb, "poly_id", "left").select(
-            "poly_id", F.least("chain", F.coalesce("nmin", "chain")).alias("chain")
-        ).localCheckpoint()
-        changed = new.alias("n").join(lab.alias("o"), "poly_id") \
-            .where(F.col("n.chain") != F.col("o.chain")).limit(1).count()
-        lab = new
-        if changed == 0:
-            break
+    # hook + shortcut min-label closure (condense.merge_labels) — log-round
+    # label doubling that raises on non-convergence instead of silently
+    # mislabeling long chains (the exact web-scale failure of one-hop rounds)
+    from .operators.condense import merge_labels
+
+    lab = merge_labels(
+        lnk.select(F.col("pp").alias("plabel"), F.col("qp").alias("nplabel"))
+    ).select(F.col("plabel").alias("poly_id"), F.col("glabel").alias("chain"))
     wn = Window.partitionBy("chain")
     return lab.select(
         "poly_id", F.col("chain").cast("long").alias("chain"),
