@@ -67,6 +67,10 @@ CROSSJOIN_ALLOW = [
      "fixed 168-row ring-offset table (downslope_index_radius window)"),
     (r"queries_vector\.py", r"\.crossJoin\(F\.broadcast\(nbr\)\)",
      "constant 9-row 3x3 bucket-offset table (find_polygon_chains prefilter)"),
+    (r"queries_spatial\.py", r"bins\.crossJoin\(F\.broadcast\(cands\)\)",
+     "fixed 8-row candidate-range table x <=16 lag bins (variogram fit)"),
+    (r"queries_spatial\.py", r"fit\.crossJoin\(F\.broadcast\(tot\)\)",
+     "1-row fit scalar x 1-row bin-total aggregate (kriging_fit)"),
 ]
 
 # Pure non-equi join conditions (`.join(x, F.col(a) != / < / > F.col(b))`)
