@@ -82,7 +82,7 @@ def all_oracles() -> dict[str, str]:
 
 
 def _ensure_loaded() -> None:
-    from . import queries_spatial, queries_relational, queries_text, queries_raster, queries_vector, queries_multimodal  # noqa: F401
+    from . import queries_spatial, queries_relational, queries_text, queries_raster, queries_vector, queries_multimodal, queries_streaming  # noqa: F401
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
