@@ -1,0 +1,112 @@
+"""Scale soak of the distributed condensed-graph fallbacks (VERDICT r3
+next-round #7).
+
+The guard-lowered pytests (tests/test_condense.py) prove the distributed
+paths CORRECT; this proves their CONSTANT FACTORS at a production tile
+count: a >=50M-cell synthetic DEM (7200 x 7200) through flow_accum /
+watershed / clump with the driver-solve guards lowered so
+operators/condense.py carries the full solve, plus dedup_clusters on a
+2M-document synthetic corpus whose overlapping-window texts force both
+heavy LSH bucket traffic and CHAINED near-dup components (the label-doubling
+path).  Each op reports wall time plus cheap full-result invariants
+(row counts, bounds) so a silently-truncated run cannot pass.
+
+Usage:  python tools/soak.py [--rows 7200] [--cols 7200] [--docs 2000000]
+Results are recorded in BENCH/BASELINE.md (round-4 soak table).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from whitebox_geospatial_analysis_tools_spark.session import get_spark  # noqa: E402
+from whitebox_geospatial_analysis_tools_spark.operators import clump as clump_mod  # noqa: E402
+from whitebox_geospatial_analysis_tools_spark.operators import hydro  # noqa: E402
+from whitebox_geospatial_analysis_tools_spark.operators import raster as R  # noqa: E402
+from whitebox_geospatial_analysis_tools_spark.operators import textops  # noqa: E402
+
+
+def _timed(name, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    dt = time.perf_counter() - t0
+    print(f"SOAK {name:18s} {dt:8.1f} s   {out}", flush=True)
+    return dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=7200)
+    ap.add_argument("--cols", type=int, default=7200)
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    spark = get_spark(master="local[32]", shuffle_partitions=64)
+    n_cells = args.rows * args.cols
+    print(f"SOAK dem {args.rows}x{args.cols} = {n_cells / 1e6:.1f}M cells; "
+          f"docs = {args.docs / 1e6:.1f}M", flush=True)
+
+    # force the distributed condensed-graph paths regardless of natural size
+    hydro._MAX_DRIVER_ROWS = 100_000
+    clump_mod._MAX_DRIVER_PAIRS = 100_000
+
+    dem = R.synth_raster(spark, args.rows, args.cols)
+    ptr = hydro.flow_pointer_d8(dem).persist()
+    n_live = ptr.count()  # materialize pointers once, outside the op timings
+    print(f"SOAK pointers persisted: {n_live} live cells", flush=True)
+
+    def run_accum():
+        acc = hydro.flow_accum(ptr)
+        r = acc.agg(F.count(F.lit(1)).alias("n"), F.min("accum").alias("lo"),
+                    F.max("accum").alias("hi")).collect()[0]
+        assert r["n"] == n_live and r["lo"] >= 1.0 and r["hi"] <= n_live
+        return f"n={r['n']} max_accum={int(r['hi'])}"
+
+    def run_watershed():
+        ws = hydro.watershed(ptr)
+        r = ws.agg(F.count(F.lit(1)).alias("n"),
+                   F.countDistinct("ws").alias("k")).collect()[0]
+        assert r["n"] == n_live and 0 < r["k"] < r["n"]
+        return f"n={r['n']} basins={r['k']}"
+
+    def run_clump():
+        cells = R.explode_cells(dem).where(F.col("value") != R.NODATA).select(
+            "row", "col",
+            F.expr("CAST(FLOOR(value / 50e0) AS BIGINT)").alias("cls"))
+        cs = clump_mod.clump_sizes(cells, args.cols)
+        r = cs.agg(F.count(F.lit(1)).alias("k"),
+                   F.sum("n_cells").alias("tot")).collect()[0]
+        assert r["tot"] == n_live and 0 < r["k"] < n_live
+        return f"clumps={r['k']} cells={r['tot']}"
+
+    def run_dedup():
+        # overlapping 40-token windows over a shared token stream: adjacent
+        # doc ids are near-identical -> chained components (the web-template
+        # case), modular tok space keeps the bucket population heavy
+        docs = spark.range(args.docs).select(
+            F.col("id").alias("doc_id"),
+            F.expr("array_join(transform(sequence(id * 2, id * 2 + 39), "
+                   "j -> concat('tok', j % 1000000)), ' ')").alias("text"))
+        lab = textops.dedup_clusters(docs)
+        r = lab.agg(F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("canonical").alias("k")).collect()[0]
+        assert r["n"] > 0 and r["k"] < r["n"]
+        return f"paired_docs={r['n']} clusters={r['k']}"
+
+    t1 = _timed("flow_accum", run_accum)
+    t2 = _timed("watershed", run_watershed)
+    t3 = _timed("clump_sizes", run_clump)
+    ptr.unpersist()
+    t4 = _timed("dedup_clusters", run_dedup)
+    print(f"SOAK TOTAL {t1 + t2 + t3 + t4:.1f} s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
