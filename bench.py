@@ -63,6 +63,12 @@ HEADLINE = [
     # round-3 third-pass additions
     "branch_length",     # binary-lifting lowest-common-descendant distances
     "dedup_clusters",    # LSH pairs -> connected components -> canonical
+    # round-4 additions (hardening round)
+    "find_polygon_chains",  # calipers endpoints + bucket prefilter + closure
+    "horizon_angle",     # O(n) upper-hull monotone scan kernel
+    "kriging_fitted",    # variogram fit -> kriging solve
+    "reproject_raster",  # whole-grid inverse-TM reprojection, bilinear
+    "stack_stats",       # generic n-band per-cell stack statistics
 ]
 
 
