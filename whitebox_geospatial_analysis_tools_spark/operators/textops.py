@@ -347,3 +347,87 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     return lab.select(F.col("plabel").alias("doc_id"),
                       F.col("glabel").alias("canonical")) \
         .orderBy("doc_id")
+
+
+# word n-gram expression over the split array `w` (Spark side); 1-based i.
+def _ngram_expr(n: int) -> str:
+    parts = ", ' ', ".join(f"element_at(w, i + {k})" for k in range(n))
+    return (
+        f"CASE WHEN size(w) >= {n} THEN transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat({parts})) ELSE array() END"
+    )
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher-style per-document repetition filters (Rae et al. 2021, §A1.1),
+    adapted to the single-line `documents` text:
+
+      - ``top_bigram_frac``: fraction of characters covered by the most
+        frequent word 2-gram (count * len(gram) / n_chars); tie broken to
+        the lexicographically smallest gram on both engines;
+      - ``dup_trigram_frac``: fraction of characters covered by word
+        3-grams occurring >= 2 times (sum of count * len(gram) / n_chars —
+        overlapping occurrences each counted, a documented deviation from
+        Gopher's count-once semantics that keeps the metric one exact
+        integer aggregation);
+      - ``distinct_word_ratio``: |distinct words| / n_words, computed
+        per-row in-array (array_distinct — zero shuffle).
+
+    Scale shape: the n-gram paths are explode -> (doc_id, gram) hash agg ->
+    per-doc window/agg; partial aggregation absorbs the explode fan-out and
+    everything keys on doc_id afterwards, so the whole plan is two shuffles
+    on uniformly-distributed keys.  All fractions are exact-integer
+    numerators divided once as double (bit-identical cross-engine).
+
+    NOTE: Spark sequence(1, 0) DESCENDS ([1, 0]) rather than returning an
+    empty array (DuckDB generate_series(1, 0) is empty) — hence the CASE
+    guard inside ``_ngram_expr``.
+    """
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.split("text", " ").alias("w"),
+    )
+    perrow = base.select(
+        "doc_id", "n_chars",
+        F.expr("size(w)").cast("long").alias("n_words"),
+        F.expr("CAST(size(array_distinct(w)) AS DOUBLE) / size(w)")
+        .alias("distinct_word_ratio"),
+    )
+    bi = (
+        base.select("doc_id", "n_chars", F.explode(F.expr(_ngram_expr(2))).alias("g"))
+        .groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wspec = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
+    topb = (
+        bi.withColumn("rn", F.row_number().over(wspec))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("g").alias("top_bigram"),
+            F.expr("CAST(cnt * length(g) AS DOUBLE) / n_chars").alias("top_bigram_frac"),
+        )
+    )
+    dup3 = (
+        base.select("doc_id", "n_chars", F.explode(F.expr(_ngram_expr(3))).alias("g"))
+        .groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .groupBy("doc_id", "n_chars")
+        .agg(F.sum(F.expr("cnt * length(g)")).alias("dupchars"))
+        .select(
+            "doc_id",
+            F.expr("CAST(dupchars AS DOUBLE) / n_chars").alias("dup_trigram_frac"),
+        )
+    )
+    return (
+        perrow.join(topb, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "distinct_word_ratio", "top_bigram",
+            "top_bigram_frac",
+            F.expr("COALESCE(dup_trigram_frac, 0e0)").alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -438,3 +438,131 @@ def q_corpus_filter(spark, sf):
         .select("doc_id", "pred_lang", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (web-text quality axis; Rae et al. 2021)
+# ---------------------------------------------------------------------------
+_REP_SQL = """WITH wrd AS (
+  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS w FROM documents),
+base AS (
+  SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_word_ratio
+  FROM wrd),
+bi AS (
+  SELECT doc_id, n_chars, w[i] || ' ' || w[i+1] AS g
+  FROM (SELECT doc_id, n_chars, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM wrd WHERE len(w) >= 2)),
+bc AS (SELECT doc_id, n_chars, g, COUNT(*) AS cnt FROM bi GROUP BY 1, 2, 3),
+topb AS (
+  SELECT doc_id, g AS top_bigram,
+         CAST(cnt * length(g) AS DOUBLE) / n_chars AS top_bigram_frac
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, g ASC) AS rn FROM bc)
+  WHERE rn = 1),
+tri AS (
+  SELECT doc_id, n_chars, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (SELECT doc_id, n_chars, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM wrd WHERE len(w) >= 3)),
+tc AS (SELECT doc_id, n_chars, g, COUNT(*) AS cnt FROM tri GROUP BY 1, 2, 3),
+dup AS (
+  SELECT doc_id, CAST(SUM(cnt * length(g)) AS DOUBLE) / n_chars AS dup_trigram_frac
+  FROM tc WHERE cnt >= 2 GROUP BY doc_id, n_chars)
+SELECT b.doc_id, b.n_words, b.distinct_word_ratio, t.top_bigram,
+       t.top_bigram_frac, COALESCE(d.dup_trigram_frac, 0e0) AS dup_trigram_frac
+FROM base b
+LEFT JOIN topb t ON t.doc_id = b.doc_id
+LEFT JOIN dup d ON d.doc_id = b.doc_id
+ORDER BY b.doc_id"""
+
+
+@Q.register("repetition_filter", _REP_SQL)
+def q_repetition_filter(spark, sf):
+    return textops.repetition_metrics(_docs(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture construction: deterministic stratified sampling by source
+# ---------------------------------------------------------------------------
+from .functions import exprs as _X
+
+# per-source keep rate in permille, derived from the source tag (in a real
+# pipeline the mixture weights arrive as a broadcast dim table; deriving them
+# per-row from the key keeps this query self-contained AND shuffle-free —
+# the join the dim-table variant adds is a broadcast hash join, same plan
+# family as join_tables)
+_MIX_RATE = "(125 * (1 + CAST(substr(source, 4) AS BIGINT) % 7))"
+_MIX_U = f"({_X.u2('doc_id')} % 1000)"
+
+_STRAT_SQL = f"""SELECT doc_id, source, {_MIX_RATE} AS rate_permille,
+       {_MIX_U} AS u
+FROM documents
+WHERE {_MIX_U} < {_MIX_RATE}
+ORDER BY doc_id"""
+
+
+@Q.register("stratified_sample", _STRAT_SQL)
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling for training-data mixture weighting:
+    keep each document iff its LCG draw u(doc_id) falls under its source's
+    permille rate.  Pure per-row Catalyst arithmetic — zero shuffle, scales
+    as a map-only pass at any corpus size; reproducible across runs/engines
+    by construction (shared integer LCG, functions/exprs.py)."""
+    return (
+        _docs(spark, sf)
+        .select(
+            "doc_id", "source",
+            F.expr(_MIX_RATE).alias("rate_permille"),
+            F.expr(_MIX_U).alias("u"),
+        )
+        .where(F.col("u") < F.col("rate_permille"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: shingle overlap vs a (small) eval set
+# ---------------------------------------------------------------------------
+_DECON_K = 2  # contaminated = shares >= K distinct shingles with the eval set
+
+_DECON_SQL = f"""WITH {_SHINGLE_CTE},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_overlap
+  FROM sh s JOIN ev ON ev.shingle = s.shingle
+  WHERE s.doc_id % 97 != 0
+  GROUP BY s.doc_id)
+SELECT doc_id, n_overlap,
+       CASE WHEN n_overlap >= {_DECON_K} THEN 1 ELSE 0 END AS contaminated
+FROM hits ORDER BY doc_id"""
+
+
+@Q.register("decontaminate", _DECON_SQL)
+def q_decontaminate(spark, sf):
+    """Eval-set decontamination: flag training documents sharing >= K distinct
+    word-trigram shingles with a benchmark set (here the deterministic
+    doc_id % 97 == 0 subset stands in for the eval corpus).
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs, not
+    billions), so its distinct-shingle set is broadcast; the corpus side
+    streams through a broadcast hash join + doc-keyed count-distinct — no
+    corpus-sized shuffle on the shingle key."""
+    from pyspark.sql.functions import broadcast
+
+    sh = textops._shingles(_docs(spark, sf))
+    ev = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select("shingle").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") % 97 != 0)
+        .join(broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_overlap"))
+        .select(
+            "doc_id", "n_overlap",
+            F.expr(f"CASE WHEN n_overlap >= {_DECON_K} THEN 1 ELSE 0 END")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
