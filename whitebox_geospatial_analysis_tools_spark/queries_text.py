@@ -8,6 +8,7 @@ expression chains (operators/simsearch.py).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import queries as Q
@@ -566,3 +567,63 @@ def q_decontaminate(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-then-chunk training batch construction
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512  # tokens per packed training sequence
+_PACK_SHARDS = 32
+_PACK_SHARD = f"({_X.u1('doc_id')} % {_PACK_SHARDS})"
+_PACK_U = f"({_X.u3('doc_id')} % 1000000)"
+
+
+_PACK_SQL = f"""WITH d AS (
+  SELECT doc_id, {_PACK_SHARD} AS shard, {_PACK_U} AS u,
+         CAST({textops.N_TOKENS} AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+  FROM d)
+SELECT doc_id, shard, start_tok,
+       CAST(FLOOR(CAST(start_tok AS DOUBLE) / {_PACK_BUDGET}e0) AS BIGINT) AS seq_id,
+       CASE WHEN start_tok % {_PACK_BUDGET} + n_tokens > {_PACK_BUDGET}
+            THEN 1 ELSE 0 END AS straddles
+FROM c ORDER BY doc_id"""
+
+
+@Q.register("pack_sequences", _PACK_SQL)
+def q_pack_sequences(spark, sf):
+    """Sequence packing (concat-then-chunk): shuffle documents into a
+    deterministic LCG order, concatenate per shard, and chunk the token
+    stream into fixed-budget training sequences — each document gets its
+    shard, global start-token offset, owning sequence id, and a flag for
+    straddling a chunk boundary.
+
+    Scale shape: the cumulative sum runs INSIDE hash shards (u1(doc_id) %
+    32; production = num sequences-writer tasks), so no global sort/single
+    -partition window exists — each shard's running total is an independent
+    window over a shuffle-partition-sized slice."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.expr(_PACK_SHARD).alias("shard"),
+        F.expr(_PACK_U).alias("u"),
+        F.expr(f"CAST({textops.N_TOKENS} AS BIGINT)").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard").orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "doc_id", "shard", "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok"),
+    )
+    return c.select(
+        "doc_id", "shard", "start_tok",
+        F.expr(f"CAST(FLOOR(CAST(start_tok AS DOUBLE) / {_PACK_BUDGET}e0) AS BIGINT)")
+        .alias("seq_id"),
+        F.expr(f"CASE WHEN start_tok % {_PACK_BUDGET} + n_tokens > {_PACK_BUDGET} "
+               "THEN 1 ELSE 0 END").alias("straddles"),
+    ).orderBy("doc_id")
