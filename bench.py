@@ -69,6 +69,9 @@ HEADLINE = [
     "kriging_fitted",    # variogram fit -> kriging solve
     "reproject_raster",  # whole-grid inverse-TM reprojection, bilinear
     "stack_stats",       # generic n-band per-cell stack statistics
+    # round-4 second pass: webtext-axis additions
+    "repetition_filter", # Gopher repetition metrics (n-gram agg + window)
+    "pack_sequences",    # sharded concat-then-chunk packing window
 ]
 
 
