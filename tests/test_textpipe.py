@@ -1,0 +1,59 @@
+"""Edge-case tests for the webtext pipeline additions (repetition metrics,
+sequence packing): degenerate documents that the sf* corpora never produce
+— 1- and 2-word texts, where Spark's sequence(1, 0) DESCENDS instead of
+returning an empty array (the trap the CASE guard in _ngram_expr exists
+for), and packing's shard/offset invariants."""
+
+import pytest
+
+from whitebox_geospatial_analysis_tools_spark.operators import textops
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "one"),                       # no bigram, no trigram
+        (2, "two words"),                 # one bigram, no trigram
+        (3, "a a a a"),                   # maximal repetition
+        (4, "w x y z w x y z w x"),       # duplicated bigrams + trigrams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_metrics_degenerate_docs(tiny_docs):
+    out = {r["doc_id"]: r.asDict() for r in textops.repetition_metrics(tiny_docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+
+    # 1-word doc: no n-grams at all -> null top bigram, zero dup fraction
+    assert out[1]["top_bigram"] is None
+    assert out[1]["dup_trigram_frac"] == 0.0
+    assert out[1]["distinct_word_ratio"] == 1.0
+
+    # 2-word doc: single bigram covers the whole text once
+    assert out[2]["top_bigram"] == "two words"
+    assert out[2]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_trigram_frac"] == 0.0
+
+    # "a a a a": bigram "a a" occurs 3 times, len 3, n_chars 7
+    assert out[3]["top_bigram"] == "a a"
+    assert out[3]["top_bigram_frac"] == pytest.approx(9.0 / 7.0)
+    # trigram "a a a" occurs 2 times, len 5
+    assert out[3]["dup_trigram_frac"] == pytest.approx(10.0 / 7.0)
+    assert out[3]["distinct_word_ratio"] == 0.25
+
+    # "w x y z w x y z w x" (19 chars, 10 words): "w x" x3 is the top bigram
+    assert out[4]["top_bigram"] == "w x"
+    assert out[4]["top_bigram_frac"] == pytest.approx(3 * 3 / 19.0)
+    assert out[4]["distinct_word_ratio"] == 0.4
+
+
+def test_ngram_expr_guard_never_descends(tiny_docs):
+    # Without the CASE guard, sequence(1, size(w)-1) on a 1-word doc yields
+    # [1, 0] and element_at(w, 0) raises / element_at(w, 2) nulls — assert
+    # the gram streams are exactly the expected multisets instead.
+    from pyspark.sql import functions as F
+
+    base = tiny_docs.select("doc_id", F.split("text", " ").alias("w"))
+    bi = base.select("doc_id", F.explode(F.expr(textops._ngram_expr(2))).alias("g"))
+    got = sorted((r["doc_id"], r["g"]) for r in bi.collect() if r["doc_id"] <= 2)
+    assert got == [(2, "two words")]
