@@ -627,3 +627,70 @@ def q_pack_sequences(spark, sf):
         F.expr(f"CASE WHEN start_tok % {_PACK_BUDGET} + n_tokens > {_PACK_BUDGET} "
                "THEN 1 ELSE 0 END").alias("straddles"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-training support: corpus vocabulary + one BPE merge iteration
+# ---------------------------------------------------------------------------
+_VOCAB_K = 50
+
+_VOCAB_SQL = f"""WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+ORDER BY cnt DESC, word ASC LIMIT {_VOCAB_K}"""
+
+
+@Q.register("vocab_stats", _VOCAB_SQL)
+def q_vocab_stats(spark, sf):
+    """Corpus vocabulary: top-K words by frequency (tokenizer-training
+    input).  explode -> hash agg (partial combine absorbs the fan-out) ->
+    orderBy().limit() = TakeOrderedAndProject, a distributed top-k with
+    per-partition heads — no global sort at any corpus size."""
+    return (
+        _docs(spark, sf)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word")).limit(_VOCAB_K)
+    )
+
+
+_BPE_K = 10
+
+_BPE_SQL = f"""WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+v AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+p AS (
+  SELECT substr(word, i, 2) AS pair, cnt
+  FROM (SELECT word, cnt, unnest(generate_series(1, length(word) - 1)) AS i
+        FROM v WHERE length(word) >= 2))
+SELECT pair, CAST(SUM(cnt) AS BIGINT) AS weight FROM p GROUP BY pair
+ORDER BY weight DESC, pair ASC LIMIT {_BPE_K}"""
+
+
+@Q.register("bpe_merge_step", _BPE_SQL)
+def q_bpe_merge_step(spark, sf):
+    """One BPE-training merge iteration (Sennrich et al. 2016): adjacent
+    character-pair counts over the word vocabulary, weighted by word
+    frequency — the argmax row is the pair the tokenizer would merge next
+    (top-{_BPE_K} returned; deterministic (weight DESC, pair ASC) order).
+
+    Scale shape: pair extraction runs over the AGGREGATED vocabulary
+    (|vocab| << corpus tokens — the same reduction real BPE trainers rely
+    on), then one hash agg on a 2-char key + distributed top-k."""
+    v = (
+        _docs(spark, sf)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        v.where(F.length("word") >= 2)
+        .select(
+            F.expr("explode(transform(sequence(1, length(word) - 1), "
+                   "i -> substr(word, i, 2)))").alias("pair"),
+            "cnt",
+        )
+    )
+    return (
+        pairs.groupBy("pair").agg(F.sum("cnt").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("pair")).limit(_BPE_K)
+    )
