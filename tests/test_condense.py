@@ -100,14 +100,17 @@ def test_stream_network_tier2(spark, monkeypatch):
         ptr.unpersist()
 
 
-def test_merge_labels_long_path(spark):
+def test_merge_labels_long_path(spark, monkeypatch):
     """Path-shaped component of diameter 300 (chained templated pages):
     the old one-hop-per-round loops (dedup_clusters rounds=32,
     find_polygon_chains rounds=16) would exit at the cap and silently
     mislabel the far end; hook + shortcut must converge to the single
-    component min in O(log) rounds (VERDICT r3 next-round #1)."""
+    component min in O(log) rounds (VERDICT r3 next-round #1).
+    Guard lowered to 0 so the DISTRIBUTED tier (not the driver
+    union-find) is what converges here."""
     from whitebox_geospatial_analysis_tools_spark.operators import condense
 
+    monkeypatch.setattr(condense, "_MERGE_DRIVER_PAIRS", 0)
     n = 300
     pairs = spark.range(n - 1).selectExpr(
         "id AS plabel", "id + 1 AS nplabel")
@@ -116,12 +119,28 @@ def test_merge_labels_long_path(spark):
     assert (lab["glabel"] == 0).all()
 
 
+def test_merge_labels_tiers_equal(spark, monkeypatch):
+    """Driver union-find tier == distributed hook+shortcut tier on a pair
+    set mixing stars, chains, and singleton pairs."""
+    from whitebox_geospatial_analysis_tools_spark.operators import condense
+
+    pairs = spark.range(500).selectExpr(
+        "id * 7919 % 211 AS plabel", "(id * 104729 + 3) % 211 AS nplabel")
+    want = condense.merge_labels(pairs).toPandas().sort_values(
+        "plabel").reset_index(drop=True)
+    monkeypatch.setattr(condense, "_MERGE_DRIVER_PAIRS", 0)
+    got = condense.merge_labels(pairs).toPandas().sort_values(
+        "plabel").reset_index(drop=True)
+    assert want.equals(got)
+
+
 def test_merge_labels_raises_unconverged(spark, monkeypatch):
     """Hitting the round cap without fixpoint must be LOUD, never a silent
     wrong answer."""
     from whitebox_geospatial_analysis_tools_spark.operators import condense
 
     pairs = spark.range(99).selectExpr("id AS plabel", "id + 1 AS nplabel")
+    monkeypatch.setattr(condense, "_MERGE_DRIVER_PAIRS", 0)
     monkeypatch.setattr(condense, "_MAX_ROUNDS", 1)
     with pytest.raises(RuntimeError, match="did not converge"):
         condense.merge_labels(pairs)

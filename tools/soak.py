@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from whitebox_geospatial_analysis_tools_spark.session import get_spark  # noqa: E402
 from whitebox_geospatial_analysis_tools_spark.operators import clump as clump_mod  # noqa: E402
+from whitebox_geospatial_analysis_tools_spark.operators import condense  # noqa: E402
 from whitebox_geospatial_analysis_tools_spark.operators import hydro  # noqa: E402
 from whitebox_geospatial_analysis_tools_spark.operators import raster as R  # noqa: E402
 from whitebox_geospatial_analysis_tools_spark.operators import textops  # noqa: E402
@@ -56,6 +57,7 @@ def main() -> None:
     # force the distributed condensed-graph paths regardless of natural size
     hydro._MAX_DRIVER_ROWS = 100_000
     clump_mod._MAX_DRIVER_PAIRS = 100_000
+    condense._MERGE_DRIVER_PAIRS = 100_000
 
     dem = R.synth_raster(spark, args.rows, args.cols)
     ptr = hydro.flow_pointer_d8(dem).persist()

@@ -402,12 +402,46 @@ def solve_links(links: DataFrame, dag: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # equivalence-pair min-label closure (clump boundary merge)
 # ---------------------------------------------------------------------------
+_MERGE_DRIVER_PAIRS = 2_000_000  # driver union-find guard (pair rows)
+
+
 def merge_labels(pairs: DataFrame) -> DataFrame:
     """pairs: (plabel, nplabel) undirected equivalences.  Returns (plabel,
     glabel) mapping every node appearing in a pair to the min label of its
-    component — hook + shortcut rounds (Shiloach-Vishkin style), converging
-    in O(log^2 component diameter) rounds over the pair-sized frame."""
+    component.
+
+    Tiered like every condensed solve in this module: a pair set under the
+    driver guard is one path-compressed union-find on the driver (the pair
+    frame is already candidate-sized, orders of magnitude below the corpus);
+    past the guard, hook + shortcut rounds (Shiloach-Vishkin style) converge
+    in O(log^2 component diameter) rounds over the pair-sized frame — the
+    100-TB path, soak-tested at 2 M docs (tools/soak.py)."""
     spark = pairs.sparkSession
+    # single-job guard: fetch at most guard+1 pair rows; an over-limit
+    # result is discarded and the distributed rounds below run instead
+    head = pairs.limit(_MERGE_DRIVER_PAIRS + 1).toPandas()
+    if len(head) <= _MERGE_DRIVER_PAIRS:
+        par: dict = {}
+
+        def find(x):
+            root = x
+            while par.get(root, root) != root:
+                root = par[root]
+            while par.get(x, x) != x:
+                par[x], x = root, par[x]
+            return root
+
+        av = head.iloc[:, 0].tolist()
+        bv = head.iloc[:, 1].tolist()
+        for a_, b_ in zip(av, bv):
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                par[rb] = ra  # min-value root => glabel = component min
+        nodes = sorted(set(av) | set(bv))
+        out = [(int(n), int(find(n))) for n in nodes]
+        return spark.createDataFrame(out or [], "plabel long, glabel long")
     _scratch.release(spark, "merge_labels")
     edges = pairs.select(F.col("plabel").alias("a"), F.col("nplabel").alias("b"))
     edges = edges.unionByName(
