@@ -122,7 +122,36 @@ def run_headline() -> dict:
         "pip_pages_per_sec": pages_sec,
         "flagship_synthetic_pages_per_sec": flagship_pps,
         "flagship_synthetic_n": n_flag,
+        # same-run host context: per-core ALU throughput varies up to ~2x
+        # hour-to-hour on this box (BENCH/BASELINE.md control ladders), so
+        # every absolute reading above carries its own hardware scale
+        "alu_control_mops_32": _alu_control(),
     }
+
+
+def _alu_control(dur: float = 1.5) -> float:
+    """32-process integer-LCG busy-loop throughput (M ops/s) — the
+    tools/hw_controls.py pure-ALU control, sized down to ~2 s so every
+    bench JSON records the host's same-run compute ceiling."""
+    import multiprocessing as mp
+
+    def worker(out):
+        t0 = time.time()
+        x, n = 1, 0
+        while time.time() - t0 < dur:
+            for _ in range(100_000):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            n += 100_000
+        out.put(n / (time.time() - t0))
+
+    q: mp.Queue = mp.Queue()
+    procs = [mp.Process(target=worker, args=(q,)) for _ in range(32)]
+    for p in procs:
+        p.start()
+    tot = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return round(tot / 1e6, 1)
 
 
 def _flagship_throughput(master: str, n_pages: int) -> float:
