@@ -63,9 +63,26 @@ SparkFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, tuple[SparkFn, str | None]] = {}
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Self-defense for sessions not built by session.get_spark (plain
+    spark-submit drivers, notebook sessions): with constraint propagation ON,
+    Spark's InferFiltersFromConstraints re-inlines the geocode derived-column
+    tree into one Filter, whose generated code crashes codegen outright
+    (ArrayIndexOutOfBoundsException in the split-expression indexing) on the
+    flagship plans.  The conf is runtime-settable, so every registered query
+    pins it before declaring its plan."""
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: SparkFn) -> SparkFn:
-        _REGISTRY[name] = (fn, oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_session_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", name)
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = (wrapped, oracle)
         return fn
 
     return deco
