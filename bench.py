@@ -90,12 +90,18 @@ def run_headline() -> dict:
     # build) so per-query times measure steady-state, not first-job setup
     qs["tile_assign"](spark, SF_DIR).count()
     qs["pip_counts"](spark, SF_DIR).count()
+    # min-of-2 per query: single-run readings on this box swing 2-4x on
+    # individual queries from transient external load (BENCH/BASELINE.md
+    # round-4 notes) — the min is the reproducible plan cost
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        _force(fn(spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _force(fn(spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     pages_sec = round(n_docs / max(times["pip_counts"], 1e-9), 1)
@@ -116,6 +122,7 @@ def run_headline() -> dict:
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
+        "per_query": "min_of_2",
         "queries": times,
         "sf": SF_DIR,
         "cpus": int(CPUS),
