@@ -1,0 +1,142 @@
+"""Independent pure-Python oracles for the corpus-level dedup additions:
+CCNet-style paragraph dedup, exact-substring duplicate spans, and SemDeDup
+cluster-then-prune — hand-built fixtures where the expected blocks/spans/
+prunes are enumerable by eye, plus a brute-force replay on crafted inputs."""
+
+import pytest
+
+from whitebox_geospatial_analysis_tools_spark.operators import simsearch, textops
+
+
+def _para_brute(rows, block):
+    """First-occurrence paragraph dedup, replayed sequentially."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(rows):
+        w = text.split(" ")
+        blocks = [" ".join(w[i: i + block]) for i in range(0, len(w), block)]
+        kept = []
+        n_dup = 0
+        for b in blocks:
+            if b in seen:
+                n_dup += 1
+            else:
+                seen.add(b)
+                kept.append(b)
+        out[doc_id] = (len(blocks), n_dup, " ".join(kept))
+    return out
+
+
+def test_paragraph_dedup_first_occurrence_rule(spark):
+    block = textops.PARA_BLOCK
+    unit = " ".join(f"t{i}" for i in range(block))          # exactly one block
+    other = " ".join(f"u{i}" for i in range(block))
+    rows = [
+        (1, unit + " " + other),        # doc 1 owns both blocks first
+        (2, other + " " + unit),        # doc 2: both blocks already seen
+        (3, unit + " tail words"),      # block 0 dup, short tail block kept
+        (4, "tail words"),              # whole doc = 1 short block, dup of 3's tail
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.paragraph_dedup(docs).collect()}
+    exp = _para_brute(rows, block)
+    for d, (n_blocks, n_dup, kept) in exp.items():
+        assert got[d]["n_blocks"] == n_blocks, d
+        assert got[d]["n_dup_blocks"] == n_dup, d
+        assert got[d]["kept_text"] == kept, d
+    # the sequential replay must agree that doc 2 lost everything
+    assert got[2]["kept_text"] == ""
+    assert got[2]["kept_chars"] == 0
+    assert got[4]["n_dup_blocks"] == 1
+
+
+def _spans_brute(rows, k):
+    """Duplicated K-window spans, replayed with a dict + interval merge."""
+    from collections import Counter
+
+    wins = []  # (doc, pos, gram)
+    cnt = Counter()
+    for doc_id, text in rows:
+        w = text.split(" ")
+        for p in range(len(w) - k + 1):
+            g = " ".join(w[p: p + k])
+            wins.append((doc_id, p, g))
+            cnt[g] += 1
+    out = {}
+    for doc_id, _ in rows:
+        pos = sorted(p for d, p, g in wins if d == doc_id and cnt[g] >= 2)
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        lens = [e - s + k for s, e in spans]
+        out[doc_id] = (len(lens), sum(lens), max(lens) if lens else 0)
+    return out
+
+
+def test_substring_spans_matches_brute(spark):
+    k = textops.SUBSTR_K
+    shared = " ".join(f"s{i}" for i in range(k + 3))   # k+3 tokens -> 4 dup windows
+    rows = [
+        (1, shared + " aa bb cc dd ee ff gg hh"),
+        (2, "zz yy " + shared + " xx ww vv uu tt ss"),
+        (3, "n0 n1 n2 n3 n4 n5 n6 n7 n8 n9"),          # no duplication
+        (4, "p0 p1 p2 p3 p4 p5 p6 p7 " + shared),      # dup at the tail
+        (5, "short doc"),                               # < k tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.substring_spans(docs).collect()}
+    exp = _spans_brute(rows, k)
+    assert set(got) == set(exp)
+    for d, (n, tot, mx) in exp.items():
+        assert (got[d]["n_dup_spans"], got[d]["n_dup_tokens"],
+                got[d]["max_span_len"]) == (n, tot, mx), d
+    assert exp[3] == (0, 0, 0) and exp[5] == (0, 0, 0)
+    assert exp[1][0] >= 1  # the fixture really exercises the dup path
+
+
+def test_substring_spans_gap_merge_boundary(spark):
+    # Two duplicated windows in one doc exactly k apart MERGE (adjacent
+    # intervals); k+1 apart stay separate spans.
+    k = textops.SUBSTR_K
+    a = [f"a{i}" for i in range(k)]
+    sep_adj = [f"m{i}" for i in range(0)]  # gap k: second window starts at p=k
+    doc_adj = " ".join(a + sep_adj + a)
+    doc_far = " ".join(a + ["x"] + a)      # gap k+1
+    docs = spark.createDataFrame(
+        [(1, doc_adj), (2, doc_far), (3, " ".join(a))],  # doc 3 makes 'a*' dup
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.substring_spans(docs).collect()}
+    exp = _spans_brute(
+        [(1, doc_adj), (2, doc_far), (3, " ".join(a))], k
+    )
+    for d in (1, 2, 3):
+        assert (got[d]["n_dup_spans"], got[d]["n_dup_tokens"],
+                got[d]["max_span_len"]) == exp[d], d
+
+
+def test_semdedup_prunes_exactly_smaller_neighbor_rule(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r["vec_id"]: r for r in simsearch.semdedup(emb).collect()}
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    lists = np.array([got[i]["list_id"] for i in ids])
+    norm = np.sqrt((V * V).sum(1))
+    cos = np.round((V @ V.T) / norm[:, None] / norm[None, :], 6)
+    for j, vj in enumerate(ids):
+        exp = int(
+            any(
+                cos[i, j] >= simsearch.SEMDEDUP_TAU
+                for i in range(len(ids))
+                if lists[i] == lists[j] and ids[i] < vj
+            )
+        )
+        assert got[vj]["pruned"] == exp, vj
+    assert sum(r["pruned"] for r in got.values()) > 0  # non-degenerate

@@ -236,39 +236,51 @@ IVF_SEEDS = [3 + 29 * t for t in range(16)]  # deterministic coarse centroids
 IVF_NPROBE = 4
 
 
-def ivf_topk(emb: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE,
-             query_pred: str = "vec_id < 20") -> DataFrame:
-    """IVF approximate top-k: a 16-list inverted file from deterministic
-    seed centroids (k-means with zero Lloyd rounds — the seeds ARE corpus
-    vectors, so the assignment is a Voronoi coarse quantizer), query probes
-    its `nprobe` nearest lists, brute-force cosine inside the probed lists.
+def _ivf_seeds(emb: DataFrame) -> DataFrame:
+    """The broadcast-sized (t, sv) coarse-centroid table: 16 deterministic
+    corpus vectors (k-means with zero Lloyd rounds — a Voronoi quantizer)."""
+    smap = emb.sparkSession.createDataFrame(
+        list(enumerate(IVF_SEEDS)), "t int, sid long"
+    )
+    return smap.join(
+        emb.select(F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")),
+        "sid",
+    ).select("t", "sv")
+
+
+def ivf_assign(emb: DataFrame) -> DataFrame:
+    """Voronoi coarse-quantizer assignment: (c_id, cv, list_id) — each vector
+    to its max-cosine seed centroid (t tie-break).
 
     100 TB shape: the 16-row centroid table broadcasts; assignment is a
     LONG-format pass (corpus x 16 rows, ONE fixed-order cosine chain per
     row — a wide argmax projection re-inlines the 64-term chain 16x17
     times and breaks whole-stage codegen, measured 66 s -> 9 s here) with
-    a max-by window; probing is an equi-join on list id, so only
-    nprobe/16 of the corpus is ranked per query.  round(cos, 6) + id
-    tie-breaks keep both engines value-exact."""
-    spark = emb.sparkSession
-    smap = spark.createDataFrame(
-        list(enumerate(IVF_SEEDS)), "t int, sid long"
-    )
-    seeds = smap.join(
-        emb.select(F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")),
-        "sid",
-    ).select("t", "sv")
+    a max-by window."""
+    seeds = _ivf_seeds(emb)
     cexp = cosine_expr("embedding", "sv", SPARK_AT)
     asg = emb.crossJoin(F.broadcast(seeds)).select(
         "vec_id", "embedding", "t", F.expr(cexp).alias("cos")
     )
     wa = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("t"))
-    alist = (
+    return (
         asg.withColumn("rn", F.row_number().over(wa))
         .where(F.col("rn") == 1)
         .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"),
                 F.col("t").alias("list_id"))
     )
+
+
+def ivf_topk(emb: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE,
+             query_pred: str = "vec_id < 20") -> DataFrame:
+    """IVF approximate top-k: a 16-list inverted file from deterministic
+    seed centroids, query probes its `nprobe` nearest lists, brute-force
+    cosine inside the probed lists (see ivf_assign for the scale notes).
+    Probing is an equi-join on list id, so only nprobe/16 of the corpus is
+    ranked per query.  round(cos, 6) + id tie-breaks keep both engines
+    value-exact."""
+    seeds = _ivf_seeds(emb)
+    alist = ivf_assign(emb)
     qexp = cosine_expr("qv", "sv", SPARK_AT)
     qasg = (
         emb.where(F.expr(query_pred))
@@ -291,4 +303,52 @@ def ivf_topk(emb: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE,
         .withColumn("rnk", F.row_number().over(wr))
         .where(F.col("rnk") <= k)
         .orderBy("q_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via cluster-then-prune
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embeddings with a cheap
+    quantizer, then inside each cluster prune every vector that has a
+    same-cluster neighbor with cosine >= threshold and a smaller vec_id
+    (one representative per epsilon-ball survives — the min id, matching
+    the exact-dedup representative rule).
+
+    Returns (vec_id, list_id, pruned) for the whole corpus.
+
+    100 TB shape: the all-pairs cosine never happens — candidate pairs are
+    an equi-join on the cluster id (16 lists here; at scale the seed count
+    grows with the corpus so list size stays bounded), and the verdict is
+    an EXISTS (left-semi join), not a pair materialization per survivor.
+    Assignment reuses ivf_assign's broadcast long-format pass."""
+    alist = ivf_assign(emb).select(
+        "list_id", F.col("c_id").alias("vec_id"), F.col("cv").alias("v"),
+        F.expr(dot_expr("cv", "cv", SPARK_AT)).alias("_n"),
+    )
+    a = alist.select("list_id", F.col("vec_id").alias("d1"),
+                     F.col("v").alias("av"), F.col("_n").alias("_na"))
+    b = alist.select("list_id", F.col("vec_id").alias("d2"),
+                     F.col("v").alias("bv"), F.col("_n").alias("_nb"))
+    cos = F.expr(
+        f"round({dot_expr('av', 'bv', SPARK_AT)} / sqrt(_na) / sqrt(_nb), 6)"
+    )
+    pruned_ids = (
+        a.join(b, "list_id")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select(F.col("d2").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        alist.select("vec_id", "list_id")
+        .join(pruned_ids.withColumn("pruned", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "list_id",
+                F.expr("COALESCE(pruned, 0)").alias("pruned"))
+        .orderBy("vec_id")
     )

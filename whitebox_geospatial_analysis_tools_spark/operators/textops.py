@@ -431,3 +431,120 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- CCNet-style paragraph-hash deduplication (Wenzek et al. 2020, §4.1):
+# hash every paragraph, drop paragraphs whose hash was already seen, keep the
+# first occurrence.  The `documents` text is single-line, so "paragraph" is a
+# fixed window of PARA_BLOCK consecutive tokens (documented deviation; the
+# operator is the same corpus-frequency-keyed drop either way).
+PARA_BLOCK = 20
+
+
+def paragraph_dedup(docs: DataFrame, block: int = PARA_BLOCK) -> DataFrame:
+    """Corpus-level paragraph dedup: block b of a doc survives iff it is the
+    FIRST occurrence of its hash in (doc_id, idx) order.  Returns per doc the
+    block counts and the deduplicated text reassembled in block order.
+
+    Scale shape: explode -> one shuffle on the block hash (uniform md5 keys;
+    the window inside each hash group ranks a handful of rows) -> one shuffle
+    back on doc_id.  No corpus-sized broadcast, no driver state; the
+    first-occurrence rule is a rank-1 window, not a sequential scan."""
+    blocks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(w) - 1) DIV {block}), "
+                f"i -> array_join(slice(w, i * {block} + 1, {block}), ' '))"
+            )
+        ).alias("idx", "blk"),
+    ).withColumn("h", F.md5("blk"))
+    wfirst = Window.partitionBy("h").orderBy("doc_id", "idx")
+    ranked = blocks.withColumn("rn", F.row_number().over(wfirst))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.expr("CASE WHEN rn > 1 THEN 1 ELSE 0 END")).alias("n_dup_blocks"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "CASE WHEN rn = 1 THEN struct(idx, blk) END)), x -> x.blk), ' ')"
+            ).alias("kept_text"),
+        )
+        .select("doc_id", "n_blocks", "n_dup_blocks",
+                F.length("kept_text").alias("kept_chars"), "kept_text")
+        .orderBy("doc_id")
+    )
+
+
+# -- Exact-substring duplicate spans (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better"): any K-token window whose text
+# occurs >= 2 times anywhere in the corpus is duplicated; overlapping
+# duplicated windows merge into maximal spans.  K = 8 tokens here (the
+# paper's 50-token threshold scaled to the fixture text lengths).
+SUBSTR_K = 8
+
+
+def substring_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Per-document duplicated-substring span statistics.
+
+    A position p (0-based token index) is *duplicated* when the K-token
+    window starting at p occurs >= 2 times corpus-wide (same doc or not).
+    Duplicated positions within a doc merge into spans while the position
+    gap is <= K (gap = K means the covered token intervals are adjacent).
+    Returns n_dup_spans / n_dup_tokens / max_span_len per document (0 rows
+    docs included via left join).
+
+    Scale shape: explode -> hash agg on the window hash (corpus counts) ->
+    semi-join positions against the duplicated-hash set (hash equi-join on
+    uniform md5 keys) -> per-doc window + agg.  Never materializes pairs of
+    occurrences, only per-window counts."""
+    base = docs.select("doc_id", F.split("text", " ").alias("w"))
+    wins = base.where(F.expr(f"size(w) >= {k}")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {k - 1}), "
+                f"i -> array_join(slice(w, i, {k}), ' '))"
+            )
+        ).alias("p", "g"),
+    ).select("doc_id", "p", F.md5("g").alias("h"))
+    dup_h = (
+        wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("h")
+    )
+    dup_pos = wins.join(dup_h, "h", "left_semi").select("doc_id", "p")
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    spans = (
+        dup_pos.withColumn(
+            "brk",
+            F.expr(f"CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) "
+                   f"> {k} OR lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL "
+                   f"THEN 1 ELSE 0 END"),
+        )
+        .withColumn("span_id", F.sum("brk").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "span_id")
+        .agg((F.max("p") - F.min("p") + k).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("span_len").alias("n_dup_tokens"),
+            F.max("span_len").alias("max_span_len"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("COALESCE(n_dup_spans, 0)").alias("n_dup_spans"),
+            F.expr("COALESCE(n_dup_tokens, 0)").alias("n_dup_tokens"),
+            F.expr("COALESCE(max_span_len, 0)").alias("max_span_len"),
+        )
+        .orderBy("doc_id")
+    )

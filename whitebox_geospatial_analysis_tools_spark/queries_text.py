@@ -694,3 +694,88 @@ def q_bpe_merge_step(spark, sf):
         pairs.groupBy("pair").agg(F.sum("cnt").cast("long").alias("weight"))
         .orderBy(F.desc("weight"), F.asc("pair")).limit(_BPE_K)
     )
+
+
+# -- CCNet-style paragraph dedup (Wenzek et al. 2020 §4.1): hash fixed
+# 20-token blocks ("paragraphs" of the single-line fixture text), keep only
+# the first corpus occurrence of each hash in (doc_id, idx) order, reassemble
+# the surviving text.  The oracle replays the first-occurrence window rule.
+_PARA_SQL = f"""WITH wrd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bl AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // {textops.PARA_BLOCK})) AS idx FROM wrd),
+blk AS (SELECT doc_id, idx,
+        array_to_string(list_slice(w, idx * {textops.PARA_BLOCK} + 1,
+                                   idx * {textops.PARA_BLOCK} + {textops.PARA_BLOCK}), ' ') AS blk
+        FROM bl),
+r AS (SELECT doc_id, idx, blk,
+      ROW_NUMBER() OVER (PARTITION BY md5(blk) ORDER BY doc_id, idx) AS rn FROM blk),
+g AS (SELECT doc_id, COUNT(*) AS n_blocks,
+      CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+      COALESCE(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY idx), '') AS kept_text
+      FROM r GROUP BY 1)
+SELECT doc_id, n_blocks, n_dup_blocks, length(kept_text) AS kept_chars, kept_text
+FROM g ORDER BY doc_id"""
+
+
+@Q.register("paragraph_dedup", _PARA_SQL)
+def q_paragraph_dedup(spark, sf):
+    return textops.paragraph_dedup(_docs(spark, sf))
+
+
+# -- Exact-substring duplicate spans (Lee et al. 2021): K-token windows with
+# corpus count >= 2 merge into maximal per-doc spans; the oracle replays the
+# same lag/running-sum island construction.
+_SUBSTR_SQL = f"""WITH wrd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - {textops.SUBSTR_K - 1})) AS p0
+         FROM wrd WHERE len(w) >= {textops.SUBSTR_K}),
+g AS (SELECT doc_id, p0 - 1 AS p,
+      md5(array_to_string(list_slice(w, p0, p0 + {textops.SUBSTR_K - 1}), ' ')) AS h FROM wins),
+dup AS (SELECT h FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+dp AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+m AS (SELECT doc_id, p,
+      CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > {textops.SUBSTR_K}
+           THEN 1 ELSE 0 END AS brk FROM dp),
+s AS (SELECT doc_id, p,
+      SUM(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS span_id FROM m),
+sp AS (SELECT doc_id, span_id, MAX(p) - MIN(p) + {textops.SUBSTR_K} AS span_len FROM s GROUP BY 1, 2),
+agg AS (SELECT doc_id, COUNT(*) AS n_dup_spans, CAST(SUM(span_len) AS BIGINT) AS n_dup_tokens,
+        CAST(MAX(span_len) AS BIGINT) AS max_span_len FROM sp GROUP BY 1)
+SELECT d.doc_id, COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(n_dup_tokens, 0) AS n_dup_tokens,
+       COALESCE(max_span_len, 0) AS max_span_len
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
+
+@Q.register("substring_dedup", _SUBSTR_SQL)
+def q_substring_dedup(spark, sf):
+    return textops.substring_spans(_docs(spark, sf))
+
+
+# -- SemDeDup (Abbas et al. 2023): IVF coarse-quantizer clusters, then inside
+# each cluster prune every vector with a smaller same-cluster neighbor at
+# cosine >= tau.  The oracle replays the assignment CTE (shared with ivf_topk)
+# plus an EXISTS prune test.
+def _semdedup_sql() -> str:
+    S = simsearch
+    seeds_vals = ", ".join(f"({t}, {s})" for t, s in enumerate(S.IVF_SEEDS))
+    cexp = S.cosine_expr("e.embedding", "sd.sv", S.DUCK_AT)
+    pexp = (f"round({S.dot_expr('a.cv', 'b.cv', S.DUCK_AT)}"
+            f" / sqrt(a.n) / sqrt(b.n), 6)")
+    return f"""WITH sd AS (SELECT m.t, emb.embedding AS sv
+  FROM (VALUES {seeds_vals}) m(t, sid) JOIN embeddings emb ON emb.vec_id = m.sid),
+asg AS (SELECT e.vec_id, e.embedding, sd.t, {cexp} AS cos FROM embeddings e, sd),
+alist AS (SELECT vec_id, cv, list_id, {S.dot_expr('cv', 'cv', S.DUCK_AT)} AS n FROM
+  (SELECT vec_id, embedding AS cv, t AS list_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, t) AS rn FROM asg)
+  WHERE rn = 1),
+pr AS (SELECT DISTINCT b.vec_id FROM alist a JOIN alist b
+       ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       WHERE {pexp} >= {S.SEMDEDUP_TAU}e0)
+SELECT al.vec_id, al.list_id,
+       CASE WHEN pr.vec_id IS NULL THEN 0 ELSE 1 END AS pruned
+FROM alist al LEFT JOIN pr ON pr.vec_id = al.vec_id ORDER BY al.vec_id"""
+
+
+@Q.register("semdedup", _semdedup_sql())
+def q_semdedup(spark, sf):
+    return simsearch.semdedup(_emb(spark, sf))
