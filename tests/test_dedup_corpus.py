@@ -140,3 +140,49 @@ def test_semdedup_prunes_exactly_smaller_neighbor_rule(spark):
         )
         assert got[vj]["pruned"] == exp, vj
     assert sum(r["pruned"] for r in got.values()) > 0  # non-degenerate
+
+
+def test_pq_codes_match_numpy_argmin(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = V[[int(np.where(ids == s)[0][0]) for s in simsearch.IVF_SEEDS]]
+    sub = V.reshape(len(V), simsearch.PQ_SUBS, simsearch.PQ_SUBDIM)
+    subC = C.reshape(simsearch.PQ_K, simsearch.PQ_SUBS, simsearch.PQ_SUBDIM)
+    d = ((sub[:, None, :, :] - subC[None, :, :, :]) ** 2).sum(-1)  # n,16,8
+    exp = np.argmin(d.transpose(0, 2, 1), -1)  # n,8 (ties -> smaller code)
+    got = simsearch.pq_codes(emb).collect()
+    assert len(got) == len(ids) * simsearch.PQ_SUBS
+    for r in got:
+        j = int(np.where(ids == r["vec_id"])[0][0])
+        assert r["code"] == exp[j, r["s"]], (r["vec_id"], r["s"])
+
+
+def test_ivf_pq_rerank_recall_floor(spark):
+    """Recall@3 vs exact L2 on the deterministic sf0.001 fixture: the
+    measured value is 0.52 (probed-pool ceiling 0.60 at nprobe=4); assert a
+    floor so a regression in probe/ADC/re-rank plumbing is loud."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    d2 = ((V[:, None, :] - V[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    got = simsearch.ivf_pq_topk(emb).collect()
+    qids = sorted(set(r["q_id"] for r in got))
+    rec = []
+    for q in qids:
+        qi = int(np.where(ids == q)[0][0])
+        exact = set(ids[np.argsort(d2[qi])[:3]])
+        approx = set(r["c_id"] for r in got if r["q_id"] == q)
+        rec.append(len(exact & approx) / 3)
+    assert sum(rec) / len(rec) >= 0.45
+    # the exact re-rank must order the emitted rows by true L2
+    for q in qids:
+        mine = sorted((r["rnk"], r["l2_micro"]) for r in got if r["q_id"] == q)
+        assert [m[1] for m in mine] == sorted(m[1] for m in mine)

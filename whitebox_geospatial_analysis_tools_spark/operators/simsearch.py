@@ -352,3 +352,142 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_TAU) -> DataFrame:
                 F.expr("COALESCE(pruned, 0)").alias("pruned"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — product quantization + asymmetric distance (the 100 TB ANN layout)
+# ---------------------------------------------------------------------------
+PQ_SUBS = 8     # subspaces
+PQ_SUBDIM = DIM // PQ_SUBS  # 8 dims each
+PQ_K = 16       # sub-centroids per subspace = the IVF seed subvectors
+
+
+def sub_l2_expr(a: str, b: str, accessor: str, s: int,
+                subdim: int = PQ_SUBDIM) -> str:
+    """Fixed-order squared L2 over subspace s (elements s*subdim+1 ..):
+    (x1-y1)*(x1-y1) + ... — identical chain in Spark and DuckDB."""
+    terms = []
+    for i in range(1, subdim + 1):
+        x = f"CAST({accessor.format(v=a, i=s * subdim + i)} AS DOUBLE)"
+        y = f"CAST({accessor.format(v=b, i=s * subdim + i)} AS DOUBLE)"
+        terms.append(f"({x} - {y}) * ({x} - {y})")
+    return "(" + " + ".join(terms) + ")"
+
+
+# Per-subspace distances are quantized to integer micro-units BEFORE the
+# per-candidate sum so the 8-way accumulation is order-free (exact integer
+# adds) — engine aggregation order cannot perturb the ranking.
+_PQ_MICRO = "CAST(FLOOR(({d}) * 1e6) AS BIGINT)"
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """Product-quantization encode: (vec_id, s, code) — each vector's
+    subspace-s slice mapped to its nearest of the 16 sub-centroids (the
+    IVF seed vectors' slices; argmin L2, code tie-break).
+
+    100 TB shape: one broadcast of the 16-row seed table, one long-format
+    pass (corpus x 16 x 8 rows after posexplode of the per-row 8-distance
+    array), one window per (vec_id, s).  The encoded corpus is 8 small ints
+    per vector — the structure that makes billion-scale ANN RAM-resident."""
+    seeds = _ivf_seeds(emb)
+    darr = F.array(*[
+        F.expr(sub_l2_expr("embedding", "sv", SPARK_AT, s))
+        for s in range(PQ_SUBS)
+    ])
+    e = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "t", F.posexplode(darr).alias("s", "d")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d", "t")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("t").alias("code"))
+        .orderBy("vec_id", "s")
+    )
+
+
+PQ_RERANK = 50  # ADC shortlist size fed to the exact re-rank
+
+
+def ivf_pq_topk(emb: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE,
+                rerank: int = PQ_RERANK,
+                query_pred: str = "vec_id < 20") -> DataFrame:
+    """IVF-PQ approximate top-k with exact re-ranking (Jégou et al. 2011):
+    candidates come from the query's `nprobe` probed IVF lists, an
+    ASYMMETRIC distance (sum over subspaces of the precomputed
+    query-to-sub-centroid table looked up at each candidate's code) cuts
+    them to a `rerank`-sized shortlist, and the exact L2 re-ranks the
+    shortlist.
+
+    100 TB shape: the ADC pass touches the corpus only through (list_id,
+    8 codes) — never the raw vectors; the per-query distance table (8 x 16
+    rows) and the probe assignments broadcast; the ADC is an equi-join on
+    (q_id, s, code) followed by an 8-row integer sum per candidate.  Raw
+    vectors are fetched (equi-join on c_id) for only `rerank` rows per
+    query.  Both distances run in integer micro-units (FLOOR(d * 1e6))
+    so aggregation order cannot perturb ranking; ties break on c_id.
+
+    Measured on the sf0.001 fixture (tests/test_dedup_corpus.py): recall@3
+    vs exact L2 = 0.52 at nprobe=4/rerank=50, against a probed-pool ceiling
+    of 0.60 — the PQ codebook (16 seed slices per subspace) carries the
+    recall cost here, not the re-rank."""
+    seeds = _ivf_seeds(emb)
+    alist = ivf_assign(emb).select("c_id", "list_id")
+    codes = pq_codes(emb).join(
+        alist.withColumnRenamed("c_id", "vec_id"), "vec_id"
+    )
+    q = emb.where(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    # probe: top-nprobe lists by cosine to the seeds (same rule as ivf_topk)
+    qexp = cosine_expr("qv", "sv", SPARK_AT)
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("t"))
+    probed = (
+        q.crossJoin(F.broadcast(seeds))
+        .select("q_id", "qv", "t", F.expr(qexp).alias("cos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "qv", F.col("t").alias("list_id"))
+    )
+    # per-query ADC lookup table: dm(q, s, c) in integer micro-units
+    dmarr = F.array(*[
+        F.expr(_PQ_MICRO.format(d=sub_l2_expr("qv", "sv", SPARK_AT, s)))
+        for s in range(PQ_SUBS)
+    ])
+    lut = (
+        q.crossJoin(F.broadcast(seeds))
+        .select("q_id", F.col("t").alias("code"), F.posexplode(dmarr).alias("s", "dm"))
+    )
+    cand = (
+        probed.select("q_id", "list_id")
+        .join(codes, "list_id")
+        .where(F.col("q_id") != F.col("vec_id"))
+    )
+    adist = (
+        cand.join(F.broadcast(lut), ["q_id", "s", "code"])
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.sum("dm").alias("adist_micro"))
+    )
+    ws = Window.partitionBy("q_id").orderBy("adist_micro", "c_id")
+    short = (
+        adist.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= rerank)
+        .select("q_id", "c_id", "adist_micro")
+    )
+    # exact re-rank: raw vectors only for the shortlist rows
+    full_l2 = "(" + " + ".join(
+        sub_l2_expr("qv", "cv", SPARK_AT, s) for s in range(PQ_SUBS)
+    ) + ")"
+    rer = (
+        short.join(emb.select(F.col("vec_id").alias("c_id"),
+                              F.col("embedding").alias("cv")), "c_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn("l2_micro", F.expr(_PQ_MICRO.format(d=full_l2)))
+    )
+    wr = Window.partitionBy("q_id").orderBy("l2_micro", "c_id")
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "c_id", "adist_micro", "l2_micro", "rnk")
+        .orderBy("q_id", "rnk")
+    )

@@ -779,3 +779,98 @@ FROM alist al LEFT JOIN pr ON pr.vec_id = al.vec_id ORDER BY al.vec_id"""
 @Q.register("semdedup", _semdedup_sql())
 def q_semdedup(spark, sf):
     return simsearch.semdedup(_emb(spark, sf))
+
+
+# -- Product quantization (Jégou et al. 2011): the encode pass and the
+# IVF-PQ asymmetric-distance top-k.  Sub-distances are identical fixed-order
+# chains on both engines; the per-candidate 8-way sum runs in integer
+# micro-units (FLOOR(d * 1e6)) so aggregation order cannot perturb ranking.
+def _pq_sub_cte(vec: str) -> str:
+    """UNION ALL over the 8 subspaces of (id cols, s, d) chains for `vec`
+    against sd.sv."""
+    S = simsearch
+    parts = [
+        f"SELECT e.vec_id, sd.t, {s} AS s, "
+        f"{S.sub_l2_expr(vec, 'sd.sv', S.DUCK_AT, s)} AS d FROM embeddings e, sd"
+        for s in range(S.PQ_SUBS)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _pq_seeds_cte() -> str:
+    seeds_vals = ", ".join(
+        f"({t}, {sid})" for t, sid in enumerate(simsearch.IVF_SEEDS)
+    )
+    return (f"sd AS (SELECT m.t, emb.embedding AS sv "
+            f"FROM (VALUES {seeds_vals}) m(t, sid) "
+            f"JOIN embeddings emb ON emb.vec_id = m.sid)")
+
+
+def _pq_codes_sql() -> str:
+    return f"""WITH {_pq_seeds_cte()},
+sub AS ({_pq_sub_cte('e.embedding')})
+SELECT vec_id, s, code FROM
+  (SELECT vec_id, s, t AS code,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, t) AS rn FROM sub)
+WHERE rn = 1 ORDER BY vec_id, s"""
+
+
+@Q.register("pq_codes", _pq_codes_sql())
+def q_pq_codes(spark, sf):
+    return simsearch.pq_codes(_emb(spark, sf))
+
+
+def _pq_full_l2(a: str, b: str) -> str:
+    """Full 64-dim fixed-order L2 chain = the 8 subspace chains in order."""
+    S = simsearch
+    return "(" + " + ".join(
+        S.sub_l2_expr(a, b, S.DUCK_AT, s) for s in range(S.PQ_SUBS)
+    ) + ")"
+
+
+def _ivf_pq_sql() -> str:
+    S = simsearch
+    cexp = S.cosine_expr("e.embedding", "sd.sv", S.DUCK_AT)
+    qexp = S.cosine_expr("q.qv", "sd.sv", S.DUCK_AT)
+    lut_parts = " UNION ALL ".join(
+        f"SELECT q.q_id, sd.t AS code, {s} AS s, "
+        f"CAST(FLOOR(({S.sub_l2_expr('q.qv', 'sd.sv', S.DUCK_AT, s)}) * 1e6) AS BIGINT) AS dm "
+        "FROM q, sd"
+        for s in range(S.PQ_SUBS)
+    )
+    return f"""WITH {_pq_seeds_cte()},
+asg AS (SELECT e.vec_id, sd.t, {cexp} AS cos FROM embeddings e, sd),
+alist AS (SELECT vec_id, t AS list_id FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, t) AS rn FROM asg)
+  WHERE rn = 1),
+sub AS ({_pq_sub_cte('e.embedding')}),
+codes AS (SELECT vec_id, s, code FROM
+  (SELECT vec_id, s, t AS code,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, t) AS rn FROM sub)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+qasg AS (SELECT q.q_id, sd.t, {qexp} AS cos FROM q, sd),
+qp AS (SELECT q_id, t AS list_id FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t) AS rn FROM qasg)
+  WHERE rn <= {S.IVF_NPROBE}),
+lut AS ({lut_parts}),
+cand AS (SELECT qp.q_id, c.vec_id AS c_id, c.s, c.code
+  FROM qp JOIN alist al USING (list_id) JOIN codes c ON c.vec_id = al.vec_id
+  WHERE qp.q_id != al.vec_id),
+ad AS (SELECT cand.q_id, cand.c_id, CAST(SUM(l.dm) AS BIGINT) AS adist_micro
+  FROM cand JOIN lut l ON l.q_id = cand.q_id AND l.s = cand.s AND l.code = cand.code
+  GROUP BY 1, 2),
+short AS (SELECT q_id, c_id, adist_micro FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist_micro, c_id) AS srn FROM ad)
+  WHERE srn <= {S.PQ_RERANK}),
+rer AS (SELECT sh.q_id, sh.c_id, sh.adist_micro,
+  CAST(FLOOR(({_pq_full_l2('q.qv', 'e.embedding')}) * 1e6) AS BIGINT) AS l2_micro
+  FROM short sh JOIN embeddings e ON e.vec_id = sh.c_id JOIN q ON q.q_id = sh.q_id),
+r AS (SELECT q_id, c_id, adist_micro, l2_micro,
+  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2_micro, c_id) AS rnk FROM rer)
+SELECT q_id, c_id, adist_micro, l2_micro, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
+
+
+@Q.register("ivf_pq_topk", _ivf_pq_sql())
+def q_ivf_pq_topk(spark, sf):
+    return simsearch.ivf_pq_topk(_emb(spark, sf))
