@@ -874,3 +874,43 @@ SELECT q_id, c_id, adist_micro, l2_micro, rnk FROM r WHERE rnk <= 3 ORDER BY q_i
 @Q.register("ivf_pq_topk", _ivf_pq_sql())
 def q_ivf_pq_topk(spark, sf):
     return simsearch.ivf_pq_topk(_emb(spark, sf))
+
+
+# -- Temperature-scaled mixture reweighting (alpha = 0.5): per-source keep
+# rate proportional to sqrt(count_s), normalized so the LARGEST source keeps
+# 1000 permille — the standard low-resource-upweighting rule (mC4 / PaLM
+# style alpha-sampling).  sqrt is correctly rounded in both engines and the
+# rate is floored to integer permille, so the draw is engine-exact.
+_TEMP_SQL = f"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+mx AS (SELECT MAX(cnt) AS mcnt FROM c),
+r AS (SELECT lang, cnt,
+      CAST(FLOOR(1e3 * sqrt(CAST(cnt AS DOUBLE)) / sqrt(CAST(mcnt AS DOUBLE))) AS BIGINT)
+      AS rate_permille FROM c, mx)
+SELECT d.doc_id, d.lang, r.cnt AS lang_count, r.rate_permille, {_MIX_U} AS u
+FROM documents d JOIN r USING (lang)
+WHERE {_MIX_U} < r.rate_permille ORDER BY doc_id"""
+
+
+@Q.register("temperature_mix", _TEMP_SQL)
+def q_temperature_mix(spark, sf):
+    """Alpha-temperature mixture sampling over the language strata (the
+    multilingual balancing case — `lang` is the skewed column in this
+    corpus): the per-stratum rate table is a tiny aggregate (|langs| rows)
+    crossed with a 1-row max — both broadcast — then a map-only LCG
+    threshold keep over the corpus.  One hash agg + one broadcast hash
+    join; no corpus-sized shuffle."""
+    docs = _docs(spark, sf)
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mx = c.agg(F.max("cnt").alias("mcnt"))
+    r = c.crossJoin(F.broadcast(mx)).select(
+        "lang", "cnt",
+        F.expr("CAST(FLOOR(1e3 * sqrt(CAST(cnt AS DOUBLE)) / "
+               "sqrt(CAST(mcnt AS DOUBLE))) AS BIGINT)").alias("rate_permille"),
+    )
+    return (
+        docs.join(F.broadcast(r), "lang")
+        .select("doc_id", "lang", F.col("cnt").alias("lang_count"),
+                "rate_permille", F.expr(_MIX_U).alias("u"))
+        .where(F.col("u") < F.col("rate_permille"))
+        .orderBy("doc_id")
+    )
