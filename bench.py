@@ -72,6 +72,11 @@ HEADLINE = [
     # round-4 second pass: webtext-axis additions
     "repetition_filter", # Gopher repetition metrics (n-gram agg + window)
     "pack_sequences",    # sharded concat-then-chunk packing window
+    # round-4 third pass: corpus dedup + ANN additions
+    "paragraph_dedup",   # CCNet block-hash first-occurrence dedup
+    "substring_dedup",   # exact-substring duplicated-span stats
+    "semdedup",          # cluster-then-prune embedding dedup
+    "ivf_pq_topk",       # product-quantization ADC + exact re-rank
 ]
 
 

@@ -23,6 +23,8 @@ PKG = Path(__file__).resolve().parent.parent / "whitebox_geospatial_analysis_too
 CROSSJOIN_ALLOW = [
     (r"queries_text\.py", r"c\.crossJoin\(F\.broadcast\(mx\)\)",
      "|sources|-row rate table x 1-row max aggregate (temperature_mix)"),
+    (r"queries_text\.py", r"v\.crossJoin\(F\.broadcast\(tot\)\)",
+     "vocabulary table x 1-row total aggregate (unigram_logprob)"),
     (r"queries_vector\.py", r"wsum\.crossJoin\(dsum\)",
      "two 1-row aggregate scalars (Moran's I normalization)"),
     (r"operators/overlay\.py", r"sa\.crossJoin\(ca\)\.crossJoin\(ia\)",

@@ -914,3 +914,91 @@ def q_temperature_mix(spark, sf):
         .where(F.col("u") < F.col("rate_permille"))
         .orderBy("doc_id")
     )
+
+
+# -- Hashed linear quality classifier (the fastText-architecture filter used
+# for e.g. CCNet/GPT-3 quality scoring): score = mean over tokens of a
+# deterministic integer weight keyed by the token hash.  Weights accumulate
+# as exact BIGINTs (order-free); the single final division is the only float
+# op, so both engines agree bitwise.
+_QC_TOKS = """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       FROM documents),
+th AS (SELECT doc_id, {hash} AS h FROM tok WHERE length(tok) > 0)"""
+
+_QC_W = "((h * 48271) % 2147483648 - 1073741824)"
+
+_QC_SQL = f"""WITH {_QC_TOKS.format(hash=textops.TOKEN_HASH)},
+g AS (SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM({_QC_W}) AS BIGINT) AS logit_sum
+      FROM th GROUP BY 1)
+SELECT doc_id, n_toks, logit_sum,
+       CAST(logit_sum AS DOUBLE) / n_toks / 1073741824e0 AS score,
+       CASE WHEN logit_sum > 0 THEN 1 ELSE 0 END AS kept
+FROM g ORDER BY doc_id"""
+
+
+@Q.register("quality_classifier", _QC_SQL)
+def q_quality_classifier(spark, sf):
+    """One hash-agg pass: explode tokens, integer weight per token hash,
+    exact BIGINT sum per doc.  Map-side partial aggregation absorbs the
+    token fan-out; the only shuffle keys on doc_id."""
+    toks = _docs(spark, sf).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    g = (
+        toks.select("doc_id", F.expr(textops.TOKEN_HASH).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.expr(f"CAST(SUM({_QC_W}) AS BIGINT)").alias("logit_sum"),
+        )
+    )
+    return g.select(
+        "doc_id", "n_toks", "logit_sum",
+        F.expr("CAST(logit_sum AS DOUBLE) / n_toks / 1073741824e0").alias("score"),
+        F.expr("CASE WHEN logit_sum > 0 THEN 1 ELSE 0 END").alias("kept"),
+    ).orderBy("doc_id")
+
+
+# -- Unigram-LM log-probability filter (the CCNet perplexity-proxy shape):
+# corpus unigram frequencies -> per-token surprisal in integer micro-bits
+# (FLOOR(-1e6 * log2 p) — the integer-moment float policy applied to logs) ->
+# exact per-doc sum, one final division for the mean.
+_UG_SQL = f"""WITH {_QC_TOKS.format(hash="md5(tok)")},
+v AS (SELECT h, COUNT(*) AS cnt FROM th GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+code AS (SELECT h, CAST(FLOOR(-1e6 * ln(CAST(cnt AS DOUBLE) / total) / ln(2e0)) AS BIGINT)
+         AS bits_micro FROM v, tot),
+g AS (SELECT t.doc_id, COUNT(*) AS n_toks, CAST(SUM(c.bits_micro) AS BIGINT) AS bits_sum
+      FROM th t JOIN code c ON c.h = t.h GROUP BY 1)
+SELECT doc_id, n_toks, bits_sum,
+       CAST(bits_sum AS DOUBLE) / n_toks / 1e6 AS mean_bits
+FROM g ORDER BY doc_id"""
+
+
+@Q.register("unigram_logprob", _UG_SQL)
+def q_unigram_logprob(spark, sf):
+    """Vocabulary agg (hash groupBy on the token hash — uniform keys), a
+    1-row total broadcast, then a hash equi-join of the token stream back
+    against the coded vocabulary and a per-doc sum.  At web scale the
+    vocabulary table shuffles once and the join is plain hash-partition —
+    never a driver collect."""
+    toks = _docs(spark, sf).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.length("tok") > 0).select("doc_id", F.md5("tok").alias("h"))
+    v = toks.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = v.agg(F.expr("CAST(SUM(cnt) AS BIGINT)").alias("total"))
+    code = v.crossJoin(F.broadcast(tot)).select(
+        "h",
+        F.expr("CAST(FLOOR(-1e6 * ln(CAST(cnt AS DOUBLE) / total) / ln(2e0)) "
+               "AS BIGINT)").alias("bits_micro"),
+    )
+    g = (
+        toks.join(code, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"),
+             F.expr("CAST(SUM(bits_micro) AS BIGINT)").alias("bits_sum"))
+    )
+    return g.select(
+        "doc_id", "n_toks", "bits_sum",
+        F.expr("CAST(bits_sum AS DOUBLE) / n_toks / 1e6").alias("mean_bits"),
+    ).orderBy("doc_id")
