@@ -1002,3 +1002,45 @@ def q_unigram_logprob(spark, sf):
         "doc_id", "n_toks", "bits_sum",
         F.expr("CAST(bits_sum AS DOUBLE) / n_toks / 1e6").alias("mean_bits"),
     ).orderBy("doc_id")
+
+
+# -- Full modern filter chain (Gopher/CCNet-style pipeline ending): the
+# corpus_filter survivors (langid + token floor + exact-rep + near-dup
+# canonical) further gated by the repetition metrics and the hashed linear
+# classifier score.  Still ONE declarative plan — each stage is the
+# already-audited shape; composition adds two doc_id equi-joins.
+_CF2_SCORE = "-0.05e0"   # classifier floor
+_CF2_DUP3 = "0.2e0"      # max duplicated-trigram char fraction
+_CF2_DWR = "0.3e0"       # min distinct-word ratio
+
+
+def _corpus_filter2_sql() -> str:
+    return f"""SELECT cf.doc_id, cf.pred_lang, cf.n_tokens,
+       r.dup_trigram_frac, r.distinct_word_ratio, qc.score
+FROM ({_corpus_filter_sql()}) cf
+JOIN ({_REP_SQL}) r USING (doc_id)
+JOIN ({_QC_SQL}) qc USING (doc_id)
+WHERE qc.score > {_CF2_SCORE}
+  AND r.dup_trigram_frac <= {_CF2_DUP3}
+  AND r.distinct_word_ratio >= {_CF2_DWR}
+ORDER BY cf.doc_id"""
+
+
+@Q.register("corpus_filter2", _corpus_filter2_sql())
+def q_corpus_filter2(spark, sf):
+    cf = q_corpus_filter(spark, sf)
+    rep = textops.repetition_metrics(_docs(spark, sf)).select(
+        "doc_id", "dup_trigram_frac", "distinct_word_ratio"
+    )
+    qc = q_quality_classifier(spark, sf).select("doc_id", "score")
+    return (
+        cf.join(rep, "doc_id")
+        .join(qc, "doc_id")
+        .where(F.expr(
+            f"score > {_CF2_SCORE} AND dup_trigram_frac <= {_CF2_DUP3} "
+            f"AND distinct_word_ratio >= {_CF2_DWR}"
+        ))
+        .select("doc_id", "pred_lang", "n_tokens", "dup_trigram_frac",
+                "distinct_word_ratio", "score")
+        .orderBy("doc_id")
+    )
