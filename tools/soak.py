@@ -102,12 +102,39 @@ def main() -> None:
         assert r["n"] > 0 and r["k"] < r["n"]
         return f"paired_docs={r['n']} clusters={r['k']}"
 
+    def _soak_docs():
+        # same chained-near-dup corpus as run_dedup: adjacent doc ids share
+        # 38 of 40 tokens, so block hashes and 8-token windows both collide
+        return spark.range(args.docs).select(
+            F.col("id").alias("doc_id"),
+            F.expr("array_join(transform(sequence(id * 2, id * 2 + 39), "
+                   "j -> concat('tok', j % 1000000)), ' ')").alias("text"))
+
+    def run_para():
+        out = textops.paragraph_dedup(_soak_docs())
+        r = out.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("n_dup_blocks").alias("dups"),
+                    F.sum("n_blocks").alias("blocks")).collect()[0]
+        assert r["n"] == args.docs and 0 < r["dups"] < r["blocks"]
+        return f"docs={r['n']} dup_blocks={r['dups']}/{r['blocks']}"
+
+    def run_spans():
+        out = textops.substring_spans(_soak_docs())
+        r = out.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.expr("CASE WHEN n_dup_spans > 0 THEN 1 ELSE 0 END"))
+                    .alias("hit"),
+                    F.max("max_span_len").alias("mx")).collect()[0]
+        assert r["n"] == args.docs and 0 < r["hit"] <= r["n"] and r["mx"] >= 8
+        return f"docs={r['n']} docs_with_spans={r['hit']} max_span={r['mx']}"
+
     t1 = _timed("flow_accum", run_accum)
     t2 = _timed("watershed", run_watershed)
     t3 = _timed("clump_sizes", run_clump)
     ptr.unpersist()
     t4 = _timed("dedup_clusters", run_dedup)
-    print(f"SOAK TOTAL {t1 + t2 + t3 + t4:.1f} s", flush=True)
+    t5 = _timed("paragraph_dedup", run_para)
+    t6 = _timed("substring_spans", run_spans)
+    print(f"SOAK TOTAL {t1 + t2 + t3 + t4 + t5 + t6:.1f} s", flush=True)
 
 
 if __name__ == "__main__":
