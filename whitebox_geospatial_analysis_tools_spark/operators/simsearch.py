@@ -325,11 +325,18 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_TAU) -> DataFrame:
     an equi-join on the cluster id (16 lists here; at scale the seed count
     grows with the corpus so list size stays bounded), and the verdict is
     an EXISTS (left-semi join), not a pair materialization per survivor.
-    Assignment reuses ivf_assign's broadcast long-format pass."""
-    alist = ivf_assign(emb).select(
+    Assignment reuses ivf_assign's broadcast long-format pass; the
+    assigned frame feeds three plan branches (both self-join sides and the
+    output spine), so it is persisted once under the _scratch lifetime
+    manager instead of recomputing the assignment window per branch."""
+    from . import _scratch
+
+    spark = emb.sparkSession
+    _scratch.release(spark, "semdedup")
+    alist = _scratch.track(spark, ivf_assign(emb).select(
         "list_id", F.col("c_id").alias("vec_id"), F.col("cv").alias("v"),
         F.expr(dot_expr("cv", "cv", SPARK_AT)).alias("_n"),
-    )
+    ).persist(), "semdedup")
     a = alist.select("list_id", F.col("vec_id").alias("d1"),
                      F.col("v").alias("av"), F.col("_n").alias("_na"))
     b = alist.select("list_id", F.col("vec_id").alias("d2"),
