@@ -438,10 +438,36 @@ def ivf_pq_topk(emb: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE,
     vs exact L2 = 0.52 at nprobe=4/rerank=50, against a probed-pool ceiling
     of 0.60 — the PQ codebook (16 seed slices per subspace) carries the
     recall cost here, not the re-rank."""
+    from . import _scratch
+
+    spark = emb.sparkSession
     seeds = _ivf_seeds(emb)
-    alist = ivf_assign(emb).select("c_id", "list_id")
-    codes = pq_codes(emb).join(
-        alist.withColumnRenamed("c_id", "vec_id"), "vec_id"
+    # ONE corpus x 16 pass computes both the list assignment (argmax cosine)
+    # and the 8 sub-distances (PQ encode) — ivf_assign + pq_codes run the
+    # same crossJoin separately; fusing halves the corpus scans.  The long
+    # table feeds two window branches, so it persists under _scratch.
+    cexp = cosine_expr("embedding", "sv", SPARK_AT)
+    darr = F.array(*[
+        F.expr(sub_l2_expr("embedding", "sv", SPARK_AT, s))
+        for s in range(PQ_SUBS)
+    ])
+    _scratch.release(spark, "ivf_pq")
+    e = _scratch.track(spark, emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "t", F.expr(cexp).alias("cos"), darr.alias("ds")
+    ).persist(), "ivf_pq")
+    wa = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("t"))
+    alist = (
+        e.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("t").alias("list_id"))
+    )
+    wc = Window.partitionBy("vec_id", "s").orderBy("d", "t")
+    codes = (
+        e.select("vec_id", "t", F.posexplode("ds").alias("s", "d"))
+        .withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("t").alias("code"))
+        .join(alist, "vec_id")
     )
     q = emb.where(query_pred).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
