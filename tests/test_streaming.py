@@ -143,3 +143,51 @@ def test_streaming_near_dup_across_batches(spark, tmp_path):
         .withColumn("doc_id", F.expr("CAST(substring(url, 2) AS LONG)"))
     pairs = textops.lsh_candidate_pairs(docs).toPandas()
     assert set(zip(pairs["d1"], pairs["d2"])) == {(1, 3)}
+
+
+def test_streaming_paragraph_dedup_across_batches(spark, tmp_path):
+    """Block-hash state crosses micro-batches: a 20-token block arriving in
+    a LATER batch is flagged against the first batch's occurrence, and the
+    flagged set equals the batch paragraph_dedup dup count on the union."""
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_spark.operators import textops
+
+    blk_a = " ".join(f"a{i}" for i in range(textops.PARA_BLOCK))
+    blk_b = " ".join(f"b{i}" for i in range(textops.PARA_BLOCK))
+    blk_c = " ".join(f"c{i}" for i in range(textops.PARA_BLOCK))
+    src = tmp_path / "srcp"
+    src.mkdir()
+    ts = pd.Timestamp("2026-01-01 00:00:00")
+    for i, batch in enumerate([
+        [("u1", blk_a + " " + blk_b)],
+        [("u2", blk_c + " " + blk_a)],   # u2's SECOND block dups u1's first
+    ]):
+        pdf = pd.DataFrame({
+            "url": [u for u, _ in batch],
+            "warc_ts": [ts + pd.Timedelta(minutes=i)] * len(batch),
+            "html": [b""] * len(batch),
+            "text": [t for _, t in batch],
+            "lang": ["en"] * len(batch),
+        })
+        spark.createDataFrame(pdf, ingest.PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    stream = ingest.read_pages_stream(spark, str(src), max_files_per_trigger=1) \
+        .withColumn("doc_id", F.expr("CAST(substring(url, 2) AS LONG)"))
+    flagged = ingest.streaming_paragraph_dedup(stream)
+    assert flagged.isStreaming
+    ingest.run_update_mode(flagged, str(tmp_path / "ckptp"), "para_dedup_stream")
+    got = spark.table("para_dedup_stream").toPandas()
+
+    # exactly one dup: u2's block idx 1 against u1's block idx 0
+    assert list(zip(got["doc_id"], got["idx"], got["dup_of_doc"],
+                    got["dup_of_idx"])) == [(2, 1, 1, 0)]
+
+    # batch twin agrees on the dup count
+    docs = spark.read.parquet(str(src)) \
+        .withColumn("doc_id", F.expr("CAST(substring(url, 2) AS LONG)")) \
+        .select("doc_id", "text")
+    batch = {r["doc_id"]: r["n_dup_blocks"]
+             for r in textops.paragraph_dedup(docs).collect()}
+    assert batch == {1: 0, 2: 1}

@@ -147,3 +147,36 @@ def q_streaming_tile_counts(spark, sf):
         )
         .orderBy("win_start", "tile_id")
     )
+
+
+@Q.register(
+    "streaming_paragraph_dedup",
+    """WITH wrd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bl AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 20)) AS idx FROM wrd),
+blk AS (SELECT doc_id, idx,
+        md5(array_to_string(list_slice(w, idx * 20 + 1, idx * 20 + 20), ' ')) AS h
+        FROM bl),
+r AS (SELECT doc_id, CAST(idx AS INT) AS idx, h,
+      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn,
+      FIRST_VALUE(doc_id) OVER (PARTITION BY h ORDER BY doc_id, idx) AS dup_of_doc,
+      CAST(FIRST_VALUE(idx) OVER (PARTITION BY h ORDER BY doc_id, idx) AS INT) AS dup_of_idx
+      FROM blk)
+SELECT h, doc_id, idx, dup_of_doc, dup_of_idx
+FROM r WHERE rn > 1 ORDER BY h, doc_id, idx""",
+)
+def q_streaming_paragraph_dedup(spark, sf):
+    """Streaming CCNet paragraph dedup (cross-batch first-seen block state)
+    == the batch first-occurrence rule: single trigger so the in-batch min
+    (doc_id, idx) is the global first occurrence — deterministic;
+    cross-batch state is pytest-covered (test_streaming)."""
+    src, ckpt = _stage(spark, sf, n_files=2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+        .withColumn("warc_ts", F.expr(_TS_SPARK))
+    )
+    flagged = ingest.streaming_paragraph_dedup(stream)
+    _drain(flagged, ckpt, "strm_paradedup_sink", "update")
+    return spark.table("strm_paradedup_sink") \
+        .select("h", "doc_id", "idx", "dup_of_doc", "dup_of_idx") \
+        .orderBy("h", "doc_id", "idx")

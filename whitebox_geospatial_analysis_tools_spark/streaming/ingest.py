@@ -193,3 +193,65 @@ def streaming_near_dup(pages: DataFrame, *, bands: int = 4) -> DataFrame:
         )
         .where(F.col("doc_id") != F.col("dup_of"))
     )
+
+
+def paragraph_block_rows(pages: DataFrame, *, block: int = 20) -> DataFrame:
+    """(doc_id, warc_ts, idx, h): per-row fixed-block split + md5 — in-row
+    transform only (no groupBy), legal in a streaming plan, zero shuffle;
+    byte-identical to the batch twin operators/textops.paragraph_dedup."""
+    return (
+        pages.withColumn("w", F.split("text", " "))
+        .select(
+            "doc_id", "warc_ts",
+            F.posexplode(F.expr(
+                f"transform(sequence(0, (size(w) - 1) DIV {block}), "
+                f"i -> array_join(slice(w, i * {block} + 1, {block}), ' '))"
+            )).alias("idx", "blk"),
+        )
+        .select("doc_id", "warc_ts", "idx", F.md5("blk").alias("h"))
+    )
+
+
+def streaming_paragraph_dedup(pages: DataFrame, *, block: int = 20) -> DataFrame:
+    """Streaming CCNet paragraph dedup: cross-batch first-seen state per
+    block hash (applyInPandasWithState keyed by h).  A block whose hash was
+    first seen in an EARLIER micro-batch (or earlier in (doc_id, idx) order
+    within this batch) is emitted as a duplicate against that first
+    occurrence; state is one (doc_id, idx) pair per distinct block hash —
+    the streaming twin of the batch first-occurrence window rule."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rows = paragraph_block_rows(pages, block=block)
+
+    def fn(key, pdf_iter, state):
+        first = tuple(state.get) if state.exists else None
+        occ = []
+        for pdf in pdf_iter:
+            occ.extend(zip((int(d) for d in pdf["doc_id"]),
+                           (int(i) for i in pdf["idx"])))
+        if not occ:
+            return
+        if first is None:
+            first = min(occ)
+            state.update(first)
+        yield pd.DataFrame({
+            "h": [str(key[0])] * len(occ),
+            "doc_id": [d for d, _ in occ],
+            "idx": [i for _, i in occ],
+            "dup_of_doc": [first[0]] * len(occ),
+            "dup_of_idx": [first[1]] * len(occ),
+        })
+
+    return (
+        rows.groupBy("h")
+        .applyInPandasWithState(
+            fn,
+            "h string, doc_id long, idx int, dup_of_doc long, dup_of_idx int",
+            "first_doc long, first_idx int",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        .where((F.col("doc_id") != F.col("dup_of_doc"))
+               | (F.col("idx") != F.col("dup_of_idx")))
+    )
