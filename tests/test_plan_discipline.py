@@ -25,6 +25,8 @@ CROSSJOIN_ALLOW = [
      "|sources|-row rate table x 1-row max aggregate (temperature_mix)"),
     (r"queries_text\.py", r"v\.crossJoin\(F\.broadcast\(tot\)\)",
      "vocabulary table x 1-row total aggregate (unigram_logprob)"),
+    (r"queries_text\.py", r"v\.crossJoin\(F\.broadcast\(best\)\)",
+     "vocabulary table x 1-row merge-pair argmax (bpe_train)"),
     (r"queries_vector\.py", r"wsum\.crossJoin\(dsum\)",
      "two 1-row aggregate scalars (Moran's I normalization)"),
     (r"operators/overlay\.py", r"sa\.crossJoin\(ca\)\.crossJoin\(ia\)",

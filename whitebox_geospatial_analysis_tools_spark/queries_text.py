@@ -1044,3 +1044,85 @@ def q_corpus_filter2(spark, sf):
                 "distinct_word_ratio", "score")
         .orderBy("doc_id")
     )
+
+
+# -- Iterated BPE training (Sennrich et al. 2016): 3 full merge rounds with
+# symbol-sequence REWRITING between rounds (bpe_merge_step only scores round
+# one).  Symbol sequences live in a bracketed string ('|a||b||c|'): each
+# symbol carries its own delimiters, so replace('|pa||pb|' -> '|papb|') is
+# the exact greedy left-to-right non-overlapping BPE merge in BOTH engines
+# (no boundary-sharing bug, no lambda fold needed).  All counts are exact
+# integers; the merge argmax orders (weight DESC, pa, pb).
+_BPE_ITERS = 3
+
+
+def _bpe_train_sql() -> str:
+    lvls = ["""v0 AS (SELECT word, cnt, regexp_replace(word, '(.)', '|\\1|', 'g') AS s
+  FROM (SELECT word, COUNT(*) AS cnt FROM
+        (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE length(word) > 0 GROUP BY 1))"""]
+    stats = []
+    for k in range(_BPE_ITERS):
+        lvls.append(f"""a{k} AS (SELECT cnt, string_split(trim(s, '|'), '||') AS arr FROM v{k}),
+p{k} AS (SELECT arr[i] AS pa, arr[i+1] AS pb, cnt
+  FROM (SELECT cnt, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+        FROM a{k} WHERE len(arr) >= 2)),
+w{k} AS (SELECT pa, pb, CAST(SUM(cnt) AS BIGINT) AS weight FROM p{k} GROUP BY 1, 2),
+b{k} AS (SELECT pa, pb, weight FROM w{k} ORDER BY weight DESC, pa, pb LIMIT 1),
+v{k + 1} AS (SELECT word, cnt,
+  replace(s, '|' || pa || '||' || pb || '|', '|' || pa || pb || '|') AS s
+  FROM v{k}, b{k})""")
+        stats.append(
+            f"SELECT {k} AS iter, pa, pb, weight, "
+            f"CAST(SUM(cnt * ((length(s) - length(replace(s, '|', ''))) // 2)) AS BIGINT) "
+            f"AS n_symbols FROM v{k + 1}, b{k} GROUP BY 1, 2, 3, 4"
+        )
+    return ("WITH " + ",\n".join(lvls) + "\n"
+            + " UNION ALL ".join(stats) + " ORDER BY iter")
+
+
+@Q.register("bpe_train", _bpe_train_sql())
+def q_bpe_train(spark, sf):
+    """Three unrolled BPE merge rounds over the aggregated vocabulary.
+
+    Scale shape: every round is (vocab-sized pair explode -> hash agg ->
+    1-row argmax broadcast -> map-only rewrite); the corpus is touched
+    once, by the initial vocabulary aggregation.  Each round's rewritten
+    vocabulary is localCheckpoint'ed — the pair-count branch and the
+    rewrite branch would otherwise double the lineage per round (the
+    binary-lifting plan-explosion trap)."""
+    v = (
+        _docs(spark, sf)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", "cnt",
+                F.expr("regexp_replace(word, '(.)', '|$1|')").alias("s"))
+    )
+    out = None
+    for it in range(_BPE_ITERS):
+        a = v.select("cnt", F.expr("split(btrim(s, '|'), '\\\\|\\\\|')").alias("arr"))
+        pc = (
+            a.where(F.expr("size(arr) >= 2"))
+            .select("cnt", F.expr(
+                "explode(transform(sequence(1, size(arr) - 1), "
+                "i -> named_struct('pa', element_at(arr, i), "
+                "'pb', element_at(arr, i + 1))))").alias("p"))
+            .select("cnt", "p.pa", "p.pb")
+            .groupBy("pa", "pb")
+            .agg(F.sum("cnt").cast("long").alias("weight"))
+        )
+        best = pc.orderBy(F.desc("weight"), F.asc("pa"), F.asc("pb")).limit(1)
+        vn = v.crossJoin(F.broadcast(best)).withColumn(
+            "s", F.expr("replace(s, '|' || pa || '||' || pb || '|', "
+                        "'|' || pa || pb || '|')"))
+        stat = (
+            vn.groupBy("pa", "pb", "weight")
+            .agg(F.expr(
+                "CAST(SUM(cnt * ((length(s) - length(replace(s, '|', ''))) DIV 2)) "
+                "AS BIGINT)").alias("n_symbols"))
+            .select(F.lit(it).alias("iter"), "pa", "pb", "weight", "n_symbols")
+        )
+        out = stat if out is None else out.unionByName(stat)
+        v = vn.select("word", "cnt", "s").localCheckpoint()
+    return out.orderBy("iter")
