@@ -27,6 +27,8 @@ CROSSJOIN_ALLOW = [
      "vocabulary table x 1-row total aggregate (unigram_logprob)"),
     (r"queries_text\.py", r"v\.crossJoin\(F\.broadcast\(best\)\)",
      "vocabulary table x 1-row merge-pair argmax (bpe_train)"),
+    (r"queries_text\.py", r"toks\.crossJoin\(F\.broadcast\(m\)\)",
+     "token stream x 1-row learned merge pair (bpe_encode, 3 chained)"),
     (r"queries_vector\.py", r"wsum\.crossJoin\(dsum\)",
      "two 1-row aggregate scalars (Moran's I normalization)"),
     (r"operators/overlay\.py", r"sa\.crossJoin\(ca\)\.crossJoin\(ia\)",

@@ -1126,3 +1126,52 @@ def q_bpe_train(spark, sf):
         out = stat if out is None else out.unionByName(stat)
         v = vn.select("word", "cnt", "s").localCheckpoint()
     return out.orderBy("iter")
+
+
+# -- BPE encode: apply the 3 learned merges back to the corpus (the
+# train -> encode loop closed).  The merge table is 3 rows; encoding is a
+# map-only chain of the same bracketed-string replaces, applied per word
+# and summed per document.
+def _bpe_encode_sql() -> str:
+    # reuse the training CTE levels; encode chains the 3 learned replaces
+    train = _bpe_train_sql()
+    head = train[: train.rindex("\n")]  # strip the final UNION/ORDER select
+    rep = "regexp_replace(word, '(.)', '|\\1|', 'g')"
+    for k in range(_BPE_ITERS):
+        rep = (f"replace({rep}, '|' || (SELECT pa FROM b{k}) || '||' || "
+               f"(SELECT pb FROM b{k}) || '|', '|' || (SELECT pa FROM b{k}) "
+               f"|| (SELECT pb FROM b{k}) || '|')")
+    return f"""{head}
+SELECT doc_id, CAST(SUM((length(enc) - length(replace(enc, '|', ''))) // 2) AS BIGINT)
+       AS n_bpe_tokens
+FROM (SELECT doc_id, {rep} AS enc
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0)
+GROUP BY 1 ORDER BY doc_id"""
+
+
+@Q.register("bpe_encode", _bpe_encode_sql())
+def q_bpe_encode(spark, sf):
+    """Per-document token count under the 3-merge BPE model: the learned
+    merge pairs arrive as three 1-row broadcasts (chained crossJoins of
+    bounded sides); encoding is pure map-side string replaces over the
+    exploded token stream, then one doc_id hash agg."""
+    merges = q_bpe_train(spark, sf).select("iter", "pa", "pb")
+    toks = (
+        _docs(spark, sf)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .withColumn("enc", F.expr("regexp_replace(word, '(.)', '|$1|')"))
+    )
+    for it in range(_BPE_ITERS):
+        m = merges.where(F.col("iter") == it).select(
+            F.col("pa").alias(f"pa{it}"), F.col("pb").alias(f"pb{it}"))
+        toks = toks.crossJoin(F.broadcast(m)).withColumn(
+            "enc", F.expr(f"replace(enc, '|' || pa{it} || '||' || pb{it} || '|', "
+                          f"'|' || pa{it} || pb{it} || '|')"))
+    return (
+        toks.groupBy("doc_id")
+        .agg(F.expr("CAST(SUM((length(enc) - length(replace(enc, '|', ''))) DIV 2) "
+                    "AS BIGINT)").alias("n_bpe_tokens"))
+        .orderBy("doc_id")
+    )
