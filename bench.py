@@ -77,6 +77,8 @@ HEADLINE = [
     "substring_dedup",   # exact-substring duplicated-span stats
     "semdedup",          # cluster-then-prune embedding dedup
     "ivf_pq_topk",       # product-quantization ADC + exact re-rank
+    "corpus_filter2",    # full modern filter chain, one plan
+    "bpe_train",         # 3 BPE merge rounds with symbol rewriting
 ]
 
 
