@@ -129,7 +129,10 @@ def test_semdedup_prunes_exactly_smaller_neighbor_rule(spark):
     V = np.array([r["embedding"] for r in rows], dtype=np.float64)
     lists = np.array([got[i]["list_id"] for i in ids])
     norm = np.sqrt((V * V).sum(1))
-    cos = np.round((V @ V.T) / norm[:, None] / norm[None, :], 6)
+    # engines round(x, 6) HALF_UP; np.round is HALF_EVEN — use the
+    # policy's floor(x*1e6 + 0.5) form (identical for the positive
+    # values that can reach the tau comparison)
+    cos = np.floor((V @ V.T) / norm[:, None] / norm[None, :] * 1e6 + 0.5) / 1e6
     for j, vj in enumerate(ids):
         exp = int(
             any(

@@ -22,7 +22,7 @@ PKG = Path(__file__).resolve().parent.parent / "whitebox_geospatial_analysis_too
 # (filename regex, line-content regex) -> why it is bounded
 CROSSJOIN_ALLOW = [
     (r"queries_text\.py", r"c\.crossJoin\(F\.broadcast\(mx\)\)",
-     "|sources|-row rate table x 1-row max aggregate (temperature_mix)"),
+     "|langs|-row rate table x 1-row max aggregate (temperature_mix)"),
     (r"queries_text\.py", r"v\.crossJoin\(F\.broadcast\(tot\)\)",
      "vocabulary table x 1-row total aggregate (unigram_logprob)"),
     (r"queries_text\.py", r"v\.crossJoin\(F\.broadcast\(best\)\)",

@@ -191,3 +191,35 @@ def test_streaming_paragraph_dedup_across_batches(spark, tmp_path):
     batch = {r["doc_id"]: r["n_dup_blocks"]
              for r in textops.paragraph_dedup(docs).collect()}
     assert batch == {1: 0, 2: 1}
+
+
+def test_streaming_paragraph_dedup_ttl_wiring(spark, tmp_path):
+    """state_ttl wires EventTimeTimeout + watermark end-to-end: with a TTL
+    far longer than the batch gap nothing evicts, so the flagged output
+    equals the NoTimeout run on the same two-batch fixture."""
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_spark.operators import textops
+
+    blk_a = " ".join(f"a{i}" for i in range(textops.PARA_BLOCK))
+    src = tmp_path / "srct"
+    src.mkdir()
+    ts = pd.Timestamp("2026-01-01 00:00:00")
+    for i, batch in enumerate([[("u1", blk_a)], [("u2", blk_a)]]):
+        pdf = pd.DataFrame({
+            "url": [u for u, _ in batch],
+            "warc_ts": [ts + pd.Timedelta(minutes=i)] * len(batch),
+            "html": [b""] * len(batch),
+            "text": [t for _, t in batch],
+            "lang": ["en"] * len(batch),
+        })
+        spark.createDataFrame(pdf, ingest.PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    stream = ingest.read_pages_stream(spark, str(src), max_files_per_trigger=1) \
+        .withColumn("doc_id", F.expr("CAST(substring(url, 2) AS LONG)"))
+    flagged = ingest.streaming_paragraph_dedup(stream, state_ttl="30 days")
+    ingest.run_update_mode(flagged, str(tmp_path / "ckptt"), "para_ttl_stream")
+    got = spark.table("para_ttl_stream").toPandas()
+    assert list(zip(got["doc_id"], got["idx"], got["dup_of_doc"],
+                    got["dup_of_idx"])) == [(2, 0, 1, 0)]

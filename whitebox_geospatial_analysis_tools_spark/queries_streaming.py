@@ -149,12 +149,15 @@ def q_streaming_tile_counts(spark, sf):
     )
 
 
+from .operators.textops import PARA_BLOCK as _PB
+
+
 @Q.register(
     "streaming_paragraph_dedup",
-    """WITH wrd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-bl AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 20)) AS idx FROM wrd),
+    f"""WITH wrd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bl AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // {_PB})) AS idx FROM wrd),
 blk AS (SELECT doc_id, idx,
-        md5(array_to_string(list_slice(w, idx * 20 + 1, idx * 20 + 20), ' ')) AS h
+        md5(array_to_string(list_slice(w, idx * {_PB} + 1, idx * {_PB} + {_PB}), ' ')) AS h
         FROM bl),
 r AS (SELECT doc_id, CAST(idx AS INT) AS idx, h,
       ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn,

@@ -960,18 +960,23 @@ def q_quality_classifier(spark, sf):
 
 
 # -- Unigram-LM log-probability filter (the CCNet perplexity-proxy shape):
-# corpus unigram frequencies -> per-token surprisal in integer micro-bits
-# (FLOOR(-1e6 * log2 p) — the integer-moment float policy applied to logs) ->
-# exact per-doc sum, one final division for the mean.
+# corpus unigram frequencies -> per-token surprisal quantized to integer
+# MILLI-bits -> exact per-doc sum, one final division for the mean.
+# Policy note: ln is transcendental — the two engines' libm results are not
+# guaranteed bit-identical, so FLOOR-quantizing it technically risks a +-1
+# flip when -1e3*log2(p) lands within an ulp of an integer.  The coarse
+# milli grid keeps that probability ~x*1e3*2^-52 per distinct vocabulary
+# value (~1e-13 here) — three orders of magnitude safer than a micro grid —
+# and the quantized values then follow the exact-integer-moment policy.
 _UG_SQL = f"""WITH {_QC_TOKS.format(hash="md5(tok)")},
 v AS (SELECT h, COUNT(*) AS cnt FROM th GROUP BY 1),
 tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
-code AS (SELECT h, CAST(FLOOR(-1e6 * ln(CAST(cnt AS DOUBLE) / total) / ln(2e0)) AS BIGINT)
-         AS bits_micro FROM v, tot),
-g AS (SELECT t.doc_id, COUNT(*) AS n_toks, CAST(SUM(c.bits_micro) AS BIGINT) AS bits_sum
+code AS (SELECT h, CAST(FLOOR(-1e3 * ln(CAST(cnt AS DOUBLE) / total) / ln(2e0)) AS BIGINT)
+         AS bits_milli FROM v, tot),
+g AS (SELECT t.doc_id, COUNT(*) AS n_toks, CAST(SUM(c.bits_milli) AS BIGINT) AS bits_sum
       FROM th t JOIN code c ON c.h = t.h GROUP BY 1)
 SELECT doc_id, n_toks, bits_sum,
-       CAST(bits_sum AS DOUBLE) / n_toks / 1e6 AS mean_bits
+       CAST(bits_sum AS DOUBLE) / n_toks / 1e3 AS mean_bits
 FROM g ORDER BY doc_id"""
 
 
@@ -989,18 +994,18 @@ def q_unigram_logprob(spark, sf):
     tot = v.agg(F.expr("CAST(SUM(cnt) AS BIGINT)").alias("total"))
     code = v.crossJoin(F.broadcast(tot)).select(
         "h",
-        F.expr("CAST(FLOOR(-1e6 * ln(CAST(cnt AS DOUBLE) / total) / ln(2e0)) "
-               "AS BIGINT)").alias("bits_micro"),
+        F.expr("CAST(FLOOR(-1e3 * ln(CAST(cnt AS DOUBLE) / total) / ln(2e0)) "
+               "AS BIGINT)").alias("bits_milli"),
     )
     g = (
         toks.join(code, "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_toks"),
-             F.expr("CAST(SUM(bits_micro) AS BIGINT)").alias("bits_sum"))
+             F.expr("CAST(SUM(bits_milli) AS BIGINT)").alias("bits_sum"))
     )
     return g.select(
         "doc_id", "n_toks", "bits_sum",
-        F.expr("CAST(bits_sum AS DOUBLE) / n_toks / 1e6").alias("mean_bits"),
+        F.expr("CAST(bits_sum AS DOUBLE) / n_toks / 1e3").alias("mean_bits"),
     ).orderBy("doc_id")
 
 
@@ -1112,7 +1117,11 @@ def q_bpe_train(spark, sf):
             .groupBy("pa", "pb")
             .agg(F.sum("cnt").cast("long").alias("weight"))
         )
-        best = pc.orderBy(F.desc("weight"), F.asc("pa"), F.asc("pb")).limit(1)
+        # 1-row argmax is consumed by the rewrite AND the stat row AND
+        # (via q_bpe_encode) the merge broadcasts — checkpoint so the
+        # vocab pair-count agg runs once per round, not per consumer
+        best = pc.orderBy(F.desc("weight"), F.asc("pa"), F.asc("pb")) \
+            .limit(1).localCheckpoint()
         vn = v.crossJoin(F.broadcast(best)).withColumn(
             "s", F.expr("replace(s, '|' || pa || '||' || pb || '|', "
                         "'|' || pa || pb || '|')"))

@@ -195,10 +195,14 @@ def streaming_near_dup(pages: DataFrame, *, bands: int = 4) -> DataFrame:
     )
 
 
-def paragraph_block_rows(pages: DataFrame, *, block: int = 20) -> DataFrame:
+def paragraph_block_rows(pages: DataFrame, *, block: int | None = None) -> DataFrame:
     """(doc_id, warc_ts, idx, h): per-row fixed-block split + md5 — in-row
     transform only (no groupBy), legal in a streaming plan, zero shuffle;
-    byte-identical to the batch twin operators/textops.paragraph_dedup."""
+    byte-identical to the batch twin operators/textops.paragraph_dedup
+    (block defaults to textops.PARA_BLOCK — one constant, both surfaces)."""
+    from ..operators.textops import PARA_BLOCK
+
+    block = PARA_BLOCK if block is None else block
     return (
         pages.withColumn("w", F.split("text", " "))
         .select(
@@ -212,29 +216,55 @@ def paragraph_block_rows(pages: DataFrame, *, block: int = 20) -> DataFrame:
     )
 
 
-def streaming_paragraph_dedup(pages: DataFrame, *, block: int = 20) -> DataFrame:
+def streaming_paragraph_dedup(pages: DataFrame, *, block: int | None = None,
+                              state_ttl: str | None = None) -> DataFrame:
     """Streaming CCNet paragraph dedup: cross-batch first-seen state per
     block hash (applyInPandasWithState keyed by h).  A block whose hash was
     first seen in an EARLIER micro-batch (or earlier in (doc_id, idx) order
     within this batch) is emitted as a duplicate against that first
     occurrence; state is one (doc_id, idx) pair per distinct block hash —
-    the streaming twin of the batch first-occurrence window rule."""
+    the streaming twin of the batch first-occurrence window rule.
+
+    State bound: first-seen-EVER semantics (state_ttl=None) keeps one entry
+    per distinct block hash forever — exact CCNet dedup, but state grows
+    with unique corpus content.  Pass state_ttl (e.g. "30 days") to bound
+    state to the duplicate horizon via event-time timeout: a block hash
+    idle past the TTL is evicted and a later recurrence counts as first
+    again (the same horizon tradeoff streaming_dedup makes with
+    dropDuplicatesWithinWatermark)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     rows = paragraph_block_rows(pages, block=block)
+    if state_ttl is not None:
+        rows = rows.withWatermark("warc_ts", state_ttl)
+        ttl_ms = int(pd.Timedelta(state_ttl).value // 1_000_000)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        ttl_ms = None
+        timeout = GroupStateTimeout.NoTimeout
 
     def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
         first = tuple(state.get) if state.exists else None
         occ = []
+        max_ts = None
         for pdf in pdf_iter:
             occ.extend(zip((int(d) for d in pdf["doc_id"]),
                            (int(i) for i in pdf["idx"])))
+            if ttl_ms is not None and len(pdf):
+                m = pdf["warc_ts"].max()
+                max_ts = m if max_ts is None else max(max_ts, m)
         if not occ:
             return
         if first is None:
             first = min(occ)
             state.update(first)
+        if ttl_ms is not None and max_ts is not None:
+            state.setTimeoutTimestamp(int(pd.Timestamp(max_ts).value
+                                          // 1_000_000) + ttl_ms)
         yield pd.DataFrame({
             "h": [str(key[0])] * len(occ),
             "doc_id": [d for d, _ in occ],
@@ -250,7 +280,7 @@ def streaming_paragraph_dedup(pages: DataFrame, *, block: int = 20) -> DataFrame
             "h string, doc_id long, idx int, dup_of_doc long, dup_of_idx int",
             "first_doc long, first_idx int",
             "update",
-            GroupStateTimeout.NoTimeout,
+            timeout,
         )
         .where((F.col("doc_id") != F.col("dup_of_doc"))
                | (F.col("idx") != F.col("dup_of_idx")))
