@@ -189,3 +189,44 @@ def test_ivf_pq_rerank_recall_floor(spark):
     for q in qids:
         mine = sorted((r["rnk"], r["l2_micro"]) for r in got if r["q_id"] == q)
         assert [m[1] for m in mine] == sorted(m[1] for m in mine)
+
+
+def test_pq_trained_codebook_and_recall(spark):
+    """The one-Lloyd-round codebook matches the numpy replay (integer-micro
+    means, floor-of-double-division), and the trained search's recall@3
+    clears the untrained variant's ceiling (measured 0.583 vs 0.517;
+    probed-pool bound 0.60)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = V[[int(np.where(ids == s)[0][0]) for s in simsearch.IVF_SEEDS]]
+    sub = V.reshape(len(V), simsearch.PQ_SUBS, simsearch.PQ_SUBDIM)
+    subC = C.reshape(simsearch.PQ_K, simsearch.PQ_SUBS, simsearch.PQ_SUBDIM)
+    d = ((sub[:, None, :, :] - subC[None, :, :, :]) ** 2).sum(-1)
+    codes0 = np.argmin(d.transpose(0, 2, 1), -1)  # n,8
+
+    got_cb = {(r["code"], r["s"], r["dim"]): r["mi"]
+              for r in simsearch.pq_train_codebook(emb).collect()}
+    for s in range(simsearch.PQ_SUBS):
+        for c in range(simsearch.PQ_K):
+            m = sub[codes0[:, s] == c, s, :]
+            if not len(m):
+                continue
+            micro = np.floor(m * 1e6).sum(0)
+            for dim in range(simsearch.PQ_SUBDIM):
+                exp = int(np.floor(micro[dim] / len(m)))
+                assert got_cb[(c, s, dim + 1)] == exp, (c, s, dim)
+
+    d2 = ((V[:, None, :] - V[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    got = simsearch.ivf_pq_topk_trained(emb).collect()
+    qids = sorted(set(r["q_id"] for r in got))
+    rec = []
+    for q in qids:
+        qi = int(np.where(ids == q)[0][0])
+        exact = set(ids[np.argsort(d2[qi])[:3]])
+        rec.append(len(exact & set(r["c_id"] for r in got if r["q_id"] == q)) / 3)
+    assert sum(rec) / len(rec) >= 0.55

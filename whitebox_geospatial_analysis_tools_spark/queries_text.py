@@ -1184,3 +1184,103 @@ def q_bpe_encode(spark, sf):
                     "AS BIGINT)").alias("n_bpe_tokens"))
         .orderBy("doc_id")
     )
+
+
+# -- PQ codebook training (one Lloyd round) + trained-codebook encode and
+# search.  All arithmetic is integer-micro (elements and squared residuals
+# quantize to BIGINT before any group sum; the centroid mean is one double
+# division + FLOOR — identical IEEE ops in both engines).
+def _pq_ex_cte(src: str, idc: str, vec: str) -> str:
+    S = simsearch
+    return (f"(SELECT {idc}, (p - 1) // {S.PQ_SUBDIM} AS s, "
+            f"(p - 1) % {S.PQ_SUBDIM} + 1 AS dim, "
+            f"CAST(list_extract({vec}, p) AS DOUBLE) AS x "
+            f"FROM (SELECT {idc}, {vec}, unnest(generate_series(1, {S.DIM})) AS p "
+            f"FROM {src}))")
+
+
+_PQ_CB_CTES = None
+
+
+def _pq_cb_ctes() -> str:
+    """sd + seed-codebook codes0 + element long table + trained codebook."""
+    return f"""{_pq_seeds_cte()},
+sub AS ({_pq_sub_cte('e.embedding')}),
+codes0 AS (SELECT vec_id, s, code FROM
+  (SELECT vec_id, s, t AS code,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, t) AS rn FROM sub)
+  WHERE rn = 1),
+ex AS {_pq_ex_cte('embeddings', 'vec_id', 'embedding')},
+cb AS (SELECT c0.code, e.s, e.dim,
+  CAST(FLOOR(SUM(CAST(FLOOR(e.x * 1e6) AS BIGINT)) / COUNT(*)) AS BIGINT) AS mi
+  FROM ex e JOIN codes0 c0 ON c0.vec_id = e.vec_id AND c0.s = e.s
+  GROUP BY 1, 2, 3)"""
+
+
+@Q.register(
+    "pq_codebook",
+    f"WITH {_pq_cb_ctes()} SELECT code, s, dim, mi FROM cb ORDER BY code, s, dim",
+)
+def q_pq_codebook(spark, sf):
+    return simsearch.pq_train_codebook(_emb(spark, sf))
+
+
+_PQ_DTR = """dtr AS (SELECT e.vec_id, e.s, cb.code,
+  CAST(SUM(CAST(FLOOR((e.x - cb.mi / 1e6) * (e.x - cb.mi / 1e6) * 1e6) AS BIGINT))
+  AS BIGINT) AS d
+  FROM ex e JOIN cb ON cb.s = e.s AND cb.dim = e.dim GROUP BY 1, 2, 3),
+codes1 AS (SELECT vec_id, s, code FROM
+  (SELECT vec_id, s, code,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM dtr)
+  WHERE rn = 1)"""
+
+
+@Q.register(
+    "pq_codes_trained",
+    f"WITH {_pq_cb_ctes()},\n{_PQ_DTR} "
+    "SELECT vec_id, s, code FROM codes1 ORDER BY vec_id, s",
+)
+def q_pq_codes_trained(spark, sf):
+    return simsearch.pq_codes_trained(_emb(spark, sf))
+
+
+def _ivf_pq_trained_sql() -> str:
+    S = simsearch
+    cexp = S.cosine_expr("e.embedding", "sd.sv", S.DUCK_AT)
+    qexp = S.cosine_expr("q.qv", "sd.sv", S.DUCK_AT)
+    return f"""WITH {_pq_cb_ctes()},
+{_PQ_DTR},
+asg AS (SELECT e.vec_id, sd.t, {cexp} AS cos FROM embeddings e, sd),
+alist AS (SELECT vec_id, t AS list_id FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, t) AS rn FROM asg)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+qasg AS (SELECT q.q_id, sd.t, {qexp} AS cos FROM q, sd),
+qp AS (SELECT q_id, t AS list_id FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t) AS rn FROM qasg)
+  WHERE rn <= {S.IVF_NPROBE}),
+qex AS {_pq_ex_cte('q', 'q_id', 'qv')},
+lutt AS (SELECT qe.q_id, cb.code, qe.s,
+  CAST(SUM(CAST(FLOOR((qe.x - cb.mi / 1e6) * (qe.x - cb.mi / 1e6) * 1e6) AS BIGINT))
+  AS BIGINT) AS dm
+  FROM qex qe JOIN cb ON cb.s = qe.s AND cb.dim = qe.dim GROUP BY 1, 2, 3),
+cand AS (SELECT qp.q_id, c.vec_id AS c_id, c.s, c.code
+  FROM qp JOIN alist al USING (list_id) JOIN codes1 c ON c.vec_id = al.vec_id
+  WHERE qp.q_id != al.vec_id),
+ad AS (SELECT cand.q_id, cand.c_id, CAST(SUM(l.dm) AS BIGINT) AS adist_micro
+  FROM cand JOIN lutt l ON l.q_id = cand.q_id AND l.s = cand.s AND l.code = cand.code
+  GROUP BY 1, 2),
+short AS (SELECT q_id, c_id, adist_micro FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist_micro, c_id) AS srn FROM ad)
+  WHERE srn <= {S.PQ_RERANK}),
+rer AS (SELECT sh.q_id, sh.c_id, sh.adist_micro,
+  CAST(FLOOR(({_pq_full_l2('q.qv', 'e.embedding')}) * 1e6) AS BIGINT) AS l2_micro
+  FROM short sh JOIN embeddings e ON e.vec_id = sh.c_id JOIN q ON q.q_id = sh.q_id),
+r AS (SELECT q_id, c_id, adist_micro, l2_micro,
+  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2_micro, c_id) AS rnk FROM rer)
+SELECT q_id, c_id, adist_micro, l2_micro, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
+
+
+@Q.register("ivf_pq_topk_trained", _ivf_pq_trained_sql())
+def q_ivf_pq_topk_trained(spark, sf):
+    return simsearch.ivf_pq_topk_trained(_emb(spark, sf))
