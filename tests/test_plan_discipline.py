@@ -50,7 +50,8 @@ CROSSJOIN_ALLOW = [
     (r"queries_raster\.py", r"st\.crossJoin\(F\.broadcast\(gm\)\)",
      "1-row global-mean aggregate (local contrast enhancement)"),
     (r"operators/simsearch\.py", r"crossJoin\(F\.broadcast\(seeds\)\)",
-     "fixed 16-row IVF seed-centroid table (IVF_SEEDS constant)"),
+     "fixed 16-row PQ seed table (PQ_SEED_IDS — codebook size is "
+     "corpus-independent by PQ design)"),
     (r"queries_raster\.py", r"pits\.crossJoin\(F\.broadcast\(offs\)\)",
      "constant 16-row ring-2 offset table (BreachPits)"),
     (r"operators/stats\.py", r"crossJoin\(F\.broadcast\((m|total|pe|bnd|comp)\)\)",
@@ -101,6 +102,9 @@ NONEQUI_ALLOW = [
 
 # partitionless Window.orderBy sites allowed: input is a BOUNDED table
 WINDOW_ALLOW = [
+    (r"operators/simsearch\.py", r'Window\.orderBy\("_h", "vec_id"\)',
+     "seed ordinal over the limit(n_lists)-bounded hash-ordered sample "
+     "(O(sqrt(n)) rows by construction)"),
     (r"operators/stats\.py", r'Window\.orderBy\("bin"\)',
      "histogram bin table (bounded by value-range / bin width)"),
     (r"operators/stats\.py", r'Window\.orderBy\("_bkt"\)',

@@ -230,77 +230,246 @@ def lsh_near_dup(emb: DataFrame, threshold: float = 0.35,
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# Corpus-scaled coarse quantizer (IVF) — the inverted-file scale path
 # ---------------------------------------------------------------------------
-IVF_SEEDS = [3 + 29 * t for t in range(16)]  # deterministic coarse centroids
-IVF_NPROBE = 4
+# The list count GROWS with the corpus (n_lists = max(16, ceil(sqrt(n))), the
+# FAISS sizing rule) and the centroids are Lloyd-TRAINED (deterministic
+# hash-ordered sample seeds -> one distributed Lloyd round in integer-micro
+# units).  Round 4 shipped a hard-coded 16-list quantizer (first-16-vectors
+# Voronoi seeds), which made within-list candidate joins O(n^2/16) and probe
+# sets corpus/4 per query — quadratic at 100 TB.  With sqrt scaling:
+#   - centroid table   = n_lists x 64 rows  -> O(sqrt(n)), broadcastable at
+#     any corpus (1e9 vectors -> ~32k lists, ~2M rows);
+#   - list population  = n / n_lists        -> O(sqrt(n));
+#   - semdedup pairs   = n * list_size      -> O(n^1.5), never all-pairs;
+#   - probe candidates = nprobe * list_size -> O(n^0.75) per query
+#     (nprobe = max(4, ceil(sqrt(n_lists))) also grows sublinearly).
+# The n/TARGET alternative keeps list size constant but makes the centroid
+# table O(n) (not broadcastable) and coarse assignment O(n^2/TARGET) — sqrt
+# is the standard compromise.  Reference role: the kd-tree's data-adaptive
+# partitioning (reference WhiteboxAPI/src/whitebox/structures/KdTree.java:32
+# — the structure grows with the data; a constant 16-way split would be
+# equally wrong there).
+#
+# All quantizer arithmetic is integer-micro (per-dim FLOOR((x-c)^2 * 1e6)
+# BIGINT before any sum) so aggregation order cannot perturb assignments and
+# the DuckDB oracle replays it value-exactly.
+IVF_FLOOR = 16    # list-count floor for tiny corpora
+IVF_NPROBE = 4    # probe floor; effective nprobe = nprobe_for(n_lists)
 
 
-def _ivf_seeds(emb: DataFrame) -> DataFrame:
-    """The broadcast-sized (t, sv) coarse-centroid table: 16 deterministic
-    corpus vectors (k-means with zero Lloyd rounds — a Voronoi quantizer)."""
-    smap = emb.sparkSession.createDataFrame(
-        list(enumerate(IVF_SEEDS)), "t int, sid long"
+def ceil_sqrt(n: int) -> int:
+    """Exact integer ceil(sqrt(n)).  Matches the oracle's CEIL(SQRT(n)) for
+    every feasible corpus size: IEEE sqrt of a perfect square below 2^52 is
+    exact, and a correctly-rounded sqrt of a non-square integer at these
+    magnitudes never lands on an integer."""
+    from math import isqrt
+
+    r = isqrt(max(n, 0))
+    return r if r * r == n else r + 1
+
+
+def n_lists_for(n: int) -> int:
+    """Corpus-derived IVF list count (FAISS sqrt rule, floor 16)."""
+    return max(IVF_FLOOR, ceil_sqrt(n))
+
+
+def nprobe_for(n_lists: int) -> int:
+    """Default probe width: grows as sqrt(n_lists) so the probed candidate
+    set is O(n^0.75), not a constant corpus fraction."""
+    return max(IVF_NPROBE, ceil_sqrt(n_lists))
+
+
+def _vec_long(df: DataFrame, idc: str = "vec_id",
+              vec: str = "embedding") -> DataFrame:
+    """(idc, p, x): 1-based element long form, elements cast to DOUBLE —
+    the layout every quantizer join runs on (equi-join on p against the
+    broadcast centroid table, then a hash agg; no wide argmax projections,
+    which re-inline the 64-term chains and break whole-stage codegen)."""
+    return df.select(
+        F.col(idc),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, {DIM}), "
+            f"i -> CAST(element_at({vec}, i) AS DOUBLE))"
+        )).alias("p0", "x"),
+    ).select(idc, F.expr("p0 + 1").alias("p"), "x")
+
+
+# per-dim integer-micro distances, summed as exact BIGINTs (order-free)
+_SEED_D = "CAST(SUM(CAST(FLOOR((x - y) * (x - y) * 1e6) AS BIGINT)) AS BIGINT)"
+_CENT_D = ("CAST(SUM(CAST(FLOOR((x - mi / 1e6) * (x - mi / 1e6) * 1e6) "
+           "AS BIGINT)) AS BIGINT)")
+_CENT_MEAN = ("CAST(FLOOR(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) / COUNT(*)) "
+              "AS BIGINT)")
+
+
+class CoarseModel:
+    """Trained coarse quantizer: corpus size, list count, probe width, the
+    (t, p, mi) centroid table (localCheckpointed, broadcast-sized), and the
+    scratch-persisted corpus long form it was trained on."""
+
+    __slots__ = ("n", "n_lists", "nprobe", "cents", "ex")
+
+    def __init__(self, n, n_lists, nprobe, cents, ex):
+        self.n, self.n_lists, self.nprobe = n, n_lists, nprobe
+        self.cents, self.ex = cents, ex
+
+
+def coarse_model(emb: DataFrame, n_lists: int | None = None,
+                 nprobe: int | None = None, tag: str = "ivf") -> CoarseModel:
+    """Train the corpus-scaled coarse quantizer.
+
+    Seeds = the n_lists smallest rows under (md5(vec_id), vec_id) — a
+    deterministic uniform pseudo-random sample, fetched with a distributed
+    TakeOrdered (never a global sort).  One Lloyd round follows: assign every
+    vector to its nearest seed (integer-micro L2, tie -> smaller t), then the
+    trained centroid element is FLOOR(SUM(FLOOR(x*1e6)) / COUNT(*)) — exact
+    BIGINT sums, one double division, identical IEEE ops in the oracle.
+
+    The corpus count is read driver-side (one metadata-cheap count()) because
+    it parameterizes the PLAN (list count), the same role table statistics
+    play for AQE.  The corpus long form feeds the seed-assignment, the
+    centroid update, and the final assignment, so it persists under the
+    _scratch lifetime tag; the centroid table is localCheckpointed (tiny) so
+    downstream consumers don't re-run the Lloyd lineage."""
+    from . import _scratch
+
+    spark = emb.sparkSession
+    _scratch.release(spark, tag)
+    n = emb.count()
+    nl = n_lists_for(n) if n_lists is None else n_lists
+    seeds = (
+        emb.select("vec_id", "embedding",
+                   F.md5(F.col("vec_id").cast("string")).alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(nl)
     )
-    return smap.join(
-        emb.select(F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")),
-        "sid",
-    ).select("t", "sv")
-
-
-def ivf_assign(emb: DataFrame) -> DataFrame:
-    """Voronoi coarse-quantizer assignment: (c_id, cv, list_id) — each vector
-    to its max-cosine seed centroid (t tie-break).
-
-    100 TB shape: the 16-row centroid table broadcasts; assignment is a
-    LONG-format pass (corpus x 16 rows, ONE fixed-order cosine chain per
-    row — a wide argmax projection re-inlines the 64-term chain 16x17
-    times and breaks whole-stage codegen, measured 66 s -> 9 s here) with
-    a max-by window."""
-    seeds = _ivf_seeds(emb)
-    cexp = cosine_expr("embedding", "sv", SPARK_AT)
-    asg = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "embedding", "t", F.expr(cexp).alias("cos")
+    # ordinal over the limit(n_lists)-bounded sample (single partition of
+    # O(sqrt(n)) rows — allowlisted in tests/test_plan_discipline.py)
+    ws = Window.orderBy("_h", "vec_id")
+    sx = _vec_long(
+        seeds.withColumn("t", F.row_number().over(ws) - 1)
+        .select("t", "embedding"),
+        idc="t",
+    ).select("t", "p", F.col("x").alias("y"))
+    ex = _scratch.track(spark, _vec_long(emb).persist(), tag)
+    d0 = (
+        ex.join(F.broadcast(sx), "p")
+        .groupBy("vec_id", "t").agg(F.expr(_SEED_D).alias("d"))
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("t"))
+    a0 = (
+        d0.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "t")).alias("m"))
+        .select("vec_id", F.col("m.t").alias("t"))
+    )
+    cc = (
+        ex.join(a0, "vec_id")
+        .groupBy("t", "p").agg(F.expr(_CENT_MEAN).alias("mi"))
+        .localCheckpoint()
+    )
+    return CoarseModel(n, nl, nprobe or nprobe_for(nl), cc, ex)
+
+
+def coarse_assign(model: CoarseModel, ex: DataFrame | None = None,
+                  idc: str = "vec_id") -> DataFrame:
+    """(idc, list_id): argmin integer-micro L2 to the trained centroids
+    (tie -> smaller t).  Broadcast equi-join on p + two hash aggs — the
+    min-by struct agg replaces a window sort, so both shuffles carry
+    map-side partials."""
+    ex = model.ex if ex is None else ex
+    d1 = (
+        ex.join(F.broadcast(model.cents), "p")
+        .groupBy(idc, "t").agg(F.expr(_CENT_D).alias("d"))
+    )
     return (
-        asg.withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") == 1)
-        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"),
-                F.col("t").alias("list_id"))
+        d1.groupBy(idc)
+        .agg(F.min(F.struct("d", "t")).alias("m"))
+        .select(idc, F.col("m.t").alias("list_id"))
     )
 
 
-def ivf_topk(emb: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE,
+def coarse_probe(model: CoarseModel, qdf: DataFrame, idc: str = "q_id",
+                 vec: str = "qv") -> DataFrame:
+    """(idc, list_id) x nprobe: each query's nprobe nearest lists under the
+    same trained-centroid metric as the assignment."""
+    qex = _vec_long(qdf, idc=idc, vec=vec)
+    dq = (
+        qex.join(F.broadcast(model.cents), "p")
+        .groupBy(idc, "t").agg(F.expr(_CENT_D).alias("d"))
+    )
+    wq = Window.partitionBy(idc).orderBy("d", "t")
+    return (
+        dq.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= model.nprobe)
+        .select(idc, F.col("t").alias("list_id"))
+    )
+
+
+def ivf_centroids(emb: DataFrame, n_lists: int | None = None) -> DataFrame:
+    """The trained coarse-centroid table as a query surface:
+    (list_id, dim, mi in integer micro-units) — n_lists x 64 rows."""
+    model = coarse_model(emb, n_lists, tag="ivf_cent")
+    return model.cents.select(
+        F.col("t").alias("list_id"), F.col("p").alias("dim"), "mi"
+    ).orderBy("list_id", "dim")
+
+
+def list_size_stats(emb: DataFrame, n_lists: int | None = None) -> DataFrame:
+    """Per-list population (list_id, n_vecs) — the drop-accounting surface
+    that makes skewed lists visible (the simhash_bucket_stats pattern)."""
+    model = coarse_model(emb, n_lists, tag="ivf_stats")
+    return (
+        coarse_assign(model)
+        .groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("list_id")
+    )
+
+
+def ivf_assign(emb: DataFrame, n_lists: int | None = None) -> DataFrame:
+    """Trained coarse-quantizer assignment: (c_id, cv, list_id) — kept as the
+    composable surface (raw vectors joined back onto the assignment)."""
+    model = coarse_model(emb, n_lists, tag="ivf_assign")
+    return (
+        coarse_assign(model)
+        .join(emb, "vec_id")
+        .select(F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("cv"), "list_id")
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int = 3, nprobe: int | None = None,
+             n_lists: int | None = None,
              query_pred: str = "vec_id < 20") -> DataFrame:
-    """IVF approximate top-k: a 16-list inverted file from deterministic
-    seed centroids, query probes its `nprobe` nearest lists, brute-force
-    cosine inside the probed lists (see ivf_assign for the scale notes).
-    Probing is an equi-join on list id, so only nprobe/16 of the corpus is
-    ranked per query.  round(cos, 6) + id tie-breaks keep both engines
-    value-exact."""
-    seeds = _ivf_seeds(emb)
-    alist = ivf_assign(emb)
-    qexp = cosine_expr("qv", "sv", SPARK_AT)
-    qasg = (
-        emb.where(F.expr(query_pred))
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
-        .crossJoin(F.broadcast(seeds))
-        .select("q_id", "qv", "t", F.expr(qexp).alias("cos"))
+    """IVF approximate top-k: corpus-scaled trained inverted file, query
+    probes its nprobe nearest lists (same centroid metric as assignment),
+    brute-force cosine inside the probed lists only.  Probing is an
+    equi-join on list id — candidates per query are O(n^0.75), not a corpus
+    fraction.  round(cos, 6) + id tie-breaks keep both engines value-exact."""
+    model = coarse_model(emb, n_lists, nprobe, tag="ivf_topk")
+    alist = (
+        coarse_assign(model)
+        .join(emb, "vec_id")
+        .select(F.col("vec_id").alias("c_id"), "list_id",
+                F.col("embedding").alias("cv"),
+                F.expr(dot_expr("embedding", "embedding", SPARK_AT)).alias("_nc"))
     )
-    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("t"))
-    probed = (
-        qasg.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("q_id", "qv", F.col("t").alias("list_id"))
+    qn = emb.where(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"),
+        F.expr(dot_expr("embedding", "embedding", SPARK_AT)).alias("_nq"),
     )
-    cand = probed.join(alist, "list_id").where(F.col("q_id") != F.col("c_id"))
-    cos = F.round(F.expr(cosine_expr("qv", "cv", SPARK_AT)), 6)
+    probed = coarse_probe(model, qn.select("q_id", "qv"))
+    cos = F.expr(
+        f"round({dot_expr('qv', 'cv', SPARK_AT)} / sqrt(_nq) / sqrt(_nc), 6)"
+    )
+    cand = (
+        probed.join(F.broadcast(qn), "q_id")
+        .join(alist, "list_id")
+        .where(F.col("q_id") != F.col("c_id"))
+    )
     wr = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
         cand.select("q_id", "c_id", cos.alias("cos"))
-        .distinct()
-        .withColumn("rnk", F.row_number().over(wr))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .where(F.col("rnk") <= k)
         .orderBy("q_id", "rnk")
     )
@@ -312,31 +481,34 @@ def ivf_topk(emb: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE,
 SEMDEDUP_TAU = 0.35
 
 
-def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_TAU) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): cluster the embeddings with a cheap
-    quantizer, then inside each cluster prune every vector that has a
-    same-cluster neighbor with cosine >= threshold and a smaller vec_id
-    (one representative per epsilon-ball survives — the min id, matching
-    the exact-dedup representative rule).
+def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_TAU,
+             n_lists: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embeddings with the trained
+    corpus-scaled coarse quantizer, then inside each cluster prune every
+    vector that has a same-cluster neighbor with cosine >= threshold and a
+    smaller vec_id (one representative per epsilon-ball survives — the min
+    id, matching the exact-dedup representative rule).
 
     Returns (vec_id, list_id, pruned) for the whole corpus.
 
     100 TB shape: the all-pairs cosine never happens — candidate pairs are
-    an equi-join on the cluster id (16 lists here; at scale the seed count
-    grows with the corpus so list size stays bounded), and the verdict is
-    an EXISTS (left-semi join), not a pair materialization per survivor.
-    Assignment reuses ivf_assign's broadcast long-format pass; the
-    assigned frame feeds three plan branches (both self-join sides and the
-    output spine), so it is persisted once under the _scratch lifetime
-    manager instead of recomputing the assignment window per branch."""
+    an equi-join on the cluster id, and with n_lists = O(sqrt(n)) the
+    within-list pair volume is O(n * sqrt(n)), never quadratic; the verdict
+    is an EXISTS (distinct pruned-id set), not a pair materialization per
+    survivor.  The assigned frame feeds both self-join sides and the output
+    spine, so it is persisted once under the _scratch lifetime manager."""
     from . import _scratch
 
     spark = emb.sparkSession
+    model = coarse_model(emb, n_lists, tag="semdedup_model")
     _scratch.release(spark, "semdedup")
-    alist = _scratch.track(spark, ivf_assign(emb).select(
-        "list_id", F.col("c_id").alias("vec_id"), F.col("cv").alias("v"),
-        F.expr(dot_expr("cv", "cv", SPARK_AT)).alias("_n"),
-    ).persist(), "semdedup")
+    alist = _scratch.track(spark, (
+        coarse_assign(model)
+        .join(emb, "vec_id")
+        .select("list_id", "vec_id", F.col("embedding").alias("v"),
+                F.expr(dot_expr("embedding", "embedding", SPARK_AT)).alias("_n"))
+        .persist()
+    ), "semdedup")
     a = alist.select("list_id", F.col("vec_id").alias("d1"),
                      F.col("v").alias("av"), F.col("_n").alias("_na"))
     b = alist.select("list_id", F.col("vec_id").alias("d2"),
@@ -366,7 +538,23 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_TAU) -> DataFrame:
 # ---------------------------------------------------------------------------
 PQ_SUBS = 8     # subspaces
 PQ_SUBDIM = DIM // PQ_SUBS  # 8 dims each
-PQ_K = 16       # sub-centroids per subspace = the IVF seed subvectors
+PQ_K = 16       # sub-centroids per subspace — CONSTANT BY DESIGN: the PQ
+# codebook's size is independent of the corpus (Jégou et al. 2011; FAISS
+# uses 256); capacity comes from the 16^8 code combinations, and the
+# trained variant re-fits these 16 sub-centroids with the Lloyd round.
+PQ_SEED_IDS = [3 + 29 * t for t in range(16)]  # deterministic seed vectors
+
+
+def _pq_seed_vectors(emb: DataFrame) -> DataFrame:
+    """The broadcast-sized (t, sv) PQ seed table: 16 deterministic corpus
+    vectors whose subspace slices form the (untrained) sub-codebooks."""
+    smap = emb.sparkSession.createDataFrame(
+        list(enumerate(PQ_SEED_IDS)), "t int, sid long"
+    )
+    return smap.join(
+        emb.select(F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")),
+        "sid",
+    ).select("t", "sv")
 
 
 def sub_l2_expr(a: str, b: str, accessor: str, s: int,
@@ -390,13 +578,13 @@ _PQ_MICRO = "CAST(FLOOR(({d}) * 1e6) AS BIGINT)"
 def pq_codes(emb: DataFrame) -> DataFrame:
     """Product-quantization encode: (vec_id, s, code) — each vector's
     subspace-s slice mapped to its nearest of the 16 sub-centroids (the
-    IVF seed vectors' slices; argmin L2, code tie-break).
+    PQ seed vectors' slices; argmin L2, code tie-break).
 
     100 TB shape: one broadcast of the 16-row seed table, one long-format
     pass (corpus x 16 x 8 rows after posexplode of the per-row 8-distance
     array), one window per (vec_id, s).  The encoded corpus is 8 small ints
     per vector — the structure that makes billion-scale ANN RAM-resident."""
-    seeds = _ivf_seeds(emb)
+    seeds = _pq_seed_vectors(emb)
     darr = F.array(*[
         F.expr(sub_l2_expr("embedding", "sv", SPARK_AT, s))
         for s in range(PQ_SUBS)
@@ -416,72 +604,37 @@ def pq_codes(emb: DataFrame) -> DataFrame:
 PQ_RERANK = 50  # ADC shortlist size fed to the exact re-rank
 
 
-def ivf_pq_topk(emb: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE,
-                rerank: int = PQ_RERANK,
+def ivf_pq_topk(emb: DataFrame, k: int = 3, nprobe: int | None = None,
+                rerank: int = PQ_RERANK, n_lists: int | None = None,
                 query_pred: str = "vec_id < 20") -> DataFrame:
     """IVF-PQ approximate top-k with exact re-ranking (Jégou et al. 2011):
-    candidates come from the query's `nprobe` probed IVF lists, an
-    ASYMMETRIC distance (sum over subspaces of the precomputed
-    query-to-sub-centroid table looked up at each candidate's code) cuts
-    them to a `rerank`-sized shortlist, and the exact L2 re-ranks the
-    shortlist.
+    candidates come from the query's nprobe probed lists of the TRAINED
+    corpus-scaled inverted file, an ASYMMETRIC distance (sum over subspaces
+    of the precomputed query-to-sub-centroid table looked up at each
+    candidate's code) cuts them to a rerank-sized shortlist, and the exact
+    L2 re-ranks the shortlist.
 
     100 TB shape: the ADC pass touches the corpus only through (list_id,
     8 codes) — never the raw vectors; the per-query distance table (8 x 16
-    rows) and the probe assignments broadcast; the ADC is an equi-join on
-    (q_id, s, code) followed by an 8-row integer sum per candidate.  Raw
-    vectors are fetched (equi-join on c_id) for only `rerank` rows per
-    query.  Both distances run in integer micro-units (FLOOR(d * 1e6))
-    so aggregation order cannot perturb ranking; ties break on c_id.
+    rows) broadcasts; the ADC is an equi-join on (q_id, s, code) followed
+    by an 8-row integer sum per candidate.  Raw vectors are fetched
+    (equi-join on c_id) for only rerank rows per query.  Both distances run
+    in integer micro-units (FLOOR(d * 1e6)) so aggregation order cannot
+    perturb ranking; ties break on c_id.
 
-    Measured on the sf0.001 fixture (tests/test_dedup_corpus.py): recall@3
-    vs exact L2 = 0.52 at nprobe=4/rerank=50, against a probed-pool ceiling
-    of 0.60 — the PQ codebook (16 seed slices per subspace) carries the
-    recall cost here, not the re-rank."""
-    from . import _scratch
-
-    spark = emb.sparkSession
-    seeds = _ivf_seeds(emb)
-    # ONE corpus x 16 pass computes both the list assignment (argmax cosine)
-    # and the 8 sub-distances (PQ encode) — ivf_assign + pq_codes run the
-    # same crossJoin separately; fusing halves the corpus scans.  The long
-    # table feeds two window branches, so it persists under _scratch.
-    cexp = cosine_expr("embedding", "sv", SPARK_AT)
-    darr = F.array(*[
-        F.expr(sub_l2_expr("embedding", "sv", SPARK_AT, s))
-        for s in range(PQ_SUBS)
-    ])
-    _scratch.release(spark, "ivf_pq")
-    e = _scratch.track(spark, emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "t", F.expr(cexp).alias("cos"), darr.alias("ds")
-    ).persist(), "ivf_pq")
-    wa = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("t"))
-    alist = (
-        e.withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("t").alias("list_id"))
-    )
-    wc = Window.partitionBy("vec_id", "s").orderBy("d", "t")
-    codes = (
-        e.select("vec_id", "t", F.posexplode("ds").alias("s", "d"))
-        .withColumn("rn", F.row_number().over(wc))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "s", F.col("t").alias("code"))
-        .join(alist, "vec_id")
-    )
+    Recall: on a clustered fixture (tests/test_dedup_corpus.py) recall@3 vs
+    exact L2 is ~0.98 — the quantizer finds real neighbor structure.  On
+    the near-uniform random sf0.001 embeddings recall is ceiling-bound by
+    construction (no cluster structure to exploit; distances concentrate),
+    which the floor test documents separately."""
+    model = coarse_model(emb, n_lists, nprobe, tag="ivf_pq")
+    alist = coarse_assign(model)
+    codes = pq_codes(emb).join(alist, "vec_id")
     q = emb.where(query_pred).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    # probe: top-nprobe lists by cosine to the seeds (same rule as ivf_topk)
-    qexp = cosine_expr("qv", "sv", SPARK_AT)
-    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("t"))
-    probed = (
-        q.crossJoin(F.broadcast(seeds))
-        .select("q_id", "qv", "t", F.expr(qexp).alias("cos"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("q_id", "qv", F.col("t").alias("list_id"))
-    )
+    probed = coarse_probe(model, q)
+    seeds = _pq_seed_vectors(emb)
     # per-query ADC lookup table: dm(q, s, c) in integer micro-units
     dmarr = F.array(*[
         F.expr(_PQ_MICRO.format(d=sub_l2_expr("qv", "sv", SPARK_AT, s)))
@@ -489,11 +642,11 @@ def ivf_pq_topk(emb: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE,
     ])
     lut = (
         q.crossJoin(F.broadcast(seeds))
-        .select("q_id", F.col("t").alias("code"), F.posexplode(dmarr).alias("s", "dm"))
+        .select("q_id", F.col("t").alias("code"),
+                F.posexplode(dmarr).alias("s", "dm"))
     )
     cand = (
-        probed.select("q_id", "list_id")
-        .join(codes, "list_id")
+        probed.join(codes, "list_id")
         .where(F.col("q_id") != F.col("vec_id"))
     )
     adist = (
@@ -553,8 +706,7 @@ def pq_train_codebook(emb: DataFrame) -> DataFrame:
 
     Exactness: elements quantize to BIGINT micro before the SUM (order-free
     exact integers); the mean is ONE double division + FLOOR — identical
-    IEEE ops in both engines.  Measured on the sf0.001 fixture: recall@3
-    0.52 -> 0.58 (probed-pool ceiling 0.60); further rounds don't help."""
+    IEEE ops in both engines."""
     codes = pq_codes(emb)
     ex = _dim_explode(emb)
     return (
@@ -590,35 +742,27 @@ def pq_codes_trained(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_pq_topk_trained(emb: DataFrame, k: int = 3, nprobe: int = IVF_NPROBE,
-                        rerank: int = PQ_RERANK,
+def ivf_pq_topk_trained(emb: DataFrame, k: int = 3,
+                        nprobe: int | None = None, rerank: int = PQ_RERANK,
+                        n_lists: int | None = None,
                         query_pred: str = "vec_id < 20") -> DataFrame:
-    """ivf_pq_topk with the one-Lloyd-round codebook: same probe (cosine to
-    the seed centroids), same integer-micro ADC + exact re-rank, but codes
-    and the per-query lookup table come from the trained codebook (recall@3
-    0.52 -> 0.58 on the fixture).  The lut is a per-query join against the
+    """ivf_pq_topk with the one-Lloyd-round PQ codebook on top of the
+    trained corpus-scaled coarse quantizer: same probe, same integer-micro
+    ADC + exact re-rank, but codes and the per-query lookup table come from
+    the trained codebook.  The lut is a per-query join against the
     broadcast 1,024-row codebook instead of a generated chain."""
     from . import _scratch
 
     spark = emb.sparkSession
+    model = coarse_model(emb, n_lists, nprobe, tag="ivf_pq_tr_model")
     _scratch.release(spark, "ivf_pq_tr")
     cb = _scratch.track(spark, pq_train_codebook(emb).persist(), "ivf_pq_tr")
-    seeds = _ivf_seeds(emb)
-    alist = ivf_assign(emb).select(
-        F.col("c_id").alias("vec_id"), "list_id")
+    alist = coarse_assign(model)
     codes = pq_codes_trained(emb).join(alist, "vec_id")
     q = emb.where(query_pred).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    qexp = cosine_expr("qv", "sv", SPARK_AT)
-    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("t"))
-    probed = (
-        q.crossJoin(F.broadcast(seeds))
-        .select("q_id", "qv", "t", F.expr(qexp).alias("cos"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("q_id", F.col("t").alias("list_id"))
-    )
+    probed = coarse_probe(model, q)
     qex = _dim_explode(
         emb.where(query_pred).select(F.col("vec_id").alias("q_id"), "embedding"),
         id_col="q_id",

@@ -297,29 +297,71 @@ def q_embed_lsh_near_dup(spark, sf):
     return simsearch.lsh_near_dup(_emb(spark, sf))
 
 
-# -- IVF ANN (the inverted-file scale path next to the LSH tables): 16
-# deterministic seed centroids, nprobe = 4, brute cosine inside probed
-# lists.  Assignment/probe/rank all share the fixed-order dot chain and
-# round(6)+id tie-breaks, so the oracle is value-exact.
+# -- IVF ANN (the inverted-file scale path next to the LSH tables): the
+# corpus-scaled TRAINED coarse quantizer — n_lists = max(16, ceil(sqrt(n))),
+# deterministic hash-ordered sample seeds, one Lloyd round in integer-micro
+# units, assignment/probe by integer-micro L2 to the trained centroids,
+# brute cosine inside probed lists only.  Every quantizer op is order-free
+# BIGINT arithmetic, so the oracle replays it value-exactly.
+def _ivf_ctes() -> str:
+    """Shared trained-coarse-quantizer CTE chain: nn (count + list count),
+    sdv (hash-ordered sample seeds), exv (corpus element long form), ivd0 /
+    iva0 (seed assignment), ivcc (trained centroids, integer-micro means),
+    ivd1 / ivl (trained assignment) — the SQL twin of
+    operators/simsearch.py coarse_model + coarse_assign."""
+    S = simsearch
+    return f"""nn AS (SELECT COUNT(*) AS cnt,
+  GREATEST({S.IVF_FLOOR}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nl FROM embeddings),
+sdv AS (SELECT s.t, s.embedding AS sv FROM
+  (SELECT vec_id, embedding,
+          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS t
+   FROM embeddings) s, nn WHERE s.t < nn.nl),
+exv AS (SELECT vec_id, p, CAST(list_extract(embedding, p) AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, {S.DIM})) AS p FROM embeddings)),
+sxv AS (SELECT t, p, CAST(list_extract(sv, p) AS DOUBLE) AS y
+  FROM (SELECT t, sv, unnest(generate_series(1, {S.DIM})) AS p FROM sdv)),
+ivd0 AS (SELECT e.vec_id, s.t,
+    CAST(SUM(CAST(FLOOR((e.x - s.y) * (e.x - s.y) * 1e6) AS BIGINT)) AS BIGINT) AS d
+  FROM exv e JOIN sxv s USING (p) GROUP BY 1, 2),
+iva0 AS (SELECT vec_id, t FROM
+  (SELECT vec_id, t, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, t) AS rn FROM ivd0)
+  WHERE rn = 1),
+ivcc AS (SELECT a.t, e.p,
+    CAST(FLOOR(SUM(CAST(FLOOR(e.x * 1e6) AS BIGINT)) / COUNT(*)) AS BIGINT) AS mi
+  FROM exv e JOIN iva0 a USING (vec_id) GROUP BY 1, 2),
+ivd1 AS (SELECT e.vec_id, c.t,
+    CAST(SUM(CAST(FLOOR((e.x - c.mi / 1e6) * (e.x - c.mi / 1e6) * 1e6) AS BIGINT)) AS BIGINT) AS d
+  FROM exv e JOIN ivcc c ON c.p = e.p GROUP BY 1, 2),
+ivl AS (SELECT vec_id, t AS list_id FROM
+  (SELECT vec_id, t, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, t) AS rn FROM ivd1)
+  WHERE rn = 1)"""
+
+
+def _ivf_probe_ctes() -> str:
+    """Query-side probe over the trained centroids: requires a CTE
+    q(q_id, qv); yields qp(q_id, list_id) with the scaled nprobe."""
+    S = simsearch
+    return f"""qex AS (SELECT q_id, p, CAST(list_extract(qv, p) AS DOUBLE) AS x
+  FROM (SELECT q_id, qv, unnest(generate_series(1, {S.DIM})) AS p FROM q)),
+qdq AS (SELECT e.q_id, c.t,
+    CAST(SUM(CAST(FLOOR((e.x - c.mi / 1e6) * (e.x - c.mi / 1e6) * 1e6) AS BIGINT)) AS BIGINT) AS d
+  FROM qex e JOIN ivcc c ON c.p = e.p GROUP BY 1, 2),
+qp AS (SELECT q_id, t AS list_id FROM
+  (SELECT q_id, t, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, t) AS rn FROM qdq), nn
+  WHERE rn <= GREATEST({S.IVF_NPROBE}, CAST(CEIL(SQRT(nn.nl)) AS BIGINT)))"""
+
+
 def _ivf_sql() -> str:
     S = simsearch
-    seeds_vals = ", ".join(f"({t}, {s})" for t, s in enumerate(S.IVF_SEEDS))
-    cexp = S.cosine_expr("e.embedding", "sd.sv", S.DUCK_AT)
-    qexp = S.cosine_expr("q.qv", "sd.sv", S.DUCK_AT)
-    pexp = S.cosine_expr("qp.qv", "al.cv", S.DUCK_AT)
-    return f"""WITH sd AS (SELECT m.t, emb.embedding AS sv
-  FROM (VALUES {seeds_vals}) m(t, sid) JOIN embeddings emb ON emb.vec_id = m.sid),
-asg AS (SELECT e.vec_id, e.embedding, sd.t, {cexp} AS cos FROM embeddings e, sd),
-alist AS (SELECT vec_id, embedding AS cv, t AS list_id FROM
-  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, t) AS rn FROM asg)
-  WHERE rn = 1),
+    pexp = S.cosine_expr("q.qv", "al.cv", S.DUCK_AT)
+    return f"""WITH {_ivf_ctes()},
+al AS (SELECT l.vec_id, l.list_id, e.embedding AS cv FROM ivl l
+  JOIN embeddings e USING (vec_id)),
 q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-qasg AS (SELECT q.q_id, q.qv, sd.t, {qexp} AS cos FROM q, sd),
-qp AS (SELECT q_id, qv, t AS list_id FROM
-  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t) AS rn FROM qasg)
-  WHERE rn <= {S.IVF_NPROBE}),
-p AS (SELECT DISTINCT qp.q_id, al.vec_id AS c_id, round({pexp}, 6) AS cos
-  FROM qp JOIN alist al USING (list_id) WHERE qp.q_id != al.vec_id),
+{_ivf_probe_ctes()},
+p AS (SELECT qp.q_id, al.vec_id AS c_id, round({pexp}, 6) AS cos
+  FROM qp JOIN al USING (list_id) JOIN q ON q.q_id = qp.q_id
+  WHERE qp.q_id != al.vec_id),
 r AS (SELECT q_id, c_id, cos,
   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM p)
 SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
@@ -328,6 +370,28 @@ SELECT q_id, c_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
 @Q.register("ivf_topk", _ivf_sql())
 def q_ivf_topk(spark, sf):
     return simsearch.ivf_topk(_emb(spark, sf))
+
+
+@Q.register(
+    "ivf_centroids",
+    f"WITH {_ivf_ctes()} SELECT t AS list_id, p AS dim, mi FROM ivcc "
+    "ORDER BY 1, 2",
+)
+def q_ivf_centroids(spark, sf):
+    """The trained coarse-centroid table itself — direct oracle coverage of
+    the distributed Lloyd round (seed sample -> assignment -> micro means)."""
+    return simsearch.ivf_centroids(_emb(spark, sf))
+
+
+@Q.register(
+    "list_size_stats",
+    f"WITH {_ivf_ctes()} SELECT list_id, COUNT(*) AS n_vecs FROM ivl "
+    "GROUP BY 1 ORDER BY 1",
+)
+def q_list_size_stats(spark, sf):
+    """Per-list population of the trained inverted file — the drop-accounting
+    surface that makes skewed lists visible (simhash_bucket_stats pattern)."""
+    return simsearch.list_size_stats(_emb(spark, sf))
 
 
 # -- BPE-ish subword token count: letter runs / digit runs / single
@@ -751,23 +815,19 @@ def q_substring_dedup(spark, sf):
     return textops.substring_spans(_docs(spark, sf))
 
 
-# -- SemDeDup (Abbas et al. 2023): IVF coarse-quantizer clusters, then inside
-# each cluster prune every vector with a smaller same-cluster neighbor at
-# cosine >= tau.  The oracle replays the assignment CTE (shared with ivf_topk)
-# plus an EXISTS prune test.
+# -- SemDeDup (Abbas et al. 2023): trained corpus-scaled coarse-quantizer
+# clusters (shared _ivf_ctes chain), then inside each cluster prune every
+# vector with a smaller same-cluster neighbor at cosine >= tau.  With
+# n_lists = O(sqrt(n)) the within-list pair volume is O(n^1.5), never
+# all-pairs.
 def _semdedup_sql() -> str:
     S = simsearch
-    seeds_vals = ", ".join(f"({t}, {s})" for t, s in enumerate(S.IVF_SEEDS))
-    cexp = S.cosine_expr("e.embedding", "sd.sv", S.DUCK_AT)
     pexp = (f"round({S.dot_expr('a.cv', 'b.cv', S.DUCK_AT)}"
             f" / sqrt(a.n) / sqrt(b.n), 6)")
-    return f"""WITH sd AS (SELECT m.t, emb.embedding AS sv
-  FROM (VALUES {seeds_vals}) m(t, sid) JOIN embeddings emb ON emb.vec_id = m.sid),
-asg AS (SELECT e.vec_id, e.embedding, sd.t, {cexp} AS cos FROM embeddings e, sd),
-alist AS (SELECT vec_id, cv, list_id, {S.dot_expr('cv', 'cv', S.DUCK_AT)} AS n FROM
-  (SELECT vec_id, embedding AS cv, t AS list_id,
-          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, t) AS rn FROM asg)
-  WHERE rn = 1),
+    return f"""WITH {_ivf_ctes()},
+alist AS (SELECT l.vec_id, e.embedding AS cv, l.list_id,
+    {S.dot_expr('e.embedding', 'e.embedding', S.DUCK_AT)} AS n
+  FROM ivl l JOIN embeddings e USING (vec_id)),
 pr AS (SELECT DISTINCT b.vec_id FROM alist a JOIN alist b
        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
        WHERE {pexp} >= {S.SEMDEDUP_TAU}e0)
@@ -798,8 +858,10 @@ def _pq_sub_cte(vec: str) -> str:
 
 
 def _pq_seeds_cte() -> str:
+    """The 16-row PQ seed table (constant by design — the PQ codebook's
+    size is corpus-independent; capacity comes from the 16^8 code space)."""
     seeds_vals = ", ".join(
-        f"({t}, {sid})" for t, sid in enumerate(simsearch.IVF_SEEDS)
+        f"({t}, {sid})" for t, sid in enumerate(simsearch.PQ_SEED_IDS)
     )
     return (f"sd AS (SELECT m.t, emb.embedding AS sv "
             f"FROM (VALUES {seeds_vals}) m(t, sid) "
@@ -830,29 +892,22 @@ def _pq_full_l2(a: str, b: str) -> str:
 
 def _ivf_pq_sql() -> str:
     S = simsearch
-    cexp = S.cosine_expr("e.embedding", "sd.sv", S.DUCK_AT)
-    qexp = S.cosine_expr("q.qv", "sd.sv", S.DUCK_AT)
     lut_parts = " UNION ALL ".join(
         f"SELECT q.q_id, sd.t AS code, {s} AS s, "
         f"CAST(FLOOR(({S.sub_l2_expr('q.qv', 'sd.sv', S.DUCK_AT, s)}) * 1e6) AS BIGINT) AS dm "
         "FROM q, sd"
         for s in range(S.PQ_SUBS)
     )
-    return f"""WITH {_pq_seeds_cte()},
-asg AS (SELECT e.vec_id, sd.t, {cexp} AS cos FROM embeddings e, sd),
-alist AS (SELECT vec_id, t AS list_id FROM
-  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, t) AS rn FROM asg)
-  WHERE rn = 1),
+    return f"""WITH {_ivf_ctes()},
+{_pq_seeds_cte()},
+alist AS (SELECT vec_id, list_id FROM ivl),
 sub AS ({_pq_sub_cte('e.embedding')}),
 codes AS (SELECT vec_id, s, code FROM
   (SELECT vec_id, s, t AS code,
           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, t) AS rn FROM sub)
   WHERE rn = 1),
 q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-qasg AS (SELECT q.q_id, sd.t, {qexp} AS cos FROM q, sd),
-qp AS (SELECT q_id, t AS list_id FROM
-  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t) AS rn FROM qasg)
-  WHERE rn <= {S.IVF_NPROBE}),
+{_ivf_probe_ctes()},
 lut AS ({lut_parts}),
 cand AS (SELECT qp.q_id, c.vec_id AS c_id, c.s, c.code
   FROM qp JOIN alist al USING (list_id) JOIN codes c ON c.vec_id = al.vec_id
@@ -1246,24 +1301,17 @@ def q_pq_codes_trained(spark, sf):
 
 def _ivf_pq_trained_sql() -> str:
     S = simsearch
-    cexp = S.cosine_expr("e.embedding", "sd.sv", S.DUCK_AT)
-    qexp = S.cosine_expr("q.qv", "sd.sv", S.DUCK_AT)
     return f"""WITH {_pq_cb_ctes()},
 {_PQ_DTR},
-asg AS (SELECT e.vec_id, sd.t, {cexp} AS cos FROM embeddings e, sd),
-alist AS (SELECT vec_id, t AS list_id FROM
-  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, t) AS rn FROM asg)
-  WHERE rn = 1),
+{_ivf_ctes()},
+alist AS (SELECT vec_id, list_id FROM ivl),
 q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-qasg AS (SELECT q.q_id, sd.t, {qexp} AS cos FROM q, sd),
-qp AS (SELECT q_id, t AS list_id FROM
-  (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, t) AS rn FROM qasg)
-  WHERE rn <= {S.IVF_NPROBE}),
-qex AS {_pq_ex_cte('q', 'q_id', 'qv')},
+{_ivf_probe_ctes()},
+qsx AS {_pq_ex_cte('q', 'q_id', 'qv')},
 lutt AS (SELECT qe.q_id, cb.code, qe.s,
   CAST(SUM(CAST(FLOOR((qe.x - cb.mi / 1e6) * (qe.x - cb.mi / 1e6) * 1e6) AS BIGINT))
   AS BIGINT) AS dm
-  FROM qex qe JOIN cb ON cb.s = qe.s AND cb.dim = qe.dim GROUP BY 1, 2, 3),
+  FROM qsx qe JOIN cb ON cb.s = qe.s AND cb.dim = qe.dim GROUP BY 1, 2, 3),
 cand AS (SELECT qp.q_id, c.vec_id AS c_id, c.s, c.code
   FROM qp JOIN alist al USING (list_id) JOIN codes1 c ON c.vec_id = al.vec_id
   WHERE qp.q_id != al.vec_id),
