@@ -25,7 +25,7 @@ CROSSJOIN_ALLOW = [
      "|langs|-row rate table x 1-row max aggregate (temperature_mix)"),
     (r"queries_text\.py", r"v\.crossJoin\(F\.broadcast\(tot\)\)",
      "vocabulary table x 1-row total aggregate (unigram_logprob)"),
-    (r"queries_text\.py", r"v\.crossJoin\(F\.broadcast\(best\)\)",
+    (r"operators/textops\.py", r"v\.crossJoin\(F\.broadcast\(best\)\)",
      "vocabulary table x 1-row merge-pair argmax (bpe_train)"),
     (r"queries_text\.py", r"toks\.crossJoin\(F\.broadcast\(m\)\)",
      "token stream x 1-row learned merge pair (bpe_encode, 3 chained)"),

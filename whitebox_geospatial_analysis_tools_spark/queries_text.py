@@ -1143,53 +1143,11 @@ v{k + 1} AS (SELECT word, cnt,
 
 @Q.register("bpe_train", _bpe_train_sql())
 def q_bpe_train(spark, sf):
-    """Three unrolled BPE merge rounds over the aggregated vocabulary.
-
-    Scale shape: every round is (vocab-sized pair explode -> hash agg ->
-    1-row argmax broadcast -> map-only rewrite); the corpus is touched
-    once, by the initial vocabulary aggregation.  Each round's rewritten
-    vocabulary is localCheckpoint'ed — the pair-count branch and the
-    rewrite branch would otherwise double the lineage per round (the
-    binary-lifting plan-explosion trap)."""
-    v = (
-        _docs(spark, sf)
-        .select(F.explode(F.split("text", " ")).alias("word"))
-        .where(F.length("word") > 0)
-        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-        .select("word", "cnt",
-                F.expr("regexp_replace(word, '(.)', '|$1|')").alias("s"))
-    )
-    out = None
-    for it in range(_BPE_ITERS):
-        a = v.select("cnt", F.expr("split(btrim(s, '|'), '\\\\|\\\\|')").alias("arr"))
-        pc = (
-            a.where(F.expr("size(arr) >= 2"))
-            .select("cnt", F.expr(
-                "explode(transform(sequence(1, size(arr) - 1), "
-                "i -> named_struct('pa', element_at(arr, i), "
-                "'pb', element_at(arr, i + 1))))").alias("p"))
-            .select("cnt", "p.pa", "p.pb")
-            .groupBy("pa", "pb")
-            .agg(F.sum("cnt").cast("long").alias("weight"))
-        )
-        # 1-row argmax is consumed by the rewrite AND the stat row AND
-        # (via q_bpe_encode) the merge broadcasts — checkpoint so the
-        # vocab pair-count agg runs once per round, not per consumer
-        best = pc.orderBy(F.desc("weight"), F.asc("pa"), F.asc("pb")) \
-            .limit(1).localCheckpoint()
-        vn = v.crossJoin(F.broadcast(best)).withColumn(
-            "s", F.expr("replace(s, '|' || pa || '||' || pb || '|', "
-                        "'|' || pa || pb || '|')"))
-        stat = (
-            vn.groupBy("pa", "pb", "weight")
-            .agg(F.expr(
-                "CAST(SUM(cnt * ((length(s) - length(replace(s, '|', ''))) DIV 2)) "
-                "AS BIGINT)").alias("n_symbols"))
-            .select(F.lit(it).alias("iter"), "pa", "pb", "weight", "n_symbols")
-        )
-        out = stat if out is None else out.unionByName(stat)
-        v = vn.select("word", "cnt", "s").localCheckpoint()
-    return out.orderBy("iter")
+    """The registry's 3-merge oracle-checked instance of the PARAMETERIZED
+    trainer (operators/textops.py bpe_train — n_merges is an argument;
+    tests/test_textpipe.py replays 50 merges against a sequential Python
+    oracle).  See the operator docstring for the per-merge cost model."""
+    return textops.bpe_train(_docs(spark, sf), n_merges=_BPE_ITERS)
 
 
 # -- BPE encode: apply the 3 learned merges back to the corpus (the
