@@ -223,3 +223,76 @@ def test_streaming_paragraph_dedup_ttl_wiring(spark, tmp_path):
     got = spark.table("para_ttl_stream").toPandas()
     assert list(zip(got["doc_id"], got["idx"], got["dup_of_doc"],
                     got["dup_of_idx"])) == [(2, 0, 1, 0)]
+
+
+def test_streaming_corpus_filter_gates_and_state(spark, tmp_path):
+    """End-to-end streaming filter: the per-row HOF gates match an
+    independent Python replay (classifier score, dup-trigram fraction,
+    distinct-word ratio), failing docs never reach the dedup state, and
+    block-hash state crosses micro-batches (a later batch's duplicate
+    block is dropped against the first batch's occurrence)."""
+    import hashlib
+
+    import pandas as pd
+
+    from whitebox_geospatial_analysis_tools_spark.operators import textops
+
+    # independent gate oracle (the batch quality_classifier /
+    # repetition_metrics formulas, replayed in pure Python)
+    def _th(t):
+        return (len(t) * 2654435761 + ord(t[0]) * 97 + ord(t[-1]) * 31) \
+            % 2147483648
+
+    def _score(text):
+        ws = [w for w in text.split(" ") if w]
+        return sum((_th(w) * 48271) % 2147483648 - 1073741824
+                   for w in ws) / len(ws) / 1073741824
+
+    blk_a = " ".join(f"a{i}" for i in range(textops.PARA_BLOCK))
+    blk_b = " ".join(f"b{i}" for i in range(textops.PARA_BLOCK))
+    blk_c = " ".join(f"c{i}" for i in range(textops.PARA_BLOCK))
+    doc1 = blk_a + " " + blk_b            # passes all gates
+    doc2 = ("x y z " * 14).strip()        # fails dup_trigram + dwr gates
+    doc3 = blk_c + " " + blk_a            # passes gates; blk_a dups doc1
+    doc4 = ("zz " * 30).strip()           # fails distinct-word-ratio gate
+    assert _score(doc1) > -0.05 and _score(doc3) > -0.05  # fixture sanity
+
+    src = tmp_path / "srccf"
+    src.mkdir()
+    ts = pd.Timestamp("2026-01-01 00:00:00")
+    for i, batch in enumerate([[("u1", doc1), ("u2", doc2)],
+                               [("u3", doc3), ("u4", doc4)]]):
+        pdf = pd.DataFrame({
+            "url": [u for u, _ in batch],
+            "warc_ts": [ts + pd.Timedelta(minutes=i)] * len(batch),
+            "html": [b""] * len(batch),
+            "text": [t for _, t in batch],
+            "lang": ["en"] * len(batch),
+        })
+        spark.createDataFrame(pdf, ingest.PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    stream = ingest.read_pages_stream(spark, str(src), max_files_per_trigger=1) \
+        .withColumn("doc_id", F.expr("CAST(substring(url, 2) AS LONG)"))
+    kept = ingest.streaming_corpus_filter(stream)
+    assert kept.isStreaming
+    ingest.run_update_mode(kept, str(tmp_path / "ckptcf"), "cf_stream")
+    got = sorted((r["h"], r["doc_id"], r["idx"])
+                 for r in spark.table("cf_stream").collect())
+
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    exp = sorted([(h(blk_a), 1, 0), (h(blk_b), 1, 1), (h(blk_c), 3, 0)])
+    assert got == exp  # doc3's blk_a dropped cross-batch; doc2/doc4 gated
+
+    # the streaming HOF gate values equal the batch operators bitwise
+    docs = spark.read.parquet(str(src)) \
+        .withColumn("doc_id", F.expr("CAST(substring(url, 2) AS LONG)")) \
+        .select("doc_id", "text")
+    gates = {r["doc_id"]: r for r in
+             ingest.corpus_gate_columns(docs).collect()}
+    rep = {r["doc_id"]: r for r in
+           textops.repetition_metrics(docs).collect()}
+    for d in (1, 2, 3, 4):
+        assert gates[d]["dup_trigram_frac"] == rep[d]["dup_trigram_frac"], d
+        assert gates[d]["distinct_word_ratio"] == rep[d]["distinct_word_ratio"], d
+        assert gates[d]["score"] == pytest.approx(_score(gates[d]["text"]), abs=0)

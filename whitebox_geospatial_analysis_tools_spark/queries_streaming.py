@@ -183,3 +183,41 @@ def q_streaming_paragraph_dedup(spark, sf):
     return spark.table("strm_paradedup_sink") \
         .select("h", "doc_id", "idx", "dup_of_doc", "dup_of_idx") \
         .orderBy("h", "doc_id", "idx")
+
+
+from .queries_text import _QC_SQL as _QCS, _REP_SQL as _REPS
+
+
+@Q.register(
+    "streaming_corpus_filter",
+    f"""WITH g AS (SELECT d.doc_id, d.text FROM documents d
+  JOIN ({_REPS}) r USING (doc_id)
+  JOIN ({_QCS}) qc USING (doc_id)
+  WHERE qc.score > -0.05e0 AND r.dup_trigram_frac <= 0.2e0
+    AND r.distinct_word_ratio >= 0.3e0),
+wrd AS (SELECT doc_id, string_split(text, ' ') AS w FROM g),
+bl AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // {_PB})) AS idx FROM wrd),
+blk AS (SELECT doc_id, idx,
+        md5(array_to_string(list_slice(w, idx * {_PB} + 1, idx * {_PB} + {_PB}), ' ')) AS h
+        FROM bl),
+r2 AS (SELECT doc_id, CAST(idx AS INT) AS idx, h,
+       ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM blk)
+SELECT h, doc_id, idx FROM r2 WHERE rn = 1 ORDER BY h, doc_id, idx""",
+)
+def q_streaming_corpus_filter(spark, sf):
+    """The full streaming training-data filter (per-row classifier +
+    repetition gates, then cross-batch first-seen block dedup) == the batch
+    chain: gate predicates are bitwise-identical HOF re-expressions of the
+    corpus_filter2 stages, and with a single trigger the in-batch first
+    pick (min (doc_id, idx)) is the global first occurrence.  Cross-batch
+    state is pytest-covered (test_streaming)."""
+    src, ckpt = _stage(spark, sf, n_files=2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+        .withColumn("warc_ts", F.expr(_TS_SPARK))
+    )
+    kept = ingest.streaming_corpus_filter(stream)
+    _drain(kept, ckpt, "strm_cf_sink", "update")
+    return spark.table("strm_cf_sink") \
+        .select("h", "doc_id", "idx").orderBy("h", "doc_id", "idx")

@@ -285,3 +285,122 @@ def streaming_paragraph_dedup(pages: DataFrame, *, block: int | None = None,
         .where((F.col("doc_id") != F.col("dup_of_doc"))
                | (F.col("idx") != F.col("dup_of_idx")))
     )
+
+
+# -- streaming corpus filter: the batch training-data filter chain on the
+# streaming surface (VERDICT r4 next-round #8) ---------------------------------
+# gate constants shared with the batch corpus_filter2 registry entry
+CF_SCORE_FLOOR = "-0.05e0"   # classifier score floor
+CF_DUP3_MAX = "0.2e0"        # max duplicated-trigram char fraction
+CF_DWR_MIN = "0.3e0"         # min distinct-word ratio
+
+
+def corpus_gate_columns(pages: DataFrame) -> DataFrame:
+    """Per-row (zero-shuffle, streaming-legal) gate metrics: hashed-linear
+    classifier score, duplicated-trigram char fraction, distinct-word
+    ratio — higher-order-function re-expressions of the batch operators
+    (quality_classifier's hash agg, repetition_metrics' explode agg).  The
+    numerators are exact BIGINTs and the single double division is the same
+    op, so the per-row values equal the batch values BITWISE — the
+    streaming gates and the batch gates admit identical documents.
+
+    A streaming plan allows only one stateful operator, so the gates cannot
+    be shuffle aggregations; docs here are bounded web-page texts, making
+    the O(words^2) in-array trigram count cheap and map-only."""
+    from ..operators import textops
+
+    th = textops.TOKEN_HASH.replace("tok", "t")
+    return (
+        pages
+        .withColumn("w", F.split("text", " "))
+        .withColumn("toks", F.expr("filter(w, t -> length(t) > 0)"))
+        .withColumn("grams3", F.expr(textops._ngram_expr(3)))
+        .withColumn("logit_sum", F.expr(
+            f"aggregate(toks, CAST(0 AS BIGINT), "
+            f"(acc, t) -> acc + (({th} * 48271) % 2147483648 - 1073741824))"))
+        .withColumn("score", F.expr(
+            "IF(size(toks) = 0, -1e9, "
+            "CAST(logit_sum AS DOUBLE) / size(toks) / 1073741824e0)"))
+        .withColumn("dupchars", F.expr(
+            "aggregate(transform(array_distinct(grams3), "
+            "g -> CASE WHEN size(filter(grams3, x -> x = g)) >= 2 "
+            "THEN CAST(size(filter(grams3, x -> x = g)) * length(g) AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+        .withColumn("dup_trigram_frac", F.expr(
+            "IF(length(text) = 0, 0e0, CAST(dupchars AS DOUBLE) / length(text))"))
+        .withColumn("distinct_word_ratio", F.expr(
+            "CAST(size(array_distinct(w)) AS DOUBLE) / size(w)"))
+    )
+
+
+def streaming_corpus_filter(pages: DataFrame, *, block: int | None = None,
+                            state_ttl: str | None = None) -> DataFrame:
+    """The end-to-end streaming training-data filter: per-row quality gates
+    (classifier floor + Gopher repetition gates, corpus_gate_columns) over
+    the incoming pages, then cross-batch first-seen paragraph-block dedup —
+    the output is the KEPT corpus as (h, doc_id, idx) block rows: exactly
+    one surviving occurrence per distinct block hash among gate-passing
+    documents.
+
+    One declarative streaming plan: stateless map gates -> per-row block
+    split (paragraph_block_rows, zero shuffle) -> ONE stateful operator
+    (applyInPandasWithState keyed by block hash).  State is one (doc_id,
+    idx) pair per distinct KEPT block hash; pass state_ttl (e.g. "30 days")
+    to bound it to the duplicate horizon via event-time timeout, the same
+    contract as streaming_paragraph_dedup."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gated = corpus_gate_columns(pages).where(F.expr(
+        f"size(toks) > 0 AND score > {CF_SCORE_FLOOR} "
+        f"AND dup_trigram_frac <= {CF_DUP3_MAX} "
+        f"AND distinct_word_ratio >= {CF_DWR_MIN}"
+    )).select("doc_id", "warc_ts", "text")
+    rows = paragraph_block_rows(gated, block=block)
+    if state_ttl is not None:
+        rows = rows.withWatermark("warc_ts", state_ttl)
+        ttl_ms = int(pd.Timedelta(state_ttl).value // 1_000_000)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        ttl_ms = None
+        timeout = GroupStateTimeout.NoTimeout
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        occ = []
+        max_ts = None
+        for pdf in pdf_iter:
+            occ.extend(zip((int(d) for d in pdf["doc_id"]),
+                           (int(i) for i in pdf["idx"])))
+            if ttl_ms is not None and len(pdf):
+                m = pdf["warc_ts"].max()
+                max_ts = m if max_ts is None else max(max_ts, m)
+        if not occ:
+            return
+        already = state.exists
+        if not already:
+            first = min(occ)
+            state.update(first)
+        if ttl_ms is not None and max_ts is not None:
+            state.setTimeoutTimestamp(int(pd.Timestamp(max_ts).value
+                                          // 1_000_000) + ttl_ms)
+        if already:
+            return  # hash claimed in an earlier batch: every occurrence drops
+        yield pd.DataFrame({
+            "h": [str(key[0])],
+            "doc_id": [first[0]],
+            "idx": [first[1]],
+        })
+
+    return (
+        rows.groupBy("h")
+        .applyInPandasWithState(
+            fn,
+            "h string, doc_id long, idx int",
+            "first_doc long, first_idx int",
+            "update",
+            timeout,
+        )
+    )
