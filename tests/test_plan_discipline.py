@@ -33,11 +33,11 @@ CROSSJOIN_ALLOW = [
      "two 1-row aggregate scalars (Moran's I normalization)"),
     (r"operators/overlay\.py", r"sa\.crossJoin\(ca\)\.crossJoin\(ia\)",
      "three 1-row aggregate scalars (union area inclusion-exclusion)"),
-    (r"queries_raster\.py", r"spark\.range\(120\)\.selectExpr.*crossJoin\(",
+    (r"queries_raster\w*\.py", r"spark\.range\(120\)\.selectExpr.*crossJoin\(",
      "bounded range x range grid generator (resample target grid)"),
-    (r"queries_raster\.py", r"\.crossJoin\(spark\.range\(1, 118\)",
+    (r"queries_raster\w*\.py", r"\.crossJoin\(spark\.range\(1, 118\)",
      "bounded range x range grid generator (bilinear target grid)"),
-    (r"queries_raster\.py", r"\.crossJoin\(spark\.range\(4, 230\)",
+    (r"queries_raster\w*\.py", r"\.crossJoin\(spark\.range\(4, 230\)",
      "bounded range x range grid generator (cubic target grid)"),
     (r"queries_vector\.py", r"crossJoin\(F\.broadcast\(m\)\)",
      "1-row moment aggregate (Moran's I mu/n)"),
@@ -47,22 +47,22 @@ CROSSJOIN_ALLOW = [
      "fixed-k centroid tables (iterated kmeans / ISODATA, k constant)"),
     (r"queries_vector\.py", r"pts\.crossJoin\(F\.broadcast\(surv\)\)",
      "surviving fixed-k centroids (modified_kmeans, <= 4 rows)"),
-    (r"queries_raster\.py", r"st\.crossJoin\(F\.broadcast\(gm\)\)",
+    (r"queries_raster\w*\.py", r"st\.crossJoin\(F\.broadcast\(gm\)\)",
      "1-row global-mean aggregate (local contrast enhancement)"),
     (r"operators/simsearch\.py", r"crossJoin\(F\.broadcast\(seeds\)\)",
      "fixed 16-row PQ seed table (PQ_SEED_IDS — codebook size is "
      "corpus-independent by PQ design)"),
-    (r"queries_raster\.py", r"pits\.crossJoin\(F\.broadcast\(offs\)\)",
+    (r"queries_raster\w*\.py", r"pits\.crossJoin\(F\.broadcast\(offs\)\)",
      "constant 16-row ring-2 offset table (BreachPits)"),
     (r"operators/stats\.py", r"crossJoin\(F\.broadcast\((m|total|pe|bnd|comp)\)\)",
      "1-row aggregate scalars / <=buckets-row boundary tables"),
     (r"operators/vector\.py", r"crossJoin\(F\.broadcast\(e\)\)",
      "fixed polygon-layer edge table (the small dim side by design)"),
-    (r"queries_raster\.py", r"crossJoin\(F\.broadcast\((mm|total|t|m|vz)\)\)",
+    (r"queries_raster\w*\.py", r"crossJoin\(F\.broadcast\((mm|total|t|m|vz)\)\)",
      "1-row min/max/total aggregates (stretch/equalize/CDF/viewpoint scalars)"),
-    (r"queries_raster\.py", r"crossJoin\(F\.broadcast\(lv\)\)",
+    (r"queries_raster\w*\.py", r"crossJoin\(F\.broadcast\(lv\)\)",
      "fixed 3-row contour level list"),
-    (r"queries_raster\.py", r"dem\.crossJoin\(F\.broadcast\(vpz\)\)",
+    (r"queries_raster\w*\.py", r"dem\.crossJoin\(F\.broadcast\(vpz\)\)",
      "fixed 9-station viewpoint grid (visibility_index, constant _VI_VPS)"),
     (r"operators/distance\.py", r"crossJoin\(F\.broadcast\(bounds\)\)",
      "1-row target bounding-box aggregate (uncovered-block radius fallback)"),
@@ -70,9 +70,9 @@ CROSSJOIN_ALLOW = [
      "bounded range x range grid generator (dissolve parcel layer)"),
     (r"operators/vectorize\.py", r"\.crossJoin\(comp\.agg\(",
      "two 1-row aggregates (contour per-level stats)"),
-    (r"queries_raster\.py", r"\.crossJoin\(F\.broadcast\(zmin\)\)",
+    (r"queries_raster\w*\.py", r"\.crossJoin\(F\.broadcast\(zmin\)\)",
      "1-row global-minimum aggregate (downslope_index_radius skip test)"),
-    (r"queries_raster\.py", r"live\.crossJoin\(F\.broadcast\(offs\)\)",
+    (r"queries_raster\w*\.py", r"live\.crossJoin\(F\.broadcast\(offs\)\)",
      "fixed 168-row ring-offset table (downslope_index_radius window)"),
     (r"queries_vector\.py", r"\.crossJoin\(F\.broadcast\(nbr\)\)",
      "constant 9-row 3x3 bucket-offset table (find_polygon_chains prefilter)"),
@@ -80,7 +80,7 @@ CROSSJOIN_ALLOW = [
      "fixed 8-row candidate-range table x <=16 lag bins (variogram fit)"),
     (r"queries_spatial\.py", r"fit\.crossJoin\(F\.broadcast\(tot\)\)",
      "1-row fit scalar x 1-row bin-total aggregate (kriging_fit)"),
-    (r"queries_raster\.py", r"\.crossJoin\(spark\.range\(_RP_TRC\)",
+    (r"queries_raster\w*\.py", r"\.crossJoin\(spark\.range\(_RP_TRC\)",
      "bounded range x range grid generator (reprojection target grid)"),
 ]
 
@@ -92,7 +92,7 @@ NONEQUI_ALLOW = [
     (r"queries_spatial\.py", r"\.join\([bc], F\.col\(\"s[23]\"\) > F\.col\(\"s[12]\"\)\)",
      "Delaunay candidate triples over the decimated fixed site layer "
      "(doc_id % _TIN_MOD — bounded site count by construction)"),
-    (r"queries_raster\.py", r"join\(F\.broadcast\(cb\.alias\(\"b\"\)\), F\.col\(\"b\.q\"\)",
+    (r"queries_raster\w*\.py", r"join\(F\.broadcast\(cb\.alias\(\"b\"\)\), F\.col\(\"b\.q\"\)",
      "histogram-bin CDF x CDF lookup table (bounded by bin count)"),
     (r"operators/simsearch\.py", r"c\.join\(F\.broadcast\(q\), F\.col\(\"q_id\"\)",
      "fixed broadcast query set (cosine_topk brute baseline by design)"),
@@ -109,9 +109,9 @@ WINDOW_ALLOW = [
      "histogram bin table (bounded by value-range / bin width)"),
     (r"operators/stats\.py", r'Window\.orderBy\("_bkt"\)',
      "percentile bucket counts (<= buckets rows)"),
-    (r"queries_raster\.py", r'Window\.orderBy\("bin"\)',
+    (r"queries_raster\w*\.py", r'Window\.orderBy\("bin"\)',
      "histogram bin table (equalization/matching CDFs)"),
-    (r"queries_raster\.py", r'Window\.orderBy\("step"\)',
+    (r"queries_raster\w*\.py", r'Window\.orderBy\("step"\)',
      "quantile step table (bounded level count)"),
 ]
 

@@ -99,7 +99,12 @@ def all_oracles() -> dict[str, str]:
 
 
 def _ensure_loaded() -> None:
-    from . import queries_spatial, queries_relational, queries_text, queries_raster, queries_vector, queries_multimodal, queries_streaming  # noqa: F401
+    from . import (  # noqa: F401
+        queries_spatial, queries_relational, queries_text, queries_raster,
+        queries_raster_focal, queries_raster_hydro, queries_raster_image,
+        queries_raster_distance, queries_vector, queries_multimodal,
+        queries_streaming,
+    )
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
