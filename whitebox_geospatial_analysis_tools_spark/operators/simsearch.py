@@ -719,12 +719,14 @@ def pq_train_codebook(emb: DataFrame) -> DataFrame:
     )
 
 
-def pq_codes_trained(emb: DataFrame) -> DataFrame:
+def pq_codes_trained(emb: DataFrame, cb: DataFrame | None = None) -> DataFrame:
     """PQ encode against the trained codebook: per-dim squared residuals
     quantize to integer micro BEFORE the subspace sum (order-free), argmin
     with code tie-break.  The 1,024-row codebook broadcasts; the re-encode
-    is one equi-join + hash agg + window — the Lloyd-assignment shape."""
-    cb = pq_train_codebook(emb)
+    is one equi-join + hash agg + window — the Lloyd-assignment shape.
+    Pass an already-materialized codebook via ``cb`` to avoid re-running
+    the training pass (ivf_pq_topk_trained persists one and shares it)."""
+    cb = pq_train_codebook(emb) if cb is None else cb
     ex = _dim_explode(emb)
     d = (
         ex.join(F.broadcast(cb), ["s", "dim"])
@@ -758,7 +760,7 @@ def ivf_pq_topk_trained(emb: DataFrame, k: int = 3,
     _scratch.release(spark, "ivf_pq_tr")
     cb = _scratch.track(spark, pq_train_codebook(emb).persist(), "ivf_pq_tr")
     alist = coarse_assign(model)
-    codes = pq_codes_trained(emb).join(alist, "vec_id")
+    codes = pq_codes_trained(emb, cb).join(alist, "vec_id")
     q = emb.where(query_pred).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
