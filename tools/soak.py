@@ -137,5 +137,122 @@ def main() -> None:
     print(f"SOAK TOTAL {t1 + t2 + t3 + t4 + t5 + t6:.1f} s", flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Kill-resume at soak scale (VERDICT r4 next-round #5): SIGKILL the resumable
+# paragraph_dedup write mid-run after >=1 committed batch, re-run, and assert
+# the final table is identical to a straight-through reference with no
+# duplicate lineage rows — the plans/lineage.py resume path at production
+# row counts (the north rule's checkpoint/resume clause).
+# ---------------------------------------------------------------------------
+_RESUME_KEYS = 64
+
+
+def _resume_corpus(spark, docs: int):
+    """The soak's chained-near-dup corpus (same expression as _soak_docs)."""
+    return spark.range(docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr("array_join(transform(sequence(id * 2, id * 2 + 39), "
+               "j -> concat('tok', j % 1000000)), ' ')").alias("text"))
+
+
+def _resume_result(spark, docs: int):
+    """paragraph_dedup over the soak corpus, projected to a compact
+    content-checkable row (kept_text folded to its md5)."""
+    return textops.paragraph_dedup(_resume_corpus(spark, docs)).select(
+        "doc_id", "n_blocks", "n_dup_blocks", "kept_chars",
+        F.md5("kept_text").alias("kept_md5"),
+        (F.col("doc_id") % _RESUME_KEYS).alias("pkey"),
+    )
+
+
+def resume_worker(out_dir: str, docs: int) -> None:
+    """Child-process body: compute once (persist), then the resumable
+    partitioned write — committed pkeys from a previous (killed) run are
+    skipped by run_resumable's manifest anti-join."""
+    import json
+
+    from whitebox_geospatial_analysis_tools_spark.plans import lineage
+
+    spark = get_spark(app="wgs-soak-resume", master="local[32]",
+                      shuffle_partitions=64)
+    res = _resume_result(spark, docs).persist()
+    res.count()
+    summary = lineage.run_resumable(
+        spark, res, out_dir, "pkey", list(range(_RESUME_KEYS)),
+        batch_size=4, input_desc=f"synthetic corpus docs={docs}")
+    print("RESUME_SUMMARY " + json.dumps({
+        "written": len(summary["written_keys"]),
+        "skipped": len(summary["skipped_keys"]),
+        "batches": summary["batches"],
+    }), flush=True)
+
+
+def kill_resume(docs: int) -> None:
+    import shutil
+    import signal
+    import subprocess
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="soak_resume_")
+    ldir = os.path.join(out_dir, "_lineage")
+    cmd = [sys.executable, os.path.abspath(__file__), "--resume-worker",
+           "--out", out_dir, "--docs", str(docs)]
+    log1 = open(os.path.join(out_dir, "run1.log"), "wb")
+    t0 = time.perf_counter()
+    p = subprocess.Popen(cmd, stdout=log1, stderr=subprocess.STDOUT,
+                         start_new_session=True)
+    killed_manifests = None
+    while time.perf_counter() - t0 < 900:
+        n = (len([f for f in os.listdir(ldir) if f.endswith(".parquet")])
+             if os.path.isdir(ldir) else 0)
+        if n >= 2:  # >=1 committed batch, job still mid-flight
+            os.killpg(p.pid, signal.SIGKILL)
+            killed_manifests = n
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(0.2)
+    p.wait()
+    assert killed_manifests is not None, \
+        "job finished before the kill point — raise --docs"
+    print(f"SOAK kill-resume: SIGKILL after {killed_manifests} committed "
+          f"manifest(s) at {time.perf_counter() - t0:.1f} s", flush=True)
+
+    t1 = time.perf_counter()
+    out2 = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    print(out2.stdout.strip().splitlines()[-1], flush=True)
+    wall2 = time.perf_counter() - t1
+
+    # verify: identical final table, full key coverage, no duplicate lineage
+    spark = get_spark(app="wgs-soak-verify", master="local[32]",
+                      shuffle_partitions=64)
+    exp = _resume_result(spark, docs)
+    got = spark.read.parquet(os.path.join(out_dir, "data")).select(
+        "doc_id", "n_blocks", "n_dup_blocks", "kept_chars", "kept_md5", "pkey")
+    n_got = got.count()
+    assert n_got == docs, f"row count {n_got} != {docs}"
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0, \
+        "post-resume table differs from the straight-through reference"
+    lin = spark.read.parquet(ldir)
+    n_lin = lin.count()
+    n_keys = lin.select("pkey").distinct().count()
+    assert n_lin == n_keys == _RESUME_KEYS, \
+        f"lineage rows {n_lin} / distinct {n_keys} != {_RESUME_KEYS}"
+    skipped = int(out2.stdout.split('"skipped": ')[1].split(",")[0])
+    assert skipped >= (killed_manifests - 1) * 4, "resume re-wrote committed keys"
+    print(f"SOAK kill-resume OK: docs={docs} resume_wall={wall2:.1f}s "
+          f"skipped_keys={skipped} lineage_rows={n_lin} (no dups), "
+          f"table == reference", flush=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--resume-worker" in sys.argv:
+        resume_worker(sys.argv[sys.argv.index("--out") + 1],
+                      int(sys.argv[sys.argv.index("--docs") + 1]))
+    elif "--kill-resume" in sys.argv:
+        docs = (int(sys.argv[sys.argv.index("--docs") + 1])
+                if "--docs" in sys.argv else 2_000_000)
+        kill_resume(docs)
+    else:
+        main()
