@@ -78,7 +78,7 @@ def test_stream_network_distributed(spark, ptr, monkeypatch):
 def test_stream_network_tier2(spark, monkeypatch):
     """Stream cells exceed the guard but the link tables fit: distributed
     labeling + driver link solve (the middle tier) matches tier 1."""
-    from whitebox_geospatial_analysis_tools_spark.queries_raster import (
+    from whitebox_geospatial_analysis_tools_spark.queries_raster_hydro import (
         VALLEY_VAL, _VCOLS, _VROWS, _VT,
     )
 
