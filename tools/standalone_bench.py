@@ -129,7 +129,7 @@ class Cluster:
 
 
 def submit(zip_path: str, n_workers: int, cores: int, n_pages: int,
-           sf: str, queries: str) -> dict:
+           sf: str, queries: str, para_docs: int) -> dict:
     cmd = [
         SPARK_SUBMIT, "--master", MASTER_URL,
         "--py-files", zip_path,
@@ -137,8 +137,21 @@ def submit(zip_path: str, n_workers: int, cores: int, n_pages: int,
         "--conf", f"spark.executor.cores={cores}",
         "--conf", "spark.executor.memory=16g",
         "--conf", "spark.driver.memory=8g",
+        # Each executor JVM must size its GC/JIT thread pools for ITS core
+        # share, not the host's: without this, 4 co-located 8-core executors
+        # each spawn ~23 parallel G1 threads (sized for 32 CPUs) and every
+        # young-gen pause oversubscribes the box 3x.  Measured on the 2M-doc
+        # paragraph_dedup leg: 37.1 s -> 11.6 s wall, stage GC 60 s -> 18 s.
+        # (YARN/k8s get this from cgroups; bare standalone does not.)
+        "--conf", ("spark.executor.extraJavaOptions="
+                   f"-XX:ActiveProcessorCount={cores}"),
+        # schedule only after every executor registers, so the first (warm)
+        # job runs at full parallelism and warms codegen on ALL executors
+        "--conf", "spark.scheduler.minRegisteredResourcesRatio=1.0",
+        "--conf", "spark.scheduler.maxRegisteredResourcesWaitingTime=30s",
         os.path.join(REPO, "tools", "standalone_job.py"),
         "--n-pages", str(n_pages), "--sf", sf, "--queries", queries,
+        "--para-docs", str(para_docs),
     ]
     r = subprocess.run(cmd, env=ENV, capture_output=True, text=True,
                        timeout=3600)
@@ -158,6 +171,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--queries",
                     default="find_polygon_chains,dedup_clusters,mass_flux")
+    ap.add_argument("--para-docs", type=int, default=0)
     args = ap.parse_args()
 
     shutil.rmtree(LOG_DIR, ignore_errors=True)
@@ -171,17 +185,24 @@ def main() -> None:
         for w in args.workers:
             cluster.set_workers(w, args.cores, "24g")
             legs[f"{w}x{args.cores}"] = submit(
-                zip_path, w, args.cores, args.n_pages, args.sf, args.queries)
+                zip_path, w, args.cores, args.n_pages, args.sf, args.queries,
+                args.para_docs)
     finally:
         cluster.stop()
 
     out = {"metric": "standalone_ladder", "legs": legs}
     if len(args.workers) >= 2:
         lo, hi = min(args.workers), max(args.workers)
-        t_lo = legs[f"{lo}x{args.cores}"]["flagship_pages_per_sec"]
-        t_hi = legs[f"{hi}x{args.cores}"]["flagship_pages_per_sec"]
-        out["scaling_efficiency"] = round(t_hi / ((hi / lo) * t_lo), 3)
+        lo_leg, hi_leg = legs[f"{lo}x{args.cores}"], legs[f"{hi}x{args.cores}"]
         out["scaling_legs"] = f"{lo}x{args.cores} -> {hi}x{args.cores} workers"
+        if args.n_pages > 0:
+            t_lo = lo_leg["flagship_pages_per_sec"]
+            t_hi = hi_leg["flagship_pages_per_sec"]
+            out["scaling_efficiency"] = round(t_hi / ((hi / lo) * t_lo), 3)
+        if args.para_docs > 0:
+            # throughput ratio: wall_lo / wall_hi speedup over worker ratio
+            out["para_scaling_efficiency"] = round(
+                lo_leg["para_wall_s"] / hi_leg["para_wall_s"] / (hi / lo), 3)
     print(json.dumps(out))
 
 
