@@ -79,6 +79,9 @@ HEADLINE = [
     "ivf_pq_topk",       # product-quantization ADC + exact re-rank
     "corpus_filter2",    # full modern filter chain, one plan
     "bpe_train",         # 3 BPE merge rounds with symbol rewriting
+    # round-5 additions (corpus-scaled trained quantizer)
+    "ivf_pq_topk_trained",  # ADC search via the Lloyd-trained scaled quantizer
+    "list_size_stats",   # IVF list-size skew drop-accounting
 ]
 
 
